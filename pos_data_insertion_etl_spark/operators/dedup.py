@@ -1,0 +1,173 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Engine-design notes (100 TB):
+* Exact dedup = hash-groupBy on a 128-bit fingerprint -- one shuffle on
+  the fingerprint, perfectly parallel, no skew (hash keys are uniform).
+* MinHash signatures use min(md5(salt || shingle)) per hash function:
+  md5 hex strings are fixed-length, so lexicographic MIN == numeric min
+  of the unsigned value. MIN is associative -> partial aggregation
+  (map-side combine) applies; signatures for a trillion docs reduce to
+  one shuffle of (doc_id, 16 short strings).
+* LSH banding turns O(n^2) near-dup search into an equi-join on band
+  keys -- Catalyst plans a plain shuffled hash join; hot bands (common
+  shingles) are handled by AQE skew-join splitting.
+* Everything is built-in expressions: no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct content: keeper = min id, plus multiplicity."""
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop(text_col)
+    )
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    sh = shingles(tokens(text_col), n=n)
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, n_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of
+    md5('<salt_i>|' || shingle). Deterministic, engine-portable, and an
+    associative aggregate (one shuffle)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"mh{i:02d}|"), F.col("shingle")))).alias(
+            f"h{i:02d}"
+        )
+        for i in range(n_hashes)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature (rows of `band_size` hashes), hash each band,
+    and equi-join docs sharing any band key. Returns distinct
+    (id_a < id_b) candidate pairs with the number of colliding bands."""
+    n_bands = n_hashes // band_size
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * band_size + j:02d}") for j in range(band_size)]
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sig_df.select(F.col(id_col), *band_cols)
+    # Unpivot to (id, band_idx, band_key) then self-join on the key.
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    long = banded.select(
+        F.col(id_col),
+        F.expr(f"stack({n_bands}, {stack_expr}) AS (band_idx, band_key)"),
+    ).select(id_col, "band_idx", "band_key")
+    a = long.alias("a")
+    b = long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    )
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash from per-token md5 hex digits: bit j is the sign of
+    sum(+1/-1 over tokens by whether hex digit j >= '8'). Token
+    multiplicity counts (standard SimHash weighting by term frequency)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("th", F.md5("tok"))
+    hexhi = list("89abcdef")
+    bit_aggs = [
+        F.sum(
+            F.when(F.substring("th", j + 1, 1).isin(hexhi), 1).otherwise(-1)
+        ).alias(f"s{j:02d}")
+        for j in range(16)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_aggs)
+    bits = [
+        F.when(F.col(f"s{j:02d}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(16)
+    ]
+    return sums.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_id_gap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs that share at
+    least one shingle (optionally bounded to |id_a - id_b| <= max_id_gap
+    to cap the candidate set; at scale you'd bound by LSH bands instead).
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from exact
+    integer counts -> engine-portable bit-for-bit.
+    """
+    sh = doc_shingles(df, text_col, id_col, n=n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if max_id_gap is not None:
+        cond = cond & (
+            (F.col(f"b.{id_col}") - F.col(f"a.{id_col}")) <= max_id_gap
+        )
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_sh_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_sh_b")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

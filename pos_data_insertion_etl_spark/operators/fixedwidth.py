@@ -1,0 +1,67 @@
+"""Fixed-width record projector -- the engine's first-class "parse" operator.
+
+The reference's logical record is 520 characters of a decoded UTF-8 stream
+(/root/reference/main.py:56, slicing at main.py:409-412, main.py:482);
+field layout lives in opaque stored procedures. Here a declarative field
+spec compiles into `substring` + `cast` column projections, so parsing is
+pure Catalyst-optimizable expression work (whole-stage codegen, column
+pruning: unreferenced fields are never materialized).
+
+Offsets are CHARACTER offsets on the decoded string -- matching the
+reference, which slices post-decode (main.py:482) -- so multi-byte UTF-8
+never drifts the layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FixedWidthField:
+    """One field of a fixed-width layout. ``start`` is 1-based, in chars."""
+
+    name: str
+    start: int
+    length: int
+    dtype: str = "string"  # any Spark cast target, or "date:<fmt>"
+    trim: bool = False
+
+    def expr(self, col: str) -> Column:
+        raw = F.substring(F.col(col), self.start, self.length)
+        if self.trim:
+            raw = F.trim(raw)
+        if self.dtype == "string":
+            out = raw
+        elif self.dtype.startswith("date:"):
+            out = F.to_date(raw, self.dtype.split(":", 1)[1])
+        elif self.dtype.startswith("timestamp:"):
+            out = F.to_timestamp(raw, self.dtype.split(":", 1)[1])
+        else:
+            out = raw.cast(self.dtype)
+        return out.alias(self.name)
+
+
+def parse_fixed_width(
+    df: DataFrame,
+    record_col: str,
+    fields: list[FixedWidthField],
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Project a DataFrame[record_col: string] into typed columns."""
+    extra = [F.col(c) for c in (keep or [])]
+    return df.select(*extra, *[f.expr(record_col) for f in fields])
+
+
+def fixed_width_record(
+    parts: list[Column], total_width: int | None = None
+) -> Column:
+    """Inverse operator: pack already-padded columns into one record
+    (used by tests and fixtures to synthesize R520-style data)."""
+    rec = F.concat(*parts)
+    if total_width is not None:
+        rec = F.rpad(rec, total_width, " ")
+    return rec

@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k -- broadcast the (small) query set,
+scan the corpus once, window-rank per query. One corpus scan, no shuffle
+of the corpus itself; the only shuffle is the (n_queries x k)-bounded
+ranked output. This is the right plan at 100 TB when the query set is
+small; for query sets too big to broadcast, use the LSH-bucketed variant
+(lsh_bucket_topk) which equi-joins on sign-pattern buckets instead.
+
+Determinism: fixed-point integer dot products (see functions.vectors),
+rounded similarity + id tiebreak in the ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.vectors import cosine_similarity_fixed_point, quantize_vec
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self-matches excluded)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_vec(F.col(vec_col)).alias("cv")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity_fixed_point(F.col("qv"), F.col("cv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate variant: random-hyperplane (sign) LSH buckets.
+
+    Bucket key = sign pattern of the first `n_planes` components (a
+    deterministic, data-independent set of axis-aligned "hyperplanes" --
+    at scale swap in seeded random projections). Candidates are pairs in
+    the SAME bucket -> the corpus-vs-query comparison becomes an
+    equi-join on the bucket key instead of a cross product.
+    """
+
+    def bucket(vc):
+        bits = [
+            F.when(F.get(vc, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(n_planes)
+        ]
+        return F.concat(*bits)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col)).alias("qv"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_vec(F.col(vec_col)).alias("cv"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity_fixed_point(F.col("qv"), F.col("cv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

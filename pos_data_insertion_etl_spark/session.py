@@ -1,0 +1,71 @@
+"""SparkSession factory.
+
+Replaces the reference's hand-rolled runtime plumbing (Config.from_env,
+connection builders, global run lock -- /root/reference/main.py:60-92,
+main.py:17-18): one driver per job, Catalyst as the planner, AQE for
+runtime re-planning. Designed for a multi-executor cluster; tested on
+local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime (non-static) SQL confs every session needs, whether we created
+# it or the driver handed us one.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics that match a UTC-naive oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # The test events table carries parquet TIMESTAMP(NANOS) which Spark
+    # does not natively read; read as long and convert in the catalog.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime coalescing, skew-join splitting, join-strategy switch.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-interchange / Pandas-UDF path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Set runtime confs on an existing session (e.g. the driver's)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build -- leave whatever the session has.
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "pos_data_insertion_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a session tuned for the current machine.
+
+    On a real cluster ``master``/executor sizing come from spark-submit;
+    locally we default to local[$SPARK_GRAFT_CPUS].
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    # Shuffle partitions ~ cores locally; a real cluster wants ~2-3x total
+    # cores, and AQE coalesces the excess either way.
+    shuffle = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
