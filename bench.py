@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the summed wall-clock of the headline queries (each fully
+materialized via collect()), excluding JVM/session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pos_data_insertion_etl_spark.plans import all_queries
+from pos_data_insertion_etl_spark.session import get_session
+
+# Representative mix: scan+agg, multiway join, window, fixed-width,
+# dedup/LSH, similarity, event-time ops.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_region_nation_revenue",
+    "q06_revenue_forecast",
+    "q16_topk_per_group",
+    "q36_hourly_events",
+    "q38_fixed_width_parse",
+    "q39_combine_chunks",
+    "q40_sessionize",
+    "q50_dedup_exact",
+    "q55_minhash_lsh",
+    "q57_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_session("pos-etl-bench")
+    registry = all_queries()
+
+    # Warm the executor path (codegen caches stay per-query, but the
+    # session/IO stack warms up) without touching the timed queries.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
