@@ -34,14 +34,18 @@ class FixedWidthField:
         raw = F.substring(F.col(col), self.start, self.length)
         if self.trim:
             raw = F.trim(raw)
+        # try_* variants: malformed/partial records parse to NULL (and get
+        # filtered downstream) instead of failing the job under ANSI mode.
         if self.dtype == "string":
             out = raw
         elif self.dtype.startswith("date:"):
-            out = F.to_date(raw, self.dtype.split(":", 1)[1])
+            fmt = self.dtype.split(":", 1)[1]
+            out = F.try_to_timestamp(raw, F.lit(fmt)).cast("date")
         elif self.dtype.startswith("timestamp:"):
-            out = F.to_timestamp(raw, self.dtype.split(":", 1)[1])
+            fmt = self.dtype.split(":", 1)[1]
+            out = F.try_to_timestamp(raw, F.lit(fmt))
         else:
-            out = raw.cast(self.dtype)
+            out = raw.try_cast(self.dtype)
         return out.alias(self.name)
 
 

@@ -10,6 +10,8 @@ local[N].
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -30,6 +32,42 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    mapInPandas/Pandas-UDF closures reference this package by module
+    path; workers spawned from an arbitrary driver cwd cannot import it
+    otherwise. On a real cluster this is exactly how the engine
+    distributes itself (--py-files equivalent), so it is done
+    unconditionally rather than relying on a shared filesystem.
+    """
+    sc = spark.sparkContext
+    ctx_id = id(sc)
+    if ctx_id in _SHIPPED_CONTEXTS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-pyfiles-{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already added (e.g. two entry points in one process)
+    _SHIPPED_CONTEXTS.add(ctx_id)
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Set runtime confs on an existing session (e.g. the driver's)."""
     for k, v in RUNTIME_CONFS.items():
@@ -38,6 +76,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Static conf on this build -- leave whatever the session has.
             pass
+    ensure_package_shipped(spark)
     return spark
 
 

@@ -1,0 +1,164 @@
+"""Structured Streaming tier.
+
+Replaces the reference's hand-rolled incremental machinery with Spark's
+built-ins (SURVEY.md §1.4, §2.2):
+
+* resumable byte-offset checkpoint (/root/reference/main.py:94-150,
+  main.py:325-339)  -> `checkpointLocation` offset/commit logs;
+* daily cron batch (function_app.py:11)  -> `trigger(availableNow=True)`
+  ("process everything new, then stop" -- the idiomatic scheduled batch
+  over a stream source);
+* per-150-row stored-proc triggers (main.py:509-514) -> `foreachBatch`
+  running the mart pipeline per micro-batch;
+* archive-after-ingest (main.py:353-398) -> file-source
+  `cleanSource=archive` + `sourceArchiveDir`;
+* no event-time anywhere in the reference -> we add watermarked
+  tumbling/sliding/session windows over the `events` table, the
+  standard late-data story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+from ..sources.zipsource import records_from_binary
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming view of the events table. The parquet carries
+    TIMESTAMP(NANOS) (read as long via nanosAsLong, then converted),
+    matching catalog.load_table's batch behavior."""
+    apply_runtime_confs(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1h window + watermark: late rows beyond the watermark drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_stats(events: DataFrame) -> DataFrame:
+    """Sliding 1h window every 15 minutes."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_event_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (built-in state store; the streaming
+    form of the q40 gaps-and-islands batch query)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once keyed dedup within the watermark horizon -- the
+    streaming analog of exact dedup on an unbounded source."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def pos_stream_ingest(
+    spark: SparkSession,
+    zip_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    archive_dir: str | None = None,
+):
+    """Continuous POS ingest: binaryFile stream over the landing dir,
+    foreachBatch runs parse -> marts (the reference's whole daily run,
+    main.py:425-636), availableNow trigger, exactly-once via checkpoint.
+
+    Returns the StreamingQuery; callers awaitTermination() or rely on
+    availableNow stopping by itself.
+    """
+    from ..pipeline.marts import (
+        BUSINESS_DATE,
+        customer_count_mart,
+        daily_sales_mart,
+        sales_front_mart,
+        sku_merge,
+        sku_temp,
+    )
+
+    apply_runtime_confs(spark)
+    reader = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed but streaming sources require it
+        # to be declared explicitly.
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.zip")
+    )
+    if archive_dir:
+        # the reference's backup_file copy+delete (main.py:353-398)
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    binary = reader.load(zip_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        records = records_from_binary(batch_df)
+        sku = sku_merge(sku_temp(records)).persist()
+        try:
+            if sku.isEmpty():
+                return
+            sales = daily_sales_mart(sku)
+            for name, df in {
+                "t_day_pos_daily_sku_data": sku,
+                "t_day_ten_kyakusu_data": customer_count_mart(sku),
+                "t_day_sales": sales,
+                "t_day_ten_sales_front_data_daily": sales_front_mart(sales, sku),
+            }.items():
+                df.write.mode("append").partitionBy(BUSINESS_DATE).parquet(
+                    f"{out_dir}/{name}"
+                )
+        finally:
+            sku.unpersist()
+
+    return (
+        binary.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,133 @@
+"""Streaming tier: windowed aggregates must equal their batch
+recomputation (SURVEY.md §5); checkpointed ingest is exactly-once
+across restarts."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_data_insertion_etl_spark.catalog import load_table
+from pos_data_insertion_etl_spark.streaming.jobs import (
+    hourly_event_counts,
+    pos_stream_ingest,
+    read_events_stream,
+    session_event_stats,
+    read_events_stream as _res,  # noqa: F401
+    streaming_dedup,
+)
+
+from .pos_fixture import build_fixture, write_zip
+
+
+def _run_to_memory(stream_df, name, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_hourly_window_matches_batch(spark, sf_smoke):
+    ev_stream = read_events_stream(spark, sf_smoke)
+    q = _run_to_memory(
+        hourly_event_counts(ev_stream), "hourly_out", output_mode="complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 2))
+        for r in spark.sql("SELECT * FROM hourly_out").collect()
+    }
+    q.stop()
+
+    ev = load_table(spark, sf_smoke, "events")
+    exp = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 2))
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events",
+            "total_value",
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_session_window_matches_gaps_islands(spark, sf_smoke):
+    ev_stream = read_events_stream(spark, sf_smoke)
+    q = _run_to_memory(
+        session_event_stats(ev_stream), "session_out", output_mode="complete"
+    )
+    got = collections.Counter()
+    for r in spark.sql("SELECT * FROM session_out").collect():
+        got[r.user_id] += 1
+    q.stop()
+
+    # batch gaps-and-islands session count per user (q40 logic)
+    from pos_data_insertion_etl_spark.plans.pos_ops import q40_sessionize
+
+    exp = collections.Counter()
+    for r in q40_sessionize(spark, sf_smoke).collect():
+        exp[r.user_id] = max(exp[r.user_id], r.session_id)
+    assert got == dict(exp)
+
+
+def test_streaming_dedup(spark, sf_smoke, tmp_path):
+    """Duplicate the source file -> dropDuplicatesWithinWatermark keeps
+    one copy of each event_id."""
+    import shutil
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    shutil.copy(f"{sf_smoke}/events.parquet", d / "events.parquet")
+    shutil.copy(f"{sf_smoke}/events.parquet", d / "events_copy.parquet")
+
+    from pos_data_insertion_etl_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_smoke}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = _run_to_memory(streaming_dedup(stream), "dedup_out")
+    n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n
+    n_src = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
+    q.stop()
+    assert n == n_src
+
+
+def test_pos_stream_ingest_exactly_once(spark, tmp_path):
+    """availableNow + checkpoint: a restart with no new files writes
+    nothing new; a new day's file is picked up incrementally."""
+    records, rows = build_fixture(n_days=2)
+    land = tmp_path / "landing"
+    land.mkdir()
+    write_zip(records, str(land / "R520.20240301_214500.zip"))
+    out = str(tmp_path / "marts")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = pos_stream_ingest(spark, str(land), out, ckpt)
+    q.awaitTermination(180)
+    sku_path = f"{out}/t_day_pos_daily_sku_data"
+    n1 = spark.read.parquet(sku_path).count()
+    assert n1 == len(rows)
+
+    # restart, no new files -> no duplicate appends
+    q = pos_stream_ingest(spark, str(land), out, ckpt)
+    q.awaitTermination(180)
+    assert spark.read.parquet(sku_path).count() == n1
+
+    # drop a second file -> only its records are appended
+    records2, rows2 = build_fixture(n_days=1, seed=99)
+    write_zip(records2, str(land / "R520.20240302_214500.zip"))
+    q = pos_stream_ingest(spark, str(land), out, ckpt)
+    q.awaitTermination(180)
+    assert spark.read.parquet(sku_path).count() == n1 + len(rows2)
