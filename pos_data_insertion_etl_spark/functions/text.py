@@ -40,17 +40,20 @@ def shingles(tokens_col: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (non-distinct; wrap in array_distinct for
     set semantics). Docs with < n tokens yield an empty array.
 
-    Uses F.get (null on out-of-bounds -- safe under ANSI mode) and
-    null-propagating concat, then filters the null tail entries.
+    Built by zipping n shifted slices of the token array: the source
+    array is evaluated O(n) times per row, not once per element (a
+    per-element F.get would re-evaluate the upstream split() for every
+    token -- higher-order functions don't share subexpressions).
     """
-
-    def mk(x: Column, i: Column) -> Column:
-        parts: list[Column] = [x]
-        for j in range(1, n):
-            parts.extend([F.lit(" "), F.get(tokens_col, i + j)])
-        return F.concat(*parts)
-
-    return F.filter(F.transform(tokens_col, mk), lambda s: s.isNotNull())
+    count = F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))
+    acc = F.slice(tokens_col, 1, count)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(tokens_col, j + 1, count),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return acc
 
 
 def stopword_hits(tokens_col: Column, lang: str) -> Column:

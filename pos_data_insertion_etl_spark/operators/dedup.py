@@ -34,30 +34,55 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition a narrow source up to the session's parallelism before
+    a CPU-heavy map stage. A no-op decision on a real cluster (the scan
+    already exposes >= cores splits); locally a single parquet file would
+    otherwise serialize the whole hashing stage onto one task."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    sh = shingles(tokens(text_col), n=n)
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Distinctness is enforced row-locally (array_distinct before explode),
+    so there is no global distinct shuffle -- (id, shingle) pairs are
+    already unique across docs because ids differ.
+    """
+    sh = F.array_distinct(shingles(tokens(text_col), n=n))
+    return _widen(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(sh).alias("shingle")
     )
 
 
 def minhash_signatures(
-    shingle_df: DataFrame, id_col: str, n_hashes: int = 8
+    docs: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, n: int = 3
 ) -> DataFrame:
-    """MinHash signature per doc: h_i = min over shingles of
-    md5('<salt_i>|' || shingle). Deterministic, engine-portable, and an
-    associative aggregate (one shuffle)."""
+    """MinHash signature per doc: h_i = min over distinct shingles of
+    md5('<salt_i>|' || shingle). MIN is associative, so the aggregate is
+    map-side partial: one shuffle of (doc_id, n_hashes short strings).
+
+    (A fully row-wise array_min formulation avoids even that shuffle but
+    runs the shingle expression once per hash function after Catalyst's
+    projection collapse -- higher-order functions don't share
+    subexpressions -- which costs more than the shuffle it saves.)
+
+    Docs with < n tokens have no shingles and drop out (they cannot be
+    near-dup candidates).
+    """
+    sh = doc_shingles(docs, text_col, id_col, n=n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"mh{i:02d}|"), F.col("shingle")))).alias(
             f"h{i:02d}"
         )
         for i in range(n_hashes)
     ]
-    return shingle_df.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -101,23 +126,27 @@ def lsh_candidate_pairs(
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash from per-token md5 hex digits: bit j is the sign of
     sum(+1/-1 over tokens by whether hex digit j >= '8'). Token
-    multiplicity counts (standard SimHash weighting by term frequency)."""
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("th", F.md5("tok"))
+    multiplicity counts (standard SimHash weighting by term frequency).
+
+    Row-wise (no explode/shuffle): the ±1 sum for bit j equals
+    2 * |tokens with a high hex digit at j| - |tokens|, both computable
+    from the in-row token-hash array.
+    """
     hexhi = list("89abcdef")
-    bit_aggs = [
-        F.sum(
-            F.when(F.substring("th", j + 1, 1).isin(hexhi), 1).otherwise(-1)
-        ).alias(f"s{j:02d}")
-        for j in range(16)
-    ]
-    sums = tok.groupBy(id_col).agg(*bit_aggs)
+
+    def high_at(pos: int):
+        return lambda h: F.substring(h, pos, 1).isin(hexhi)
+
     bits = [
-        F.when(F.col(f"s{j:02d}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(
+            2 * F.size(F.filter(F.col("_th"), high_at(j + 1))) - F.size("_th") >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
         for j in range(16)
     ]
-    return sums.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+    return df.select(
+        F.col(id_col), F.transform(tokens(text_col), F.md5).alias("_th")
+    ).select(F.col(id_col), F.concat(*bits).alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -144,10 +144,11 @@ GROUP BY 1, 2
 
 @query("q55_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
 def q55_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH banding: near-dup candidates as an equi-join."""
+    """MinHash + LSH banding: near-dup candidates as an equi-join.
+    Signatures are computed row-wise (map-only); the band join is the
+    only shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs, "text", "doc_id", n=3)
-    sig = minhash_signatures(sh, "doc_id", n_hashes=8)
+    sig = minhash_signatures(docs, "text", "doc_id", n_hashes=8)
     return lsh_candidate_pairs(sig, "doc_id", n_hashes=8, band_size=2)
 
 
