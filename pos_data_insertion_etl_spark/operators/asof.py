@@ -1,0 +1,61 @@
+"""As-of join: for each left row, the latest right row with
+right.ts <= left.ts on the same key.
+
+Spark has no native ASOF JOIN; the scalable formulation is the
+union-and-carry trick: tag both sides, union on a common schema, and
+carry the last non-null right value forward with a window over
+(key ORDER BY ts, side) -- right rows sort before left rows at equal
+timestamps, so "at-or-before" includes exact ties.
+
+One shuffle on the key (the window partition), no per-key Python, no
+range explosion -- this is the plan you want at 100 TB, vs. a
+merge_asof-per-group applyInPandas which pays Arrow serialization for
+the whole fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    carry: dict[str, str],
+) -> DataFrame:
+    """``carry`` maps right-side column -> output name. Left rows keep all
+    their columns; each carried output holds the right side's value as of
+    the left timestamp (null if no prior right row)."""
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[src].dataType).alias(f"_c_{out}")
+          for src, out in carry.items()],
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(src).alias(f"_c_{out}") for src, out in carry.items()],
+    ).select(l.columns)  # align column order
+    w = (
+        W.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = l.unionByName(r)
+    for _src, out in carry.items():
+        carried = carried.withColumn(
+            out, F.last(f"_c_{out}", ignorenulls=True).over(w)
+        )
+    return carried.filter(F.col("_side") == 1).drop(
+        "_ts", "_side", *[f"_c_{out}" for out in carry.values()]
+    )

@@ -1,0 +1,255 @@
+"""Extended operator coverage: range join, as-of join, unpivot, exact
+percentiles, interval RANGE window frames, first/last/nth value,
+multimodal metadata, and approximate sketches (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table, register_views
+from ..multimodal.binary_ops import attach_binary_metadata
+from ..operators.asof import asof_join
+from ._helpers import dec, dsum, sql_dsum
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Non-equi joins
+# ---------------------------------------------------------------------------
+
+_BANDS = [(0.0, 50.0, "low"), (50.0, 120.0, "mid"), (120.0, 1e18, "high")]
+
+
+@query(
+    "q42_range_join",
+    oracle=f"""
+WITH bands(lo, hi, band) AS (VALUES {', '.join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _BANDS)})
+SELECT band, event_type, COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band, event_type
+""",
+    tags=("join", "range"),
+)
+def q42_range_join(spark, sf_dir):
+    """Range (interval) join: broadcast the tiny band table, non-equi
+    predicate -> BroadcastNestedLoopJoin; the fact side never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q43_asof_join",
+    oracle="""
+SELECT e1.user_id, e1.event_id, e1.ts, e1.value,
+       (SELECT MAX(e2.ts) FROM events e2
+        WHERE e2.user_id = e1.user_id AND e2.event_type = 'signup'
+          AND e2.ts <= e1.ts) AS signup_ts
+FROM events e1
+WHERE e1.event_type = 'purchase'
+""",
+    tags=("join", "asof"),
+)
+def q43_asof_join(spark, sf_dir):
+    """As-of join via the union-and-carry window (operators.asof): each
+    purchase gets the user's latest at-or-before signup timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    return asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="s_ts",
+        carry={"s_ts": "signup_ts"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / percentiles / window frames
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q44_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS v_O,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS v_F,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS v_P
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, 'O' AS status, v_O AS total_price FROM wide
+UNION ALL SELECT o_orderpriority, 'F', v_F FROM wide
+UNION ALL SELECT o_orderpriority, 'P', v_P FROM wide
+""",
+    tags=("unpivot", "stack"),
+)
+def q44_unpivot(spark, sf_dir):
+    """Pivot then unpivot (stack): wide conditional sums back to long."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == s, dec("o_totalprice")))
+            .cast("double")
+            .alias(f"v_{s}")
+            for s in ("O", "F", "P")
+        ]
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'O', v_O, 'F', v_F, 'P', v_P) AS (status, total_price)",
+    )
+
+
+@query(
+    "q45_percentile_exact",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       quantile_cont(l_extendedprice, 0.5) AS median_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+)
+def q45_percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`: both linear interpolation over the sorted values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_extendedprice", 0.5).alias("median_price"),
+    )
+
+
+_Q48_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS rolling_30d_spend
+FROM orders
+"""
+
+
+@query("q48_range_frame", oracle=_Q48_SQL, tags=("window", "range_frame"))
+def q48_range_frame(spark, sf_dir):
+    """Interval RANGE window frame: 30-day rolling spend per customer.
+    Same ANSI text runs on Spark SQL and DuckDB; peers (same orderdate)
+    are included by RANGE semantics in both."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_Q48_SQL)
+
+
+@query(
+    "q49_first_last_value",
+    oracle="""
+SELECT user_id, event_id, ts,
+       FIRST_VALUE(value) OVER w AS first_val,
+       LAST_VALUE(value)  OVER w AS last_val,
+       NTH_VALUE(value, 2) OVER w AS second_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window", "first_last"),
+)
+def q49_first_last_value(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata (binary columns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q59_multimodal_metadata",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       'document' AS modality
+FROM documents
+""",
+    tags=("multimodal", "binary"),
+)
+def q59_multimodal_metadata(spark, sf_dir):
+    """Opaque binary payload + typed metadata struct (multimodal column
+    pattern): byte length + content hash, metadata-only projection never
+    materializes pixels."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    tagged = attach_binary_metadata(docs, "content", "document", "utf8")
+    return tagged.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+        F.col("media_meta.modality").alias("modality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches (rows-only: approximate by design)
+# ---------------------------------------------------------------------------
+
+
+@query("q63_approx_distinct", oracle=None, tags=("agg", "approx"))
+def q63_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct sketch (approximate -> no value oracle;
+    driver records the rows-only check). The scale story: one pass, fixed
+    memory, mergeable across partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("q64_percentile_approx", oracle=None, tags=("agg", "approx"))
+def q64_percentile_approx(spark, sf_dir):
+    """t-digest-style approximate percentile (GK sketch in Spark):
+    mergeable, bounded-memory -- the 100 TB path when exact sort-based
+    percentiles are too expensive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_price_approx"),
+    )

@@ -1,0 +1,59 @@
+"""applyInPandasWithState: state carries across micro-batches."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from pos_data_insertion_etl_spark.session import apply_runtime_confs
+from pos_data_insertion_etl_spark.streaming.jobs import running_user_totals
+
+
+def test_running_totals_across_batches(spark, sf_smoke, tmp_path):
+    """Two copies of the events file with maxFilesPerTrigger=1 => two
+    micro-batches; the final state must be 2x the single-pass totals."""
+    d = tmp_path / "events2"
+    d.mkdir()
+    shutil.copy(f"{sf_smoke}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_smoke}/events.parquet", d / "b.parquet")
+
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_smoke}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode appends one row per (user, batch); keep the final state
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY n_events DESC) AS rn FROM running_out)
+               WHERE rn = 1"""
+        ).collect()
+    }
+    q.stop()
+
+    single = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    exp = {r.user_id: (2 * r.n, round(2 * r.v, 2)) for r in single}
+    assert got == exp
