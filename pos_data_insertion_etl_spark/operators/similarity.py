@@ -52,6 +52,45 @@ def cosine_topk(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    Blocking turns the O(n^2) pair space into an equi-join on
+    ``block_col`` (a label, an LSH bucket, a shard) -- the standard scale
+    move; the cosine itself is the exact fixed-point form, so the
+    threshold cut is engine-deterministic.
+    """
+    a = corpus.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        quantize_vec(F.col(vec_col)).alias("va"),
+    )
+    b = corpus.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        quantize_vec(F.col(vec_col)).alias("vb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("_blk").alias("block"),
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity_fixed_point(F.col("va"), F.col("vb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

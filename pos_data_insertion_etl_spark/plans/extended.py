@@ -225,6 +225,77 @@ def q59_multimodal_metadata(spark, sf_dir):
     )
 
 
+@query(
+    "q65_embedding_neardup",
+    oracle="""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 10000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.v) AS ax, unnest(b.v) AS bx
+  FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT block, id_a, id_b,
+         CAST(SUM(ax * bx) AS BIGINT) AS dot,
+         CAST(SUM(ax * ax) AS BIGINT) AS aa,
+         CAST(SUM(bx * bx) AS BIGINT) AS bb
+  FROM comp GROUP BY 1, 2, 3
+)
+SELECT CAST(block AS INT) AS block, id_a, id_b, cos_sim FROM (
+  SELECT block, id_a, id_b,
+         ROUND(CAST(dot AS DOUBLE)
+               / (SQRT(CAST(aa AS DOUBLE)) * SQRT(CAST(bb AS DOUBLE))), 6)
+             AS cos_sim
+  FROM dots) t
+WHERE cos_sim >= 0.4
+""",
+    tags=("dedup", "embedding", "similarity"),
+)
+def q65_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup with label blocking (the equi-join form
+    of blocked pair generation)."""
+    from ..operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", "label", 0.4)
+
+
+@query(
+    "q66_salted_agg",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("agg", "skew", "salted"),
+)
+def q66_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase (salted) aggregation over a 3-key column --
+    equals the plain GROUP BY because the aggregates are associative."""
+    from ..operators.skew import salted_agg
+
+    o = load_table(spark, sf_dir, "orders")
+    return salted_agg(
+        o,
+        keys=["o_orderstatus"],
+        aggs={
+            "_n": F.count(F.lit(1)),
+            "_s": F.sum(dec("o_totalprice")),
+        },
+        merges={
+            "n_orders": F.sum("_n"),
+            "total_price": F.sum("_s").cast("double"),
+        },
+        n_salts=8,
+        salt_source=F.hash("o_orderkey"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate sketches (rows-only: approximate by design)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""Scale-pattern operators: bucketed co-located joins (no Exchange),
+salted aggregation, retention partition rewrite, run reports."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_data_insertion_etl_spark.catalog import load_table
+from pos_data_insertion_etl_spark.operators.bucketing import (
+    bucketed_join,
+    write_bucketed,
+)
+from pos_data_insertion_etl_spark.operators.retention import (
+    apply_retention_delete,
+)
+from pos_data_insertion_etl_spark.pipeline.report import render_run_report, send_report
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_smoke, tmp_path):
+    """Same-bucketed tables join without a shuffle: the physical plan
+    must contain no Exchange under the SortMergeJoin."""
+    # spark.sql.warehouse.dir is static; managed tables land in the
+    # default warehouse and are dropped (files removed) in the finally.
+    orders = load_table(spark, sf_smoke, "orders")
+    lineitem = load_table(spark, sf_smoke, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=8)
+    write_bucketed(lineitem, "b_lineitem", ["o_orderkey"], n_buckets=8)
+    # disable auto-broadcast so the join strategy is SMJ over buckets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        expected = (
+            load_table(spark, sf_smoke, "lineitem")
+            .join(
+                load_table(spark, sf_smoke, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_retention_delete_rewrites_partitions(spark, sf_smoke, tmp_path):
+    """apply_retention_delete keeps only rows within the horizon in the
+    rewritten day-partitioned table."""
+    ev = load_table(spark, sf_smoke, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_retained")
+    apply_retention_delete(ev, "ts", keep_days=4, path=out, partition_col="day")
+    kept = spark.read.parquet(out)
+    mx = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    cutoff = mx - datetime.timedelta(days=4)
+    exp = ev.filter(F.col("ts") >= cutoff).count()
+    assert kept.count() == exp
+    assert kept.filter(F.col("ts") < cutoff).count() == 0
+    # partition layout on disk
+    import os
+
+    days = [d for d in os.listdir(out) if d.startswith("day=")]
+    assert len(days) >= 4
+
+
+def test_run_report_success_failure():
+    ok = render_run_report(
+        {
+            "is_file_failed": False,
+            "file_name": "R520.20240301.zip",
+            "error_message": "",
+            "total_time_seconds": 12.5,
+            "total_rows_processed": "1000",
+            "total_data_processed_mb": 51.2,
+        }
+    )
+    assert "SUCCESS" in ok["subject"]
+    assert "R520.20240301.zip" in ok["html"]
+    assert "51.2" in ok["html"]
+
+    captured = []
+    bad = send_report(
+        {"is_file_failed": True, "error_message": "boom"}, sink=captured.append
+    )
+    assert "FAILURE" in bad["subject"]
+    assert captured and captured[0] == bad
+    assert "boom" in bad["html"]
