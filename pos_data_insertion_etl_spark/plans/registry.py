@@ -48,6 +48,6 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
-    from . import extended, llm_ops, pos_ops, relational  # noqa: F401
+    from . import extended, llm_ops, pos_ops, relational, relational2  # noqa: F401
 
     return REGISTRY

@@ -308,13 +308,16 @@ def q08_semi_join(spark, sf_dir):
     "q09_anti_join",
     oracle="""
 SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 """,
     tags=("join", "anti"),
 )
 def q09_anti_join(spark, sf_dir):
+    """Customers with no high-value order (every customer has SOME order
+    in the synthetic data, so the anti join is against a filtered side)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
@@ -616,13 +619,13 @@ def q22_set_intersect(spark, sf_dir):
     oracle="""
 SELECT c_custkey AS custkey FROM customer
 EXCEPT
-SELECT o_custkey AS custkey FROM orders
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
 """,
     tags=("setop", "except"),
 )
 def q23_set_except(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.select(F.col("c_custkey").alias("custkey")).exceptAll(
         o.select(F.col("o_custkey").alias("custkey"))
     ).distinct()
