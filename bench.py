@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from pos_data_insertion_etl_spark.plans import all_queries
 from pos_data_insertion_etl_spark.session import get_session
 
@@ -50,9 +52,15 @@ def main() -> None:
     spark = get_session("pos-etl-bench")
     registry = all_queries()
 
-    # Warm the executor path (codegen caches stay per-query, but the
-    # session/IO stack warms up) without touching the timed queries.
+    # Warm the executor path and the parquet reader stack (footer reads,
+    # filesystem metadata, codegen infra) so the first timed query doesn't
+    # pay one-time JVM costs; per-query plans still compile inside their
+    # own timing.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pos_data_insertion_etl_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).select(F.lit(1)).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -6,12 +6,13 @@ into one 520,000-char insert row). In Spark this physical-layout trick is
 obsolete (Parquet/JDBC batching replaces it), but the semantic operator is
 still exposed: a deterministic, order-preserving grouped concatenation.
 
-Scale note: each output group is built by one task from ~N consecutive
-records; grouping keys are dense integers so the shuffle is balanced.
-The global row_number over a single ordering is the one inherently
-serial step -- for 100 TB you would instead derive `seq` from a
-per-file/per-partition offset (see sources.zipsource), which keeps this
-operator fully parallel.
+Scale design: the naive global `row_number()` window funnels the whole
+dataset through ONE task. Instead the global sequence is built in two
+phases -- range-partition on the ordering keys, rank locally per
+partition, then add cumulative partition offsets (a tiny driver-side
+prefix sum over partition counts). Every stage is parallel; the only
+driver data is one count per partition. `order_by` must be a total
+order (include a unique tiebreaker) for the output to be deterministic.
 """
 
 from __future__ import annotations
@@ -19,6 +20,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+
+
+def with_global_sequence(
+    df: DataFrame, order_by: list[str | Column], seq_col: str = "_seq"
+) -> DataFrame:
+    """0-based dense global sequence by ``order_by``, fully parallel."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parallelism, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("_pid").orderBy(*order_by)
+    # localCheckpoint: the counts job and the downstream consumer must see
+    # the SAME physical partitioning; without it AQE may re-plan the range
+    # shuffle differently per action and the offsets go stale.
+    local = (
+        ranged.withColumn("_lrn", F.row_number().over(w_local))
+        .localCheckpoint(eager=False)
+    )
+    # One count per range partition -> cumulative offsets (tiny).
+    counts = {
+        r["_pid"]: r["n"]
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    return (
+        local.join(F.broadcast(offset_df), "_pid")
+        .withColumn(seq_col, (F.col("_offset") + F.col("_lrn") - 1).cast("long"))
+        .drop("_pid", "_lrn", "_offset")
+    )
 
 
 def combine_records(
@@ -34,8 +70,7 @@ def combine_records(
     their sequence number before concatenation (sort_array over structs),
     so the result does not depend on collect_list arrival order.
     """
-    w = W.orderBy(*order_by)
-    seq = df.withColumn("_seq", F.row_number().over(w) - 1)
+    seq = with_global_sequence(df, order_by)
     return (
         seq.withColumn("_grp", F.expr(f"_seq div {n}"))
         .groupBy(F.col("_grp").alias("group_id"))
