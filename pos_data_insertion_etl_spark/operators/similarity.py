@@ -52,6 +52,72 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (rounded fixed-point
+    cosine, centroid-id tiebreak). ``centroids`` is (cid, cv[quantized]),
+    small enough to broadcast -- the IVF 'coarse quantizer'. Returns
+    (id, cluster)."""
+    qc = corpus.select(
+        F.col(id_col), quantize_vec(F.col(vec_col)).alias("_v")
+    )
+    sims = qc.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cid"),
+        F.round(
+            cosine_similarity_fixed_point(F.col("_v"), F.col("cv")), 6
+        ).alias("_sim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_sim"), "cid")
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("cid").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    query_pred,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: probe only the query's own cluster (nprobe=1).
+
+    The scale story: assignment is one broadcast-join pass; search is an
+    equi-join on the cluster id instead of a cross product -- candidate
+    count drops by ~n_clusters x. Recall < 1.0 by design (neighbors in
+    other cells are missed), which is the approximate trade.
+    """
+    assign = ivf_assign(corpus, id_col, vec_col, centroids)
+    vecs = corpus.select(
+        F.col(id_col), quantize_vec(F.col(vec_col)).alias("_v")
+    ).join(assign, id_col)
+    q = vecs.filter(query_pred(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("qv"),
+        "cluster",
+    )
+    sims = (
+        vecs.join(F.broadcast(q), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_similarity_fixed_point(F.col("qv"), F.col("_v")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return sims.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= k
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     id_col: str,

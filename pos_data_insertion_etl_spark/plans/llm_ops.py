@@ -179,6 +179,59 @@ def q56_simhash(spark, sf_dir):
     return simhash16(docs, "text", "doc_id")
 
 
+def _minhash_estimate_oracle() -> str:
+    hashes = ",\n         ".join(
+        f"MIN(md5('mh{i:02d}|' || shingle)) AS h{i:02d}" for i in range(8)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{i:02d} = b.h{i:02d} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         {hashes}
+  FROM sh GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({agree} AS BIGINT) AS n_agree,
+       CAST({agree} AS DOUBLE) / 8 AS jaccard_est
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 10
+"""
+
+
+@query(
+    "q74_minhash_estimate",
+    oracle=_minhash_estimate_oracle(),
+    tags=("dedup", "minhash", "estimate"),
+)
+def q74_minhash_estimate(spark, sf_dir):
+    """Jaccard ESTIMATE from MinHash signature agreement (the sketch's
+    actual payoff: similarity without touching the shingle sets again).
+    Pairs bounded by id gap; at scale the pair source is the LSH bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "text", "doc_id", n_hashes=8)
+    a, b = sig.alias("a"), sig.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.h{i:02d}") == F.col(f"b.h{i:02d}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ((F.col("b.doc_id") - F.col("a.doc_id")) <= 10),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            agree.cast("long").alias("n_agree"),
+            (agree.cast("double") / 8).alias("jaccard_est"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -226,6 +279,79 @@ def q57_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+_IVF_ORACLE = """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 10000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM qv WHERE vec_id < 8),
+ac AS (SELECT q.vec_id, c.cid, unnest(q.v) AS vx, unnest(c.cv) AS cx
+       FROM qv q CROSS JOIN cent c),
+ad AS (SELECT vec_id, cid,
+              CAST(SUM(vx * cx) AS BIGINT) AS dot,
+              CAST(SUM(vx * vx) AS BIGINT) AS vv,
+              CAST(SUM(cx * cx) AS BIGINT) AS cc
+       FROM ac GROUP BY 1, 2),
+asim AS (SELECT vec_id, cid,
+                ROUND(CAST(dot AS DOUBLE)
+                      / (SQRT(CAST(vv AS DOUBLE)) * SQRT(CAST(cc AS DOUBLE))), 6)
+                    AS sim
+         FROM ad),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cid) AS rn
+             FROM asim) t WHERE rn = 1),
+pairs AS (SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id
+          FROM assign q JOIN assign m
+            ON q.cluster = m.cluster AND m.vec_id != q.vec_id
+          WHERE q.vec_id BETWEEN 100 AND 109),
+pc AS (SELECT p.query_id, p.neighbor_id, unnest(a.v) AS qx, unnest(b.v) AS nx
+       FROM pairs p JOIN qv a ON a.vec_id = p.query_id
+                    JOIN qv b ON b.vec_id = p.neighbor_id),
+pd AS (SELECT query_id, neighbor_id,
+              CAST(SUM(qx * nx) AS BIGINT) AS dot,
+              CAST(SUM(qx * qx) AS BIGINT) AS qq,
+              CAST(SUM(nx * nx) AS BIGINT) AS nn
+       FROM pc GROUP BY 1, 2),
+psim AS (SELECT query_id, neighbor_id,
+                ROUND(CAST(dot AS DOUBLE)
+                      / (SQRT(CAST(qq AS DOUBLE)) * SQRT(CAST(nn AS DOUBLE))), 6)
+                    AS cos_sim
+         FROM pd)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS BIGINT)
+             AS rn
+  FROM psim) t
+WHERE rn <= 3
+"""
+
+
+@query("q75_ann_ivf", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf"))
+def q75_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: assign to nearest of 8 deterministic centroids,
+    probe only the query's cluster (nprobe=1)."""
+    from ..operators.similarity import ivf_topk
+    from ..functions.vectors import quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), quantize_vec(F.col("embedding")).alias("cv")
+    )
+    return ivf_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        centroids,
+        query_pred=lambda c: c.between(100, 109),
+        k=3,
     )
 
 

@@ -1,0 +1,57 @@
+"""Multi-format source/sink layer (SURVEY.md §2.2 scans/sinks rows).
+
+The reference reads exactly one format (zip-of-fixed-width text) and
+writes exactly one sink (SQL Server via pyodbc, main.py:213-262). The
+engine exposes the standard format matrix -- parquet/orc (columnar,
+pushdown), csv/json/text (interchange), jdbc (parity sink; needs a
+driver jar on the classpath, not bundled here).
+
+Explicit schemas everywhere: csv/json inference is both slow (extra
+pass) and nondeterministic under promotion -- never used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_table(df: DataFrame, path: str, fmt: str, **options) -> None:
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str, schema: StructType | str | None = None, **options
+) -> DataFrame:
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, batchsize: int = 150, **options
+) -> None:
+    """JDBC append sink with the reference's batching knob
+    (Config.batch_size=150, main.py:53; fast_executemany ~ batchsize).
+    Requires the vendor driver jar on the Spark classpath."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode("append")
+        .save()
+    )

@@ -1,0 +1,41 @@
+"""Format matrix roundtrips + the UDTF table-function surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_data_insertion_etl_spark.catalog import load_table
+from pos_data_insertion_etl_spark.sources.io import FORMATS, read_table, write_table
+from pos_data_insertion_etl_spark.sources.udtf_source import register_udtfs
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_roundtrip(spark, sf_smoke, tmp_path, fmt):
+    src = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = str(tmp_path / f"orders_{fmt}")
+    write_table(src, path, fmt)
+    back = read_table(spark, path, fmt, schema=src.schema)
+    assert back.count() == src.count()
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b, fmt
+
+
+def test_udtf_fixed_width_explode(spark):
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "AAAABBBBCC"), (2, "")], "id long, blob string"
+    ).createOrReplaceTempView("blobs")
+    rows = spark.sql(
+        """SELECT id, t.record_idx, t.record
+           FROM blobs, LATERAL fixed_width_explode(blob, 4) t
+           ORDER BY id, t.record_idx"""
+    ).collect()
+    assert [(r.id, r.record_idx, r.record) for r in rows] == [
+        (1, 0, "AAAA"),
+        (1, 1, "BBBB"),
+        (1, 2, "CC"),
+    ]
