@@ -656,7 +656,7 @@ def q24_distinct_agg(spark, sf_dir):
     oracle=f"""
 SELECT p_brand, COUNT(*) AS n_parts,
        {sql_dsum('p_retailprice')} AS total_price
-FROM part GROUP BY p_brand HAVING COUNT(*) > 50
+FROM part GROUP BY p_brand HAVING COUNT(*) > 5
 """,
     tags=("agg", "having"),
 )
@@ -668,7 +668,7 @@ def q25_having(spark, sf_dir):
             F.count(F.lit(1)).alias("n_parts"),
             dsum("p_retailprice").alias("total_price"),
         )
-        .filter(F.col("n_parts") > 50)
+        .filter(F.col("n_parts") > 5)
     )
 
 
