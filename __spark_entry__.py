@@ -8,11 +8,19 @@ the DuckDB oracle can run on the same parquet tables.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pos_data_insertion_etl_spark.plans import all_queries
+# Robust against being loaded by file path from any cwd: the engine
+# package lives next to this file.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from pos_data_insertion_etl_spark.plans import all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
