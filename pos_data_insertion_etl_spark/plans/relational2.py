@@ -9,6 +9,7 @@ order-insensitive collect aggregates.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table, register_views
 from ._helpers import dec, dsum, sql_dsum
@@ -219,6 +220,77 @@ def q72_exact_moments(spark, sf_dir):
         s1.alias("s1"),
         s2.alias("s2"),
         ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("variance_qty"),
+    )
+
+
+@query(
+    "q76_moving_average",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER w AS DOUBLE) / LEAST(
+                CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS BIGINT), 4)
+           AS moving_avg_4
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "moving_frame"),
+)
+def q76_moving_average(spark, sf_dir):
+    """Bounded ROWS frame (3 preceding..current): 4-order moving average
+    per customer, exact decimal numerator / explicit window-size
+    denominator so partial frames at the partition head stay exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, W.currentRow)
+    )
+    wn = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (
+            F.sum(dec("o_totalprice")).over(w).cast("double")
+            / F.least(F.row_number().over(wn).cast("long"), F.lit(4))
+        ).alias("moving_avg_4"),
+    )
+
+
+@query(
+    "q77_windowed_conditional",
+    oracle="""
+SELECT user_id, event_id, ts,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            OVER w AS BIGINT) AS errors_last_10,
+       CAST(COUNT(*) OVER w AS BIGINT) AS events_last_10
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "conditional"),
+)
+def q77_windowed_conditional(spark, sf_dir):
+    """Conditional aggregate over a bounded trailing frame: per-user error
+    rate over the last 10 events (streaming-ish quality monitor shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("errors_last_10"),
+        F.count(F.lit(1)).over(w).cast("long").alias("events_last_10"),
     )
 
 
