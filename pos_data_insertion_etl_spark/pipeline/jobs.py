@@ -15,14 +15,14 @@ continuous form.
 
 from __future__ import annotations
 
+import datetime as _dt
 import glob as _glob
 import logging
 import os
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
-from ..operators.retention import retention_filter
+from ..operators.retention import drop_expired_partitions
 from .marts import BUSINESS_DATE, run_pos_pipeline
 from .report import send_report
 
@@ -81,32 +81,33 @@ def run_daily_cleanup(
     spark: SparkSession,
     mart_path: str,
     keep_days: int = 4,
+    target_date: str | _dt.date | None = None,
     report_sink=None,
 ) -> dict:
     """Entry point 2: 4-day retention on the day-partitioned SKU mart
     (daily_cleanup.py:22-33), reporting the deleted row count like the
-    reference's success email (daily_cleanup.py:35-49)."""
-    df = spark.read.parquet(mart_path)
-    before = df.count()
-    kept = retention_filter(
-        df.withColumn("_ts", F.col(BUSINESS_DATE).cast("timestamp")),
-        "_ts",
-        keep_days,
-    ).drop("_ts")
-    # rewrite to a temp path then swap -- a plain overwrite would read
-    # and clobber the same files
-    tmp = mart_path.rstrip("/") + "__rewrite"
-    kept.write.mode("overwrite").partitionBy(BUSINESS_DATE).parquet(tmp)
-    import shutil
+    reference's success email (daily_cleanup.py:35-49).
 
-    shutil.rmtree(mart_path)
-    os.rename(tmp, mart_path)
-    after = spark.read.parquet(mart_path).count()
+    The cutoff is anchored on ``target_date`` (the job's run date;
+    defaults to today, matching the reference's `today - 4 days`) -- NOT
+    on max(date) in the data, so a stalled ingest cannot stop expired
+    data from being deleted. The delete itself is a metadata-only
+    partition drop: no scan of surviving data, no table rewrite.
+    """
+    if target_date is None:
+        target_date = _dt.date.today()
+    elif isinstance(target_date, str):
+        target_date = _dt.date.fromisoformat(target_date)
+    cutoff = target_date - _dt.timedelta(days=keep_days)
+    result = drop_expired_partitions(spark, mart_path, BUSINESS_DATE, cutoff)
     metrics = {
         "is_file_failed": False,
         "file_name": mart_path,
         "error_message": "",
-        "total_rows_processed": str(before - after),
+        "total_rows_processed": str(result["deleted_rows"]),
     }
     send_report(metrics, report_sink)
-    return {"deleted_rows": before - after, "kept_rows": after}
+    return {
+        "deleted_rows": result["deleted_rows"],
+        "deleted_partitions": result["deleted_partitions"],
+    }

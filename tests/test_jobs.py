@@ -4,6 +4,7 @@ filename-date scalar parity."""
 from __future__ import annotations
 
 import datetime
+import pathlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -59,18 +60,57 @@ def test_daily_ingest_and_cleanup(spark, tmp_path):
     before = spark.read.parquet(sku_path).count()
     assert before == len(rows)
 
-    # cleanup: fixture spans 8 days -> keep last 5 (>= max-4d)
-    cleanup = run_daily_cleanup(
-        spark, sku_path, keep_days=4, report_sink=reports.append
-    )
+    # cleanup: fixture spans 8 days; anchored on the last business day the
+    # cutoff is max-4d -> the 4 older day-partitions are dropped.
     days = sorted({r["business_date"] for r in rows})
     cutoff = max(days) - datetime.timedelta(days=4)
+    surviving_dirs = [
+        p
+        for p in pathlib.Path(sku_path).iterdir()
+        if p.name.startswith(f"{BUSINESS_DATE}=")
+        and p.name[len(BUSINESS_DATE) + 1 :] >= cutoff.isoformat()
+    ]
+    mtimes_before = {
+        str(f): f.stat().st_mtime_ns
+        for d in surviving_dirs
+        for f in d.rglob("*")
+        if f.is_file()
+    }
+    cleanup = run_daily_cleanup(
+        spark,
+        sku_path,
+        keep_days=4,
+        target_date=max(days),
+        report_sink=reports.append,
+    )
     exp_kept = sum(1 for r in rows if r["business_date"] >= cutoff)
-    assert cleanup["kept_rows"] == exp_kept
     assert cleanup["deleted_rows"] == before - exp_kept
+    assert cleanup["deleted_partitions"] == [
+        d.isoformat() for d in days if d < cutoff
+    ]
     kept = spark.read.parquet(sku_path)
+    assert kept.count() == exp_kept
     assert kept.filter(F.col(BUSINESS_DATE) < F.lit(cutoff)).count() == 0
+    # metadata-only drop: surviving partitions' files are byte-for-byte
+    # untouched (no full-table rewrite happened)
+    mtimes_after = {
+        str(f): f.stat().st_mtime_ns
+        for d in surviving_dirs
+        for f in d.rglob("*")
+        if f.is_file()
+    }
+    assert mtimes_after == mtimes_before
     assert "SUCCESS" in reports[-1]["subject"]
+
+    # idempotent + stalled-ingest semantics: anchored on a later run date,
+    # yesterday's data keeps expiring even though no new data arrived
+    cleanup2 = run_daily_cleanup(
+        spark,
+        sku_path,
+        keep_days=4,
+        target_date=max(days) + datetime.timedelta(days=1),
+    )
+    assert cleanup2["deleted_partitions"] == [cutoff.isoformat()]
 
 
 def test_daily_ingest_missing_file_reports_failure(spark, tmp_path):
