@@ -28,7 +28,7 @@ from pyspark.sql.observation import Observation
 from pyspark.sql.window import Window as W
 
 from ..operators.fixedwidth import FixedWidthField, parse_fixed_width
-from ..sources.zipsource import read_zip_fixed_width
+from ..sources.zipsource import read_zip_fixed_width, read_zip_fixed_width_staged
 
 BUSINESS_DATE = "当稼動日"
 
@@ -70,7 +70,14 @@ def sku_merge(temp: DataFrame) -> DataFrame:
     """SP_Process_Daily_SKU_Data (main.py:512): merge temp into the final
     SKU mart, idempotently. Keyed dedup with a deterministic keeper
     (lowest record_idx / register order) so per-batch re-runs converge."""
-    order_cols = [c for c in ("record_idx", "register_id", "txn_time") if c in temp.columns]
+    # source_file leads the keeper order: record_idx restarts per source
+    # file, so (source_file, record_idx) is the total order that makes the
+    # keeper deterministic when the same key appears in two daily files.
+    order_cols = [
+        c
+        for c in ("source_file", "record_idx", "register_id", "txn_time")
+        if c in temp.columns
+    ]
     w = W.partitionBy(*SKU_KEY).orderBy(*order_cols) if order_cols else W.partitionBy(
         *SKU_KEY
     ).orderBy("quantity")
@@ -119,6 +126,7 @@ def run_pos_pipeline(
     spark: SparkSession,
     zip_glob: str,
     out_dir: str | None = None,
+    stage_dir: str | None = None,
 ) -> dict:
     """End-to-end daily ingest (the reference's ETLProcessor.process,
     main.py:425-636): zip scan -> fixed-width parse -> marts, with run
@@ -127,10 +135,16 @@ def run_pos_pipeline(
 
     Returns {"marts": {name: DataFrame}, "metrics": run-report dict
     (FIXTURES.md A8 schema)}. When ``out_dir`` is set, marts are written
-    as parquet, day-partitioned on 当稼動日.
+    as parquet, day-partitioned on 当稼動日. When ``stage_dir`` is set,
+    ingest goes through the two-stage splittable path
+    (`read_zip_fixed_width_staged`) so one huge daily zip fans out past
+    its single decompression task.
     """
     t0 = time.time()
-    records = read_zip_fixed_width(spark, zip_glob)
+    if stage_dir:
+        records = read_zip_fixed_width_staged(spark, zip_glob, stage_dir)
+    else:
+        records = read_zip_fixed_width(spark, zip_glob)
 
     obs = Observation("ingest_metrics")
     records = records.observe(

@@ -137,13 +137,32 @@ def pos_stream_ingest(
 ):
     """Continuous POS ingest: binaryFile stream over the landing dir,
     foreachBatch runs parse -> marts (the reference's whole daily run,
-    main.py:425-636), availableNow trigger, exactly-once via checkpoint.
+    main.py:425-636), availableNow trigger.
+
+    Delivery semantics: the checkpoint makes each file processed once
+    per *successful* batch, and the batch body itself is idempotent, so
+    results are effectively exactly-once even though foreachBatch alone
+    is at-least-once:
+
+    * the SKU mart is merged, not appended -- the batch's keys are
+      anti-joined against the already-committed keys for the batch's
+      business dates (partition-pruned read), so a retried batch (or the
+      same key arriving in two files/batches) inserts nothing twice.
+      First-committed wins, the reference's INSERT-where-not-exists
+      semantics (SP_Process_Daily_SKU_Data re-run per batch,
+      main.py:509-514);
+    * derived marts are recomputed from the merged SKU mart for the
+      affected dates only and written with dynamic partition overwrite --
+      re-running a batch overwrites the same partitions with the same
+      content. This also keeps non-additive aggregates (distinct txn
+      counts) correct across batches, which per-batch appends cannot.
 
     Returns the StreamingQuery; callers awaitTermination() or rely on
     availableNow stopping by itself.
     """
     from ..pipeline.marts import (
         BUSINESS_DATE,
+        SKU_KEY,
         customer_count_mart,
         daily_sales_mart,
         sales_front_mart,
@@ -168,24 +187,60 @@ def pos_stream_ingest(
         )
     binary = reader.load(zip_dir)
 
+    sku_path = f"{out_dir}/t_day_pos_daily_sku_data"
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        session = batch_df.sparkSession
         records = records_from_binary(batch_df)
-        sku = sku_merge(sku_temp(records)).persist()
+        batch_sku = sku_merge(sku_temp(records)).persist()
         try:
-            if sku.isEmpty():
+            if batch_sku.isEmpty():
                 return
-            sales = daily_sales_mart(sku)
-            for name, df in {
-                "t_day_pos_daily_sku_data": sku,
-                "t_day_ten_kyakusu_data": customer_count_mart(sku),
-                "t_day_sales": sales,
-                "t_day_ten_sales_front_data_daily": sales_front_mart(sales, sku),
-            }.items():
-                df.write.mode("append").partitionBy(BUSINESS_DATE).parquet(
-                    f"{out_dir}/{name}"
+            # tiny driver list: the batch's distinct business dates
+            dates = [
+                r[0] for r in batch_sku.select(BUSINESS_DATE).distinct().collect()
+            ]
+            try:
+                prior_keys = (
+                    session.read.parquet(sku_path)
+                    .filter(F.col(BUSINESS_DATE).isin(dates))
+                    .select(*SKU_KEY)
                 )
+            except Exception:  # first batch: mart doesn't exist yet
+                prior_keys = None
+            novel = (
+                batch_sku
+                if prior_keys is None
+                else batch_sku.join(prior_keys, SKU_KEY, "left_anti")
+            )
+            novel.write.mode("append").partitionBy(BUSINESS_DATE).parquet(sku_path)
+            # derived marts: recompute the affected dates from the merged
+            # mart (partition-pruned scan), dynamic-overwrite only those
+            # date partitions.
+            sku = (
+                session.read.parquet(sku_path)
+                .filter(F.col(BUSINESS_DATE).isin(dates))
+                .persist()
+            )
+            try:
+                sales = daily_sales_mart(sku)
+                for name, df in {
+                    "t_day_ten_kyakusu_data": customer_count_mart(sku),
+                    "t_day_sales": sales,
+                    "t_day_ten_sales_front_data_daily": sales_front_mart(
+                        sales, sku
+                    ),
+                }.items():
+                    (
+                        df.write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy(BUSINESS_DATE)
+                        .parquet(f"{out_dir}/{name}")
+                    )
+            finally:
+                sku.unpersist()
         finally:
-            sku.unpersist()
+            batch_sku.unpersist()
 
     return (
         binary.writeStream.foreachBatch(process_batch)

@@ -131,3 +131,26 @@ def test_pos_stream_ingest_exactly_once(spark, tmp_path):
     q = pos_stream_ingest(spark, str(land), out, ckpt)
     q.awaitTermination(180)
     assert spark.read.parquet(sku_path).count() == n1 + len(rows2)
+
+    # re-deliver the SAME records in a new file -> the cross-batch keyed
+    # merge inserts nothing (reference's idempotent re-merge semantics)
+    write_zip(records2, str(land / "R520.20240303_214500.zip"))
+    q = pos_stream_ingest(spark, str(land), out, ckpt)
+    q.awaitTermination(180)
+    assert spark.read.parquet(sku_path).count() == n1 + len(rows2)
+
+    # derived marts equal a full recompute from the merged SKU mart --
+    # they are per-date overwrites, not at-least-once appends, so
+    # non-additive aggregates (distinct txn counts) stay correct
+    from pos_data_insertion_etl_spark.pipeline.marts import daily_sales_mart
+
+    sku_final = spark.read.parquet(sku_path)
+    exp_df = daily_sales_mart(sku_final)
+    got_sales = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/t_day_sales")
+        .select(*exp_df.columns)  # partition col reads back last; realign
+        .collect()
+    }
+    exp_sales = {tuple(r) for r in exp_df.collect()}
+    assert got_sales == exp_sales
