@@ -30,8 +30,19 @@ def asof_join(
 ) -> DataFrame:
     """``carry`` maps right-side column -> output name. Left rows keep all
     their columns; each carried output holds the right side's value as of
-    the left timestamp (null if no prior right row)."""
+    the left timestamp (null if no prior right row).
+
+    Determinism: when several right rows share the same (key, ts), the
+    one with the greatest carried-value tuple wins -- an explicit total
+    order, not whichever peer the shuffle happened to place last.
+    """
     lcols = left.columns
+    reserved = {"_ts", "_side", "_tie"} | {f"_c_{out}" for out in carry.values()}
+    clash = reserved & set(lcols) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(clash)}; rename them first"
+        )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("_ts"),
@@ -48,14 +59,18 @@ def asof_join(
     ).select(l.columns)  # align column order
     w = (
         W.partitionBy(*on)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_tie")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = l.unionByName(r)
+    # total-order tiebreaker among right rows at equal (key, ts): the
+    # carried values themselves (left rows sort after via _side anyway)
+    carried = l.unionByName(r).withColumn(
+        "_tie", F.struct(*[F.col(f"_c_{out}") for out in carry.values()])
+    )
     for _src, out in carry.items():
         carried = carried.withColumn(
             out, F.last(f"_c_{out}", ignorenulls=True).over(w)
         )
     return carried.filter(F.col("_side") == 1).drop(
-        "_ts", "_side", *[f"_c_{out}" for out in carry.values()]
+        "_ts", "_side", "_tie", *[f"_c_{out}" for out in carry.values()]
     )
