@@ -15,12 +15,20 @@ download -> unzip -> decode -> 520-char-split chain
   trailing partial record if the file doesn't divide evenly
   (reference inserts the partial tail too, main.py:561-565).
 
-Scale: one zip file = one task (zip is not splittable); a daily-file
-workload parallelizes across files/days. Memory is bounded by
-``read_bytes`` regardless of member size. Each emitted Arrow batch is
-``batch_records`` rows. Record provenance = (source_file, record_idx),
-which also gives combine/batching a parallel, pre-computed sequence
-number (no global row_number needed at scale).
+Scale: zip is not splittable (DEFLATE + central directory), so the
+DECOMPRESSION of one zip is one task; a daily-file workload parallelizes
+across files/days. For one huge daily file, `read_zip_fixed_width_staged`
+restores intra-file parallelism with a two-stage plan: stage 1 is the
+unavoidable serial decompress, but it does nothing else -- records are
+written straight to splittable parquet chunks (`maxRecordsPerFile`, no
+shuffle); stage 2 and everything downstream (fixed-width parse, mart
+aggregation -- all the CPU) is a normal parallel scan of those chunks.
+A 100 GB zip costs one pass of cheap I/O serially, then fans out.
+
+Memory is bounded by ``read_bytes`` regardless of member size. Each
+emitted Arrow batch is ``batch_records`` rows. Record provenance =
+(source_file, record_idx), which also gives combine/batching a parallel,
+pre-computed sequence number (no global row_number needed at scale).
 """
 
 from __future__ import annotations
@@ -113,3 +121,34 @@ def read_zip_fixed_width(
     """DataFrame[source_file, record_idx, record] over a glob of zips."""
     binary = spark.read.format("binaryFile").load(path)
     return records_from_binary(binary, chunk_chars, batch_records)
+
+
+def read_zip_fixed_width_staged(
+    spark: SparkSession,
+    path: str,
+    stage_dir: str,
+    chunk_chars: int = 520,
+    batch_records: int = 20_000,
+    records_per_file: int = 50_000,
+) -> DataFrame:
+    """Two-stage splittable ingest for arbitrarily large zips.
+
+    Stage 1 (serial per zip, cheap): decompress + decode + split, write
+    the records DataFrame to ``stage_dir`` as parquet with
+    ``maxRecordsPerFile`` -- one extraction task fans its output into
+    many small chunk files WITHOUT a shuffle. Stage 2 (parallel): return
+    a plain scan of the staged chunks; every downstream stage (the
+    fixed-width parse, the mart shuffles -- all the CPU-bound work) now
+    runs one task per chunk instead of one task per zip.
+
+    Same schema and contents as `read_zip_fixed_width`; the staged copy
+    is the price of intra-file parallelism (the reference pays the
+    analogous cost by re-reading its 100 MB windows, main.py:289-351).
+    """
+    records = read_zip_fixed_width(spark, path, chunk_chars, batch_records)
+    (
+        records.write.mode("overwrite")
+        .option("maxRecordsPerFile", records_per_file)
+        .parquet(stage_dir)
+    )
+    return spark.read.parquet(stage_dir)

@@ -59,3 +59,42 @@ def test_first_member_only(spark, tmp_path):
     df = read_zip_fixed_width(spark, str(p), chunk_chars=10)
     got = sorted(r.record for r in df.collect())
     assert got == ["A" * 10, "A" * 10]
+
+
+def test_staged_ingest_splits_one_zip(spark, tmp_path):
+    """One zip on a multicore session: the staged path must expose >1
+    parse-stage task (multiple chunk files) and produce marts identical
+    to the direct single-task path."""
+    from pos_data_insertion_etl_spark.pipeline.marts import run_pos_pipeline
+    from pos_data_insertion_etl_spark.sources.zipsource import (
+        read_zip_fixed_width_staged,
+    )
+
+    records, _rows = build_fixture(n_days=4)
+    zpath = str(tmp_path / "R520.20240301_214500.zip")
+    write_zip(records, zpath)
+
+    stage = str(tmp_path / "stage")
+    staged = read_zip_fixed_width_staged(
+        spark, zpath, stage, records_per_file=50
+    )
+    # intra-file parallelism restored: one zip -> many splittable chunks,
+    # so the parse stage gets >1 task even for a single input file
+    assert len(staged.inputFiles()) > 1
+    direct = read_zip_fixed_width(spark, zpath)
+    assert sorted(map(tuple, staged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # end-to-end: marts from the staged pipeline == marts from the direct
+    out_a = run_pos_pipeline(spark, zpath, out_dir=str(tmp_path / "m_direct"))
+    out_b = run_pos_pipeline(
+        spark,
+        zpath,
+        out_dir=str(tmp_path / "m_staged"),
+        stage_dir=str(tmp_path / "stage2"),
+    )
+    for name in out_a["marts"]:
+        a = sorted(map(tuple, out_a["marts"][name].collect()))
+        b = sorted(map(tuple, out_b["marts"][name].collect()))
+        assert a == b, name
