@@ -38,7 +38,15 @@ def with_global_sequence(
         ranged.withColumn("_lrn", F.row_number().over(w_local))
         .localCheckpoint(eager=False)
     )
-    # One count per range partition -> cumulative offsets (tiny).
+    # One count per range partition -> cumulative offsets (tiny:
+    # O(partitions), never O(rows)). The guard keeps the driver honest if
+    # someone wires in an absurd partition count.
+    if parallelism > 100_000:
+        raise ValueError(
+            f"with_global_sequence: {parallelism} range partitions would "
+            "collect too many per-partition counts on the driver; "
+            "coalesce the input or raise the guard deliberately"
+        )
     counts = {
         r["_pid"]: r["n"]
         for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

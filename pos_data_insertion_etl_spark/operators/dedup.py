@@ -38,9 +38,20 @@ def _widen(df: DataFrame) -> DataFrame:
     """Repartition a narrow source up to the session's parallelism before
     a CPU-heavy map stage. A no-op decision on a real cluster (the scan
     already exposes >= cores splits); locally a single parquet file would
-    otherwise serialize the whole hashing stage onto one task."""
+    otherwise serialize the whole hashing stage onto one task.
+
+    The width probe uses `inputFiles()` (pure metadata) rather than
+    `df.rdd.getNumPartitions()`, which would force a plan-to-RDD
+    conversion on every call. Conservative: big files that would split
+    into enough tasks anyway still get repartitioned -- one cheap
+    round-robin shuffle of narrow (id, text) rows in the rare case.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file source: no metadata to probe
+        n_splits = 0
+    if n_splits < target:
         return df.repartition(target)
     return df
 

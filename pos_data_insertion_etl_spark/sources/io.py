@@ -40,18 +40,31 @@ def read_table(
     return r.load(path)
 
 
+def jdbc_options(
+    url: str, table: str, batchsize: int = 150, **options
+) -> dict[str, str]:
+    """Assemble the JDBC writer options (unit-testable without a DB).
+
+    batchsize defaults to 150 rows per round-trip, the reference's
+    batching knob (Config.batch_size=150, main.py:53; executed via
+    fast_executemany at main.py:226)."""
+    return {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batchsize),
+        **{k: str(v) for k, v in options.items()},
+    }
+
+
 def write_jdbc(
     df: DataFrame, url: str, table: str, batchsize: int = 150, **options
 ) -> None:
-    """JDBC append sink with the reference's batching knob
-    (Config.batch_size=150, main.py:53; fast_executemany ~ batchsize).
-    Requires the vendor driver jar on the Spark classpath."""
+    """JDBC append sink. Requires the vendor driver jar on the Spark
+    classpath (not bundled; see README) -- option assembly is
+    `jdbc_options`, which tests cover without a database."""
     (
         df.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("batchsize", str(batchsize))
-        .options(**options)
+        .options(**jdbc_options(url, table, batchsize, **options))
         .mode("append")
         .save()
     )

@@ -96,3 +96,41 @@ def test_run_report_success_failure():
     assert "FAILURE" in bad["subject"]
     assert captured and captured[0] == bad
     assert "boom" in bad["html"]
+
+
+def test_salted_agg_matches_naive_on_90pct_skew(spark):
+    """90% of rows share one key: the salted two-phase aggregation must
+    (a) equal the naive groupBy exactly and (b) actually spread the hot
+    key across multiple phase-1 subkeys (the whole point of salting)."""
+    from pos_data_insertion_etl_spark.operators.skew import salted_agg
+
+    n_salts = 16
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold_"), F.col("id")))
+        .alias("k"),
+        (F.col("id") % 97).cast("long").alias("v"),
+        "id",
+    )
+    got = salted_agg(
+        df,
+        ["k"],
+        aggs={"s": F.sum("v"), "c": F.count(F.lit(1))},
+        merges={"total": F.sum("s"), "n_rows": F.sum("c")},
+        n_salts=n_salts,
+        salt_source=F.hash("id"),
+    )
+    exp = df.groupBy("k").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+    # phase-1 spread: the hot key's rows land in >1 (key, salt) subgroup,
+    # so its partial aggregation is not funneled through one task
+    hot_salts = (
+        df.filter(F.col("k") == "hot")
+        .select(F.pmod(F.hash("id"), F.lit(n_salts)).alias("salt"))
+        .distinct()
+        .count()
+    )
+    assert hot_salts > 1

@@ -39,3 +39,23 @@ def test_udtf_fixed_width_explode(spark):
         (1, 1, "BBBB"),
         (1, 2, "CC"),
     ]
+
+
+def test_jdbc_options_assembly():
+    """JDBC option assembly is testable without a DB/driver jar: default
+    batchsize carries the reference's 150-row batching knob."""
+    from pos_data_insertion_etl_spark.sources.io import jdbc_options
+
+    opts = jdbc_options("jdbc:postgresql://h/db", "t_day_pos_daily_sku_data")
+    assert opts == {
+        "url": "jdbc:postgresql://h/db",
+        "dbtable": "t_day_pos_daily_sku_data",
+        "batchsize": "150",
+    }
+    opts = jdbc_options(
+        "jdbc:x://h/db", "t", batchsize=500, isolationLevel="READ_COMMITTED",
+        numPartitions=8,
+    )
+    assert opts["batchsize"] == "500"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+    assert opts["numPartitions"] == "8"  # stringified for the writer
