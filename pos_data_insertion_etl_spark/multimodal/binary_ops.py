@@ -7,13 +7,14 @@ decode, resize, feature-extract, frame-sample -- runs as Arrow-batched
 Pandas functions over `mapInPandas`, so each executor processes whole
 record batches and the bytes never round-trip through Python row by row.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernels are STUBBED: `decode_image_batch` raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-fake decoder (seeded by the content hash) produces stable
-pixel-statistics so the Spark-side plumbing -- schemas, batch iteration,
-partitioning, output contracts -- is fully real and testable. Swapping
-in a real codec changes only the inner `_decode_one` function.
+Codecs: PNG and 16-bit PCM WAV decode/encode are REAL, implemented on
+stdlib zlib/wave (`png_codec.py`, `wav_codec.py`) -- no PIL/ffmpeg in
+this container, none needed for these formats. Video has no public
+stdlib container, so the engine defines a minimal length-prefixed
+PNG-frame container (`pack_video_frames`) and samples it for real;
+swapping in ffmpeg changes only `_iter_frames`. Formats outside that
+set (JPEG etc.) raise NotImplementedError naming the missing codec, or
+use fake=True for the deterministic stub decoder in tests.
 
 Scale notes: binary payloads dominate row size, so operators
 (a) prune early -- metadata-only predicates never touch `content`;
@@ -25,12 +26,17 @@ vectors BEFORE any join/groupBy.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .png_codec import SIGNATURE as PNG_SIGNATURE
+from .png_codec import decode_png, encode_png
+from .wav_codec import decode_wav, encode_wav  # noqa: F401  (re-export)
 
 METADATA_SCHEMA = (
     "modality string, format string, width int, height int, "
@@ -41,6 +47,17 @@ IMAGE_FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, mean_r double, mean_g double, mean_b double, "
     "phash string"
 )
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, content binary"
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame binary"
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, duration_s double, "
+    "peak long, sum_abs long, mean_abs double"
+)
+
+VIDEO_MAGIC = b"PNGV"
 
 
 def attach_binary_metadata(
@@ -63,28 +80,37 @@ def attach_binary_metadata(
 
 def _fake_decode_one(content: bytes) -> np.ndarray:
     """Deterministic fake decoder: a 8x8x3 'image' seeded by content hash.
-    Stands in for PIL.Image.open until a real codec is available."""
+    Test stand-in for formats without a bundled codec (e.g. JPEG)."""
     seed = int.from_bytes(hashlib.md5(content).digest()[:4], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
 def decode_image_batch(contents: pd.Series, fake: bool = False) -> list[np.ndarray]:
-    """Decode a batch of image payloads to HxWxC arrays.
+    """Decode a batch of image payloads to HxWxC uint8 arrays.
 
-    STUB: real decoding needs an image codec (PIL / libjpeg) that is not
-    in this container; call with fake=True for the deterministic fake.
+    PNG decodes for real (stdlib zlib codec). Other formats need a codec
+    this build doesn't bundle -- they raise, or return the deterministic
+    fake when ``fake=True``.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image codecs (PIL/libjpeg) are not available in this build; "
-            "pass fake=True for the deterministic stub decoder"
-        )
-    return [_fake_decode_one(c) for c in contents]
+    out = []
+    for c in contents:
+        b = bytes(c)
+        if b[:8] == PNG_SIGNATURE:
+            out.append(decode_png(b))
+        elif fake:
+            out.append(_fake_decode_one(b))
+        else:
+            raise NotImplementedError(
+                "no bundled codec for this image format (PNG is supported; "
+                "JPEG etc. need PIL/libjpeg); pass fake=True for the "
+                "deterministic stub decoder"
+            )
+    return out
 
 
 def extract_image_features(
-    df: DataFrame, id_col: str, content_col: str, fake: bool = True
+    df: DataFrame, id_col: str, content_col: str, fake: bool = False
 ) -> DataFrame:
     """Per-image features (channel means + a perceptual-hash stand-in)
     via mapInPandas: batch in, small feature rows out -- raw bytes are
@@ -93,7 +119,9 @@ def extract_image_features(
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             imgs = decode_image_batch(pdf[content_col], fake=fake)
-            means = np.stack([img.reshape(-1, 3).mean(axis=0) for img in imgs])
+            means = np.stack(
+                [img.reshape(-1, img.shape[-1])[:, :3].mean(axis=0) for img in imgs]
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -112,23 +140,135 @@ def extract_image_features(
     )
 
 
+def resize_nearest(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy index math): out (w, h)."""
+    out_w, out_h = size
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
+
+
 def resize_images(
     df: DataFrame, id_col: str, content_col: str, size: tuple[int, int] = (64, 64)
 ) -> DataFrame:
-    """Resize stub: the real kernel is one PIL call inside the same
-    mapInPandas shape as extract_image_features."""
-    raise NotImplementedError(
-        "resize requires an image codec; plumbing shape is "
-        "extract_image_features with a resize kernel"
+    """Real resize kernel: PNG decode -> nearest-neighbor -> PNG encode,
+    inside one mapInPandas pass. Output: (doc_id, width, height, content)."""
+    out_w, out_h = size
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = decode_image_batch(pdf[content_col])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "width": out_w,
+                    "height": out_h,
+                    "content": [
+                        encode_png(resize_nearest(img, size)) for img in imgs
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        resize, RESIZED_SCHEMA
     )
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Real WAV kernel (stdlib `wave`): per-clip sample stats. Integer
+    sums (sum_abs, peak) keep the derivation exact for oracle checks;
+    mean_abs is one double division of exact operands."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                samples, rate = decode_wav(content)
+                flat = np.abs(samples.astype(np.int64)).ravel()
+                n = int(samples.shape[0])
+                rows.append(
+                    (
+                        doc_id,
+                        n,
+                        rate,
+                        n / rate,
+                        int(flat.max(initial=0)),
+                        int(flat.sum()),
+                        float(flat.sum()) / len(flat) if len(flat) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sample_rate",
+                    "duration_s",
+                    "peak",
+                    "sum_abs",
+                    "mean_abs",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        features, AUDIO_FEATURE_SCHEMA
+    )
+
+
+def pack_video_frames(frames: list[bytes], fps: float = 1.0) -> bytes:
+    """Minimal public video container: PNGV magic, frame count, fps,
+    then length-prefixed PNG frames. Exists because no stdlib handles a
+    real video codec; the sampling/decoding plumbing downstream is
+    format-agnostic."""
+    head = VIDEO_MAGIC + struct.pack(">Id", len(frames), fps)
+    return head + b"".join(
+        struct.pack(">I", len(f)) + f for f in frames
+    )
+
+
+def _iter_frames(data: bytes) -> tuple[float, Iterator[bytes]]:
+    b = bytes(data)
+    if b[:4] != VIDEO_MAGIC:
+        raise NotImplementedError(
+            "unknown video container (PNGV supported; real codecs need ffmpeg)"
+        )
+    n, fps = struct.unpack_from(">Id", b, 4)
+
+    def frames() -> Iterator[bytes]:
+        pos = 16
+        for _ in range(n):
+            (length,) = struct.unpack_from(">I", b, pos)
+            yield b[pos + 4 : pos + 4 + length]
+            pos += 4 + length
+
+    return fps, frames()
 
 
 def sample_video_frames(
     df: DataFrame, id_col: str, content_col: str, every_s: float = 1.0
 ) -> DataFrame:
-    """Frame-sampling stub (ffmpeg not in this container). Output contract:
-    one row per (id, frame_idx, frame_png binary)."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg; output contract: "
-        "(id, frame_idx long, frame binary)"
+    """Real frame sampler over the PNGV container: one output row per
+    sampled frame (doc_id, frame_idx, frame png bytes). The frame step
+    derives from the container's fps and ``every_s``."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                fps, frames = _iter_frames(content)
+                step = max(1, round(fps * every_s))
+                for i, frame in enumerate(frames):
+                    if i % step == 0:
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        payloads.append(frame)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        sample, FRAME_SCHEMA
     )

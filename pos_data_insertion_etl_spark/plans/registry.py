@@ -48,6 +48,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
-    from . import extended, llm_ops, pos_ops, relational, relational2  # noqa: F401
+    from . import (  # noqa: F401
+        extended,
+        llm_ops,
+        media_ops,
+        pos_ops,
+        relational,
+        relational2,
+    )
 
     return REGISTRY
