@@ -24,7 +24,9 @@ from pos_data_insertion_etl_spark.plans import all_queries
 from pos_data_insertion_etl_spark.session import get_session
 
 # Representative mix: scan+agg, multiway join, window, fixed-width,
-# dedup/LSH, similarity, event-time ops.
+# dedup/LSH, similarity, event-time ops; widened in round 2 with shingle
+# dedup, embedding near-dup, IVF ANN, two TPC-H shapes, and the real PNG
+# codec path. Keep ordering stable across rounds for regression diffs.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_top_revenue_orders",
@@ -38,7 +40,36 @@ HEADLINE = [
     "q50_dedup_exact",
     "q55_minhash_lsh",
     "q57_cosine_topk",
+    "q54_ngram_jaccard",
+    "q65_embedding_neardup",
+    "q75_ann_ivf",
+    "q67_big_customers",
+    "q71_volume_by_year",
+    "q60_image_decode_stats",
 ]
+
+
+def bench_mart_pipeline(spark) -> float:
+    """End-to-end POS mart pipeline (zip -> parse -> merged marts written
+    as day-partitioned parquet), timed separately from fixture setup."""
+    import shutil
+    import tempfile
+
+    from pos_data_insertion_etl_spark.pipeline.marts import run_pos_pipeline
+    from tests.pos_fixture import build_fixture, write_zip
+
+    tmp = tempfile.mkdtemp(prefix="bench_marts_")
+    try:
+        records, _ = build_fixture(
+            n_days=20, stores=10, txns_per_store_day=10, lines_per_txn=5
+        )
+        zpath = os.path.join(tmp, "R520.20240301_214500.zip")
+        write_zip(records, zpath)
+        t0 = time.perf_counter()
+        run_pos_pipeline(spark, zpath, out_dir=os.path.join(tmp, "marts"))
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -68,6 +99,7 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.spark(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+    timings["mart_pipeline_e2e"] = bench_mart_pipeline(spark)
 
     total = round(sum(timings.values()), 3)
     print(
