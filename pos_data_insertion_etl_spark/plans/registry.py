@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         extended,
         llm_ops,
+        llm_ops2,
         media_ops,
         pos_ops,
         relational,
