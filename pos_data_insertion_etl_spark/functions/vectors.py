@@ -36,3 +36,21 @@ def cosine_similarity_fixed_point(qa: Column, qb: Column) -> Column:
     norms, one double division at the end."""
     dot = _dot(qa, qb).cast("double")
     return dot / (F.sqrt(_dot(qa, qa).cast("double")) * F.sqrt(_dot(qb, qb).cast("double")))
+
+
+def norm_fixed_point(q: Column) -> Column:
+    """sqrt of the exact integer self-dot of a quantized vector.
+
+    Compute this ONCE per vector before a pairwise join: inside the join
+    `cosine_precomputed` then costs one dot product per pair instead of
+    three (higher-order-function expressions get no common-subexpression
+    elimination, so per-pair norm recomputation is real work, not free).
+    """
+    return F.sqrt(_dot(q, q).cast("double"))
+
+
+def cosine_precomputed(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
+    """Cosine from quantized vectors + their precomputed norms. Value-
+    identical to cosine_similarity_fixed_point (same exact integer dot,
+    same IEEE sqrt/multiply/divide on the same operands)."""
+    return _dot(qa, qb).cast("double") / (na * nb)

@@ -17,7 +17,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.vectors import cosine_similarity_fixed_point, quantize_vec
+from ..functions.vectors import (
+    cosine_precomputed,
+    norm_fixed_point,
+    quantize_vec,
+)
+
+# Pattern shared by every operator here: quantize + compute the norm ONCE
+# per vector on the narrow per-vector side, so the pairwise stage pays one
+# dot product per candidate pair (cosine_precomputed) instead of three.
 
 
 def cosine_topk(
@@ -28,11 +36,16 @@ def cosine_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (self-matches excluded)."""
+    qv = quantize_vec(F.col(vec_col))
     q = queries.select(
-        F.col(id_col).alias("query_id"), quantize_vec(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        norm_fixed_point(qv).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize_vec(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        qv.alias("cv"),
+        norm_fixed_point(qv).alias("cn"),
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -41,7 +54,10 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_similarity_fixed_point(F.col("qv"), F.col("cv")), 6
+                cosine_precomputed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )
@@ -59,14 +75,21 @@ def ivf_assign(
     cosine, centroid-id tiebreak). ``centroids`` is (cid, cv[quantized]),
     small enough to broadcast -- the IVF 'coarse quantizer'. Returns
     (id, cluster)."""
+    qv = quantize_vec(F.col(vec_col))
     qc = corpus.select(
-        F.col(id_col), quantize_vec(F.col(vec_col)).alias("_v")
+        F.col(id_col), qv.alias("_v"), norm_fixed_point(qv).alias("_n")
     )
-    sims = qc.crossJoin(F.broadcast(centroids)).select(
+    cents = centroids.select(
+        "cid", "cv", norm_fixed_point(F.col("cv")).alias("_cn")
+    )
+    sims = qc.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col("cid"),
         F.round(
-            cosine_similarity_fixed_point(F.col("_v"), F.col("cv")), 6
+            cosine_precomputed(
+                F.col("_v"), F.col("cv"), F.col("_n"), F.col("_cn")
+            ),
+            6,
         ).alias("_sim"),
     )
     w = W.partitionBy(id_col).orderBy(F.desc("_sim"), "cid")
@@ -93,12 +116,14 @@ def ivf_topk(
     other cells are missed), which is the approximate trade.
     """
     assign = ivf_assign(corpus, id_col, vec_col, centroids)
+    qv = quantize_vec(F.col(vec_col))
     vecs = corpus.select(
-        F.col(id_col), quantize_vec(F.col(vec_col)).alias("_v")
+        F.col(id_col), qv.alias("_v"), norm_fixed_point(qv).alias("_n")
     ).join(assign, id_col)
     q = vecs.filter(query_pred(F.col(id_col))).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("qv"),
+        F.col("_n").alias("qn"),
         "cluster",
     )
     sims = (
@@ -108,7 +133,10 @@ def ivf_topk(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                cosine_similarity_fixed_point(F.col("qv"), F.col("_v")), 6
+                cosine_precomputed(
+                    F.col("qv"), F.col("_v"), F.col("qn"), F.col("_n")
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )
@@ -132,15 +160,18 @@ def embedding_neardup_pairs(
     move; the cosine itself is the exact fixed-point form, so the
     threshold cut is engine-deterministic.
     """
+    qv = quantize_vec(F.col(vec_col))
     a = corpus.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("id_a"),
-        quantize_vec(F.col(vec_col)).alias("va"),
+        qv.alias("va"),
+        norm_fixed_point(qv).alias("na"),
     )
     b = corpus.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("id_b"),
-        quantize_vec(F.col(vec_col)).alias("vb"),
+        qv.alias("vb"),
+        norm_fixed_point(qv).alias("nb"),
     )
     return (
         a.join(b, "_blk")
@@ -150,7 +181,10 @@ def embedding_neardup_pairs(
             "id_a",
             "id_b",
             F.round(
-                cosine_similarity_fixed_point(F.col("va"), F.col("vb")), 6
+                cosine_precomputed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -181,14 +215,17 @@ def lsh_bucket_topk(
         ]
         return F.concat(*bits)
 
+    qv = quantize_vec(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        quantize_vec(F.col(vec_col)).alias("qv"),
+        qv.alias("qv"),
+        norm_fixed_point(qv).alias("qn"),
         bucket(F.col(vec_col)).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        quantize_vec(F.col(vec_col)).alias("cv"),
+        qv.alias("cv"),
+        norm_fixed_point(qv).alias("cn"),
         bucket(F.col(vec_col)).alias("bucket"),
     )
     sims = (
@@ -198,7 +235,10 @@ def lsh_bucket_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_similarity_fixed_point(F.col("qv"), F.col("cv")), 6
+                cosine_precomputed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )
