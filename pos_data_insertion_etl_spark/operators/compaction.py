@@ -1,0 +1,97 @@
+"""Small-file compaction for parquet tables.
+
+Streaming ingest (foreachBatch appends, one file per task per batch)
+accretes small files; at 100 TB the resulting footer/open overhead
+dominates scan time long before data volume does. This operator rewrites
+a table (or its day partitions) into right-sized files:
+
+* `maxRecordsPerFile` bounds file size without a shuffle -- each task
+  rolls to a new file at the limit;
+* `coalesce` shrinks the task count when the input is mostly tiny files
+  (no shuffle, narrow dependency);
+* optional `sort_by` clusters rows inside each output file so parquet
+  min/max column stats become selective (cheap data-skipping, the
+  vanilla-Spark stand-in for Z-ordering);
+* the swap is crash-safe and ordered per the rename-aside pattern: old
+  -> `__old`, new -> live, then delete `__old`. A crash between steps
+  leaves either the old or the new table intact, never neither. All
+  moves go through the Hadoop FileSystem API (object-store safe).
+
+Row-count parity is validated BEFORE the swap; a mismatch aborts and
+leaves the live table untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _count_data_files(spark: SparkSession, path: str) -> int:
+    fs, jvm = _fs(spark, path)
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
+    n = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith(("_", ".")):
+            n += 1
+    return n
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = None,
+    records_per_file: int = 1_000_000,
+    n_tasks: int | None = None,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Rewrite the table at ``path`` into compacted files; returns
+    {"files_before", "files_after", "rows"}."""
+    df = spark.read.parquet(path)
+    rows_before = df.count()
+    files_before = _count_data_files(spark, path)
+
+    out = df
+    if n_tasks:
+        out = out.coalesce(n_tasks)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    tmp = path.rstrip("/") + "__compact"
+    writer = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", records_per_file
+    )
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+
+    fs, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before:
+        fs.delete(P(tmp), True)
+        raise RuntimeError(
+            f"compaction row mismatch ({rows_before} -> {rows_after}); "
+            f"aborted, {path} untouched"
+        )
+    # rename-aside swap: a crash at any point leaves old or new intact
+    old = path.rstrip("/") + "__old"
+    fs.delete(P(old), True)  # clear any prior crashed attempt
+    if not fs.rename(P(path), P(old)):
+        raise RuntimeError(f"could not move {path} aside to {old}")
+    if not fs.rename(P(tmp), P(path)):
+        fs.rename(P(old), P(path))  # roll back
+        raise RuntimeError(f"could not move {tmp} into place; rolled back")
+    fs.delete(P(old), True)
+    return {
+        "files_before": files_before,
+        "files_after": _count_data_files(spark, path),
+        "rows": rows_after,
+    }

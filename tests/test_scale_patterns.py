@@ -134,3 +134,38 @@ def test_salted_agg_matches_naive_on_90pct_skew(spark):
         .count()
     )
     assert hot_salts > 1
+
+
+def test_compact_table_shrinks_files_preserves_data(spark, sf_smoke, tmp_path):
+    """64 tiny files -> few right-sized files; identical rows; partition
+    layout preserved; the __old/__compact staging dirs are cleaned up."""
+    import pathlib
+
+    from pos_data_insertion_etl_spark.operators.compaction import compact_table
+
+    orders = load_table(spark, sf_smoke, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_fragmented")
+    orders.repartition(64).write.partitionBy("o_year").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    stats = compact_table(
+        spark,
+        path,
+        partition_col="o_year",
+        records_per_file=1_000_000,
+        n_tasks=2,
+        sort_by=["o_custkey"],
+    )
+    assert stats["files_after"] < stats["files_before"] / 4
+    assert stats["rows"] == len(before)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    # partitioned layout survives the rewrite
+    assert any(
+        p.name.startswith("o_year=") for p in pathlib.Path(path).iterdir()
+    )
+    # staging/backup dirs are gone
+    assert not pathlib.Path(path + "__compact").exists()
+    assert not pathlib.Path(path + "__old").exists()
