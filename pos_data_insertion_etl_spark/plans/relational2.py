@@ -315,3 +315,180 @@ def q73_collect_sorted(spark, sf_dir):
         ),
         F.countDistinct("l_linestatus").alias("n_statuses"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: Q10/Q14/Q8 shapes + map-function coverage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q85_returned_revenue",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q85_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    Fact side filters push to the scan; customer/nation broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q86_promo_revenue",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS total_revenue,
+       CAST(100 AS DOUBLE) *
+         (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL}
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE)) AS promo_pct
+FROM lineitem JOIN part   ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+    tags=("join", "agg", "ratio", "tpch"),
+)
+def q86_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share per year. The percentage is
+    one double division of two exact decimal sums, then one multiply --
+    the same op order in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    one = F.lit(1).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    disc = dec("l_extendedprice") * (one - dec("l_discount"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc).otherwise(zero)
+    ).cast("double")
+    total = F.sum(disc).cast("double")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            (F.lit(100).cast("double") * (promo / total)).alias("promo_pct"),
+        )
+    )
+
+
+@query(
+    "q87_market_share",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN r_name = 'ASIA' THEN {_DISC_PRICE_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS asia_revenue,
+       CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CASE WHEN r_name = 'ASIA' THEN {_DISC_PRICE_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS asia_share
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1
+""",
+    tags=("join", "agg", "ratio", "tpch"),
+)
+def q87_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: supplier-region market share per order year --
+    conditional decimal sums under a 5-way join (three broadcast dims)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    disc = dec("l_extendedprice") * (one - dec("l_discount"))
+    asia = F.sum(
+        F.when(F.col("r_name") == "ASIA", disc).otherwise(zero)
+    ).cast("double")
+    total = F.sum(disc).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            asia.alias("asia_revenue"),
+            total.alias("total_revenue"),
+            (asia / total).alias("asia_share"),
+        )
+    )
+
+
+@query(
+    "q84_map_funcs",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus AS status_v,
+       o_orderpriority AS priority_v,
+       CAST(2 AS BIGINT) AS n_entries,
+       'priority,status' AS keys_sorted,
+       CAST(3 AS BIGINT) AS n_after_concat
+FROM orders
+WHERE o_orderkey < 100
+""",
+    tags=("functions", "map"),
+)
+def q84_map_funcs(spark, sf_dir):
+    """Map-function coverage (create_map / element_at / map_keys /
+    map_concat / size). DuckDB has no comparable MAP pipeline, so the
+    oracle states the ground-truth scalars the map ops must reproduce --
+    the map machinery runs only on the Spark side."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("extra"), F.lit("x")))
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_v"),
+        F.element_at(m, "priority").alias("priority_v"),
+        F.size(m).cast("long").alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.size(m2).cast("long").alias("n_after_concat"),
+    )
