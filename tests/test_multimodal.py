@@ -222,3 +222,58 @@ def test_audio_features_real(spark):
 def test_unknown_format_raises_without_fake():
     with pytest.raises(NotImplementedError, match="codec"):
         decode_image_batch(pd.Series([b"\xff\xd8\xff\xe0 not a png"]))
+
+
+# --- property-based codec checks (hypothesis) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, ch), dtype=np.uint8
+    )
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(2, 8),
+    w=st.integers(2, 8),
+    filters=st.lists(st.integers(0, 4), min_size=2, max_size=8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_decode_random_filter_sequences(h, w, filters, seed):
+    """Any mix of the five scanline filters must decode to the source
+    pixels (our encoder emits only filter 0; foreign PNGs use them all)."""
+    h = len(filters) if len(filters) <= h else h
+    filters = filters[:h]
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert np.array_equal(decode_png(_encode_with_filters(arr, filters)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    stereo=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, stereo, seed):
+    shape = (n, 2) if stereo else (n,)
+    samples = np.random.default_rng(seed).integers(
+        -32768, 32767, size=shape, dtype=np.int16
+    )
+    out, got_rate = decode_wav(encode_wav(samples, rate))
+    assert got_rate == rate
+    assert np.array_equal(out, samples)

@@ -59,3 +59,19 @@ def test_jdbc_options_assembly():
     assert opts["batchsize"] == "500"
     assert opts["isolationLevel"] == "READ_COMMITTED"
     assert opts["numPartitions"] == "8"  # stringified for the writer
+
+
+def test_schema_evolution_merge(spark, sf_smoke, tmp_path):
+    """Appended files may add columns: mergeSchema reads old+new files as
+    one table with NULLs for the missing column in old files."""
+    base = load_table(spark, sf_smoke, "region")
+    path = str(tmp_path / "evolving")
+    base.write.parquet(path)
+    base.withColumn("r_tier", F.lit("gold")).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "r_tier" in merged.columns
+    n = base.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("r_tier").isNull()).count() == n
+    assert merged.filter(F.col("r_tier") == "gold").count() == n
