@@ -200,14 +200,16 @@ def pos_stream_ingest(
             dates = [
                 r[0] for r in batch_sku.select(BUSINESS_DATE).distinct().collect()
             ]
+            from pyspark.errors import AnalysisException
+
             try:
                 prior_keys = (
                     session.read.parquet(sku_path)
                     .filter(F.col(BUSINESS_DATE).isin(dates))
                     .select(*SKU_KEY)
                 )
-            except Exception:  # first batch: mart doesn't exist yet
-                prior_keys = None
+            except AnalysisException:  # first batch: mart doesn't exist yet
+                prior_keys = None  # anything else (corrupt mart, perms) raises
             novel = (
                 batch_sku
                 if prior_keys is None
