@@ -47,11 +47,15 @@ def run_daily_ingest(
     landing_dir: str,
     target_date: str,
     out_dir: str | None = None,
+    stage_dir: str | None = None,
     report_sink=None,
 ) -> dict:
     """Entry point 1: one day's file end-to-end. Failure paths send the
     failure report and re-raise (the reference's eight error funnels ->
-    send_mail, but failing loudly instead of swallowing)."""
+    send_mail, but failing loudly instead of swallowing). Pass
+    ``stage_dir`` when the daily file is huge: ingest then goes through
+    the two-stage splittable path so parsing fans out past the single
+    zip-decompression task."""
     path = get_daily_file(landing_dir, target_date)
     if path is None:
         metrics = {
@@ -62,7 +66,7 @@ def run_daily_ingest(
         send_report(metrics, report_sink)
         return {"marts": {}, "metrics": metrics}
     try:
-        result = run_pos_pipeline(spark, path, out_dir=out_dir)
+        result = run_pos_pipeline(spark, path, out_dir=out_dir, stage_dir=stage_dir)
     except Exception as exc:  # report, then fail loudly
         send_report(
             {

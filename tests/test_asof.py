@@ -32,3 +32,51 @@ def test_asof_reserved_name_clash_raises(spark):
     right = spark.createDataFrame([(1, 5, "x")], "k int, t int, v string")
     with pytest.raises(ValueError, match="_side"):
         asof_join(left, right, ["k"], "t", "t", {"v": "v_asof"})
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """The union-and-carry formulation must agree with pandas
+    merge_asof(direction='backward') on seeded random data (keys with
+    empty right sides, ties, and unmatched-early left rows included)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 300),
+            "t": rng.integers(0, 1000, 300),
+            "lv": np.arange(300),
+        }
+    ).sort_values("t", kind="stable").reset_index(drop=True)
+    right_t = rng.integers(0, 1000, 150)
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 150),  # key 5 has no right rows
+            "t": right_t,
+            "rv": right_t * 10 + rng.integers(0, 2, 150),  # unique per (t)
+        }
+    )
+    # merge_asof needs unique (k, t) on the right for a well-defined
+    # answer; dedup keeping the max rv (matches asof_join's tie rule)
+    right = (
+        right.sort_values(["k", "t", "rv"]).groupby(["k", "t"], as_index=False).last()
+    ).sort_values("t", kind="stable").reset_index(drop=True)
+
+    exp = pd.merge_asof(left, right, on="t", by="k", direction="backward")
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            ["k"],
+            "t",
+            "t",
+            {"rv": "rv"},
+        )
+        .toPandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    exp_s = exp.sort_values("lv").reset_index(drop=True)
+    assert got["rv"].fillna(-1).tolist() == exp_s["rv"].fillna(-1).tolist()

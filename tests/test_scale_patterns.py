@@ -169,3 +169,25 @@ def test_compact_table_shrinks_files_preserves_data(spark, sf_smoke, tmp_path):
     # staging/backup dirs are gone
     assert not pathlib.Path(path + "__compact").exists()
     assert not pathlib.Path(path + "__old").exists()
+
+
+def test_partition_pruning_on_business_date(spark, sf_smoke, tmp_path):
+    """A filter on the partition column must prune the scan to matching
+    partition directories -- the property the 4-day retention and the
+    per-date mart recompute rely on at 100 TB."""
+    orders = load_table(spark, sf_smoke, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    orders.write.partitionBy("o_year").parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("o_year") == 1996)
+    # inputFiles() lists the pre-pruning file index; the proof that the
+    # scan skips other years is the PartitionFilters entry on the
+    # FileScan node of the physical plan.
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    filters_part = plan.split("PartitionFilters", 1)[1][:200]
+    assert "o_year" in filters_part and "1996" in filters_part, filters_part
+    # and the pruned scan reads strictly fewer rows than the full table
+    assert 0 < pruned.count() < spark.read.parquet(path).count()
