@@ -393,3 +393,79 @@ def q83_embedding_centroids(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vecs"),
         (F.sum("q").cast("double") / F.count(F.lit(1)) / SCALE).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q88_connected_components",
+    oracle="""
+SELECT k AS node, CAST(((k // 10) % 10) * 10 AS BIGINT) AS component
+FROM range(0, 200) t(k)
+""",
+    tags=("graph", "dedup", "iterative"),
+)
+def q88_connected_components(spark, sf_dir):
+    """Connected components (operators/graph.py) on a known topology:
+    twenty 10-node chains plus cross edges pairing chain b with chain
+    b+10 -> components of 20 nodes whose min-id labels have the closed
+    form the oracle states. Proves the iterative min-label propagation
+    actually converges across multi-hop paths (diameter ~20)."""
+    from ..operators.graph import connected_components
+
+    ids = spark.range(200)
+    chain = ids.filter(F.col("id") % 10 != 9).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    cross = spark.range(10).select(
+        (F.col("id") * 10).alias("src"), (F.col("id") * 10 + 100).alias("dst")
+    )
+    cc = connected_components(chain.union(cross))
+    return cc.select(F.col("node"), F.col("component"))
+
+
+def _dedup_cluster_oracle() -> str:
+    from .registry import REGISTRY
+
+    pair_sql = REGISTRY["q54_ngram_jaccard"].oracle
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT id_a AS a, id_b AS b FROM ({pair_sql}) p
+  UNION
+  SELECT id_b AS a, id_a AS b FROM ({pair_sql}) p
+),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node AS a, node AS b FROM nodes
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)
+SELECT a AS node, CAST(MIN(b) AS BIGINT) AS component FROM reach GROUP BY a
+"""
+
+
+@query(
+    "q89_dedup_clusters",
+    # q54 is registered by an earlier plans-module import, so its oracle
+    # SQL can be embedded here at decoration time
+    oracle=_dedup_cluster_oracle(),
+    tags=("graph", "dedup", "iterative"),
+)
+def q89_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup clustering: the n-gram Jaccard candidate
+    pairs (q54) become duplicate CLUSTERS via connected components --
+    the step that turns pairwise similarity into keep/drop groups. The
+    oracle computes the same components with a recursive-CTE transitive
+    closure (viable at oracle scale; the Spark side is the one that
+    scales)."""
+    from ..operators.graph import connected_components
+    from .registry import REGISTRY
+
+    pairs = REGISTRY["q54_ngram_jaccard"].spark(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return connected_components(edges)
