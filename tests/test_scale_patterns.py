@@ -191,3 +191,28 @@ def test_partition_pruning_on_business_date(spark, sf_smoke, tmp_path):
     assert "o_year" in filters_part and "1996" in filters_part, filters_part
     # and the pruned scan reads strictly fewer rows than the full table
     assert 0 < pruned.count() < spark.read.parquet(path).count()
+
+
+def test_connected_components_edge_cases(spark):
+    from pos_data_insertion_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    # self-loops and duplicate/reversed edges must not confuse labels
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (3, 4), (4, 5), (9, 9)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 3, 9: 9}
+
+    # a long chain converges via pointer jumping well under the bound
+    chain = spark.range(64).selectExpr("id AS src", "id + 1 AS dst")
+    got = {
+        r.node: r.component
+        for r in connected_components(chain, max_iter=12).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 65
