@@ -157,15 +157,14 @@ def run_pos_pipeline(
     sku = sku_merge(temp)
     # Materialize the SKU grain once; every downstream mart reuses it.
     sku = sku.persist()
+    daily_sales = daily_sales_mart(sku)
+    marts = {
+        "t_day_pos_daily_sku_data": sku,
+        "t_day_ten_kyakusu_data": customer_count_mart(sku),
+        "t_day_sales": daily_sales,
+        "t_day_ten_sales_front_data_daily": sales_front_mart(daily_sales, sku),
+    }
     try:
-        marts = {
-            "t_day_pos_daily_sku_data": sku,
-            "t_day_ten_kyakusu_data": customer_count_mart(sku),
-            "t_day_sales": daily_sales_mart(sku),
-            "t_day_ten_sales_front_data_daily": sales_front_mart(
-                daily_sales_mart(sku), sku
-            ),
-        }
         if out_dir:
             for name, df in marts.items():
                 df.write.mode("overwrite").partitionBy(BUSINESS_DATE).parquet(
@@ -187,4 +186,10 @@ def run_pos_pipeline(
         }
         return {"marts": marts, "metrics": metrics}
     finally:
-        sku.unpersist()
+        if out_dir:
+            # everything is materialized on disk; the cache is done
+            sku.unpersist()
+        # else: the returned marts are lazy views over `sku` -- the cache
+        # must outlive this call, so the CALLER owns the unpersist (e.g.
+        # `result["marts"]["t_day_pos_daily_sku_data"].unpersist()`).
+        # Unpersisting here would silently recompute parse+merge per mart.
