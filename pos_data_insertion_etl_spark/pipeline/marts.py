@@ -54,6 +54,23 @@ R520_FIELDS = [
 SKU_KEY = [BUSINESS_DATE, "store_id", "txn_id", "sku"]
 
 
+def write_day_partitioned(
+    df: DataFrame, path: str, files_per_day: int = 4, mode: str = "overwrite"
+) -> None:
+    """Day-partitioned parquet write without the small-files explosion.
+
+    A naive `partitionBy(day)` write makes every task emit one file per
+    day it happens to hold -- up to tasks x days tiny files. Clustering
+    by (day, salt) first bounds output at ``files_per_day`` files per day
+    while still spreading a big day across that many tasks (one
+    repartition shuffle; salt = hash(store) so rows of a store stay
+    together for downstream store-grain reads)."""
+    clustered = df.repartition(
+        F.col(BUSINESS_DATE), F.pmod(F.hash("store_id"), F.lit(files_per_day))
+    )
+    clustered.write.mode(mode).partitionBy(BUSINESS_DATE).parquet(path)
+
+
 def sku_temp(records: DataFrame, record_col: str = "record") -> DataFrame:
     """SP_Process_Daily_SKU_Data_Temp (main.py:510): parse raw fixed-width
     records into the typed SKU temp table. Partial trailing records
@@ -167,9 +184,7 @@ def run_pos_pipeline(
     try:
         if out_dir:
             for name, df in marts.items():
-                df.write.mode("overwrite").partitionBy(BUSINESS_DATE).parquet(
-                    f"{out_dir}/{name}"
-                )
+                write_day_partitioned(df, f"{out_dir}/{name}")
         else:
             sku.count()  # trigger the observation
         got = obs.get
