@@ -215,7 +215,18 @@ def pos_stream_ingest(
                 if prior_keys is None
                 else batch_sku.join(prior_keys, SKU_KEY, "left_anti")
             )
-            novel.write.mode("append").partitionBy(BUSINESS_DATE).parquet(sku_path)
+            # cluster by (day, salt) so each batch appends a bounded
+            # number of files per day partition (see write_day_partitioned)
+            cluster = [
+                F.col(BUSINESS_DATE),
+                F.pmod(F.hash("store_id"), F.lit(4)),
+            ]
+            (
+                novel.repartition(*cluster)
+                .write.mode("append")
+                .partitionBy(BUSINESS_DATE)
+                .parquet(sku_path)
+            )
             # derived marts: recompute the affected dates from the merged
             # mart (partition-pruned scan), dynamic-overwrite only those
             # date partitions.
@@ -234,7 +245,8 @@ def pos_stream_ingest(
                     ),
                 }.items():
                     (
-                        df.write.mode("overwrite")
+                        df.repartition(*cluster)
+                        .write.mode("overwrite")
                         .option("partitionOverwriteMode", "dynamic")
                         .partitionBy(BUSINESS_DATE)
                         .parquet(f"{out_dir}/{name}")
