@@ -116,12 +116,17 @@ def extract_image_features(
     via mapInPandas: batch in, small feature rows out -- raw bytes are
     dropped before anything shuffles."""
 
+    def _channel_means(img: np.ndarray) -> np.ndarray:
+        # Grayscale decodes (PNG color types 0/4) are HxWx1 or HxWx2;
+        # replicate the luma channel so every image yields (r, g, b) and
+        # batches mixing channel counts stack cleanly.
+        m = img.reshape(-1, img.shape[-1]).mean(axis=0)
+        return m[:3] if m.shape[0] >= 3 else np.repeat(m[:1], 3)
+
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             imgs = decode_image_batch(pdf[content_col], fake=fake)
-            means = np.stack(
-                [img.reshape(-1, img.shape[-1])[:, :3].mean(axis=0) for img in imgs]
-            )
+            means = np.stack([_channel_means(img) for img in imgs])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

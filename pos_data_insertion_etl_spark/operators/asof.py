@@ -34,43 +34,53 @@ def asof_join(
 
     Determinism: when several right rows share the same (key, ts), the
     one with the greatest carried-value tuple wins -- an explicit total
-    order, not whichever peer the shuffle happened to place last.
+    order, not whichever peer the shuffle happened to place last. All
+    carried columns come from that ONE winning row: the carries travel
+    as a single struct and F.last is applied to the struct once, so a
+    null in one carried column of the winner stays null rather than
+    falling back per-column to a different peer row.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
-    reserved = {"_ts", "_side", "_tie"} | {f"_c_{out}" for out in carry.values()}
+    reserved = {"_ts", "_side", "_c"}
     clash = reserved & set(lcols) | reserved & set(right.columns)
     if clash:
         raise ValueError(
             f"asof_join reserves column names {sorted(clash)}; rename them first"
         )
+    carry_type = StructType(
+        [StructField(out, right.schema[src].dataType) for src, out in carry.items()]
+    )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[src].dataType).alias(f"_c_{out}")
-          for src, out in carry.items()],
+        F.lit(None).cast(carry_type).alias("_c"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         *[F.col(c) for c in on],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(src).alias(f"_c_{out}") for src, out in carry.items()],
+        F.struct(
+            *[F.col(src).alias(out) for src, out in carry.items()]
+        ).alias("_c"),
     ).select(l.columns)  # align column order
+    # total order among right rows at equal (key, ts): the carried struct
+    # itself (left rows sort after all right peers via _side anyway)
     w = (
         W.partitionBy(*on)
-        .orderBy("_ts", "_side", "_tie")
+        .orderBy("_ts", "_side", "_c")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    # total-order tiebreaker among right rows at equal (key, ts): the
-    # carried values themselves (left rows sort after via _side anyway)
-    carried = l.unionByName(r).withColumn(
-        "_tie", F.struct(*[F.col(f"_c_{out}") for out in carry.values()])
+    carried = (
+        l.unionByName(r)
+        # right rows always have a non-null struct (even if its fields are
+        # null), so one ignorenulls-last takes the whole winning row
+        .withColumn("_w", F.last("_c", ignorenulls=True).over(w))
     )
+    out_df = carried.filter(F.col("_side") == 1)
     for _src, out in carry.items():
-        carried = carried.withColumn(
-            out, F.last(f"_c_{out}", ignorenulls=True).over(w)
-        )
-    return carried.filter(F.col("_side") == 1).drop(
-        "_ts", "_side", "_tie", *[f"_c_{out}" for out in carry.values()]
-    )
+        out_df = out_df.withColumn(out, F.col("_w").getField(out))
+    return out_df.drop("_ts", "_side", "_c", "_w")

@@ -12,10 +12,20 @@ a table (or its day partitions) into right-sized files:
 * optional `sort_by` clusters rows inside each output file so parquet
   min/max column stats become selective (cheap data-skipping, the
   vanilla-Spark stand-in for Z-ordering);
-* the swap is crash-safe and ordered per the rename-aside pattern: old
-  -> `__old`, new -> live, then delete `__old`. A crash between steps
-  leaves either the old or the new table intact, never neither. All
-  moves go through the Hadoop FileSystem API (object-store safe).
+* the swap follows the rename-aside pattern: old -> `__old`, new ->
+  live, then delete `__old`. A full copy of the data exists on disk at
+  every step, but there IS a window (after the live path moves to
+  `__old`, before the compacted copy moves in) where the live path does
+  not exist: a crash there strands the table at `__old`, and a reader
+  that resolves the path during the window sees FileNotFound. Run
+  `restore_crashed_swap` at job startup (compact_table does this
+  automatically) to recover the stranded copy, and treat compaction as
+  a maintenance-window operation for concurrent readers -- or have
+  readers retry on FileNotFound, since the window is two renames wide.
+  Renames go through the Hadoop FileSystem API; note they are only
+  atomic on real filesystems (HDFS, local) -- object stores like S3
+  implement rename as copy+delete, so prefer a manifest/table format
+  (Iceberg/Delta) there.
 
 Row-count parity is validated BEFORE the swap; a mismatch aborts and
 leaves the live table untouched.
@@ -45,6 +55,21 @@ def _count_data_files(spark: SparkSession, path: str) -> int:
     return n
 
 
+def restore_crashed_swap(spark: SparkSession, path: str) -> bool:
+    """Recover from a crash inside a previous compaction swap: if the
+    live ``path`` is missing but ``path__old`` exists, move the stranded
+    copy back into place. Returns True if a restore happened. Safe to
+    call unconditionally at job startup."""
+    fs, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    old = path.rstrip("/") + "__old"
+    if not fs.exists(P(path)) and fs.exists(P(old)):
+        if not fs.rename(P(old), P(path)):
+            raise RuntimeError(f"could not restore {old} to {path}")
+        return True
+    return False
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -55,6 +80,7 @@ def compact_table(
 ) -> dict:
     """Rewrite the table at ``path`` into compacted files; returns
     {"files_before", "files_after", "rows"}."""
+    restore_crashed_swap(spark, path)
     df = spark.read.parquet(path)
     rows_before = df.count()
     files_before = _count_data_files(spark, path)

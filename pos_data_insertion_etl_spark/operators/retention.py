@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import urllib.parse
+import warnings
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +67,7 @@ def drop_expired_partitions(
     """
     if isinstance(cutoff, _dt.date):
         cutoff = cutoff.isoformat()
+    _dt.date.fromisoformat(cutoff)  # reject non-ISO cutoffs up front
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -78,6 +80,18 @@ def drop_expired_partitions(
         if not name.startswith(prefix):
             continue
         value = urllib.parse.unquote(name[len(prefix):])
+        # the lexicographic comparison below is only meaningful for
+        # zero-padded ISO dates -- validate, skip-and-warn anything else
+        # (including __HIVE_DEFAULT_PARTITION__, i.e. null dates)
+        try:
+            _dt.date.fromisoformat(value)
+        except ValueError:
+            warnings.warn(
+                f"retention: partition {name!r} is not an ISO date; "
+                "skipping (not deleted)",
+                stacklevel=2,
+            )
+            continue
         if value < cutoff:
             expired.append((value, status.getPath()))
     if not expired:

@@ -26,6 +26,10 @@ from pyspark.sql.window import Window as W
 from ..catalog import load_table
 from ..functions.text import STOPWORDS, shingles, stopword_hits, tokens
 from ..functions.vectors import SCALE, quantize_vec
+from . import llm_ops as _llm_ops  # noqa: F401  q89's oracle embeds q54's
+# SQL at decoration time, so q54 must be registered before this module's
+# bodies run -- make the dependency explicit instead of relying on
+# all_queries()'s import order.
 from .registry import query
 
 # ---------------------------------------------------------------------------

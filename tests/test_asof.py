@@ -80,3 +80,19 @@ def test_asof_matches_pandas_merge_asof(spark):
     )
     exp_s = exp.sort_values("lv").reset_index(drop=True)
     assert got["rv"].fillna(-1).tolist() == exp_s["rv"].fillna(-1).tolist()
+
+
+def test_asof_carries_whole_winning_row(spark):
+    """All carried columns come from ONE right row: when the winning
+    tie peer has a null in one carried column, that null must NOT fall
+    back to a different peer's value."""
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, "b", None), (1, 10, "a", "x")],
+        "k int, t int, v1 string, v2 string",
+    )
+    row = asof_join(
+        left, right, ["k"], "t", "t", {"v1": "v1_asof", "v2": "v2_asof"}
+    ).collect()[0]
+    # greatest struct is ("b", null) -- whole row taken atomically
+    assert (row.v1_asof, row.v2_asof) == ("b", None)

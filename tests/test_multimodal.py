@@ -277,3 +277,28 @@ def test_wav_roundtrip_property(n, rate, stereo, seed):
     out, got_rate = decode_wav(encode_wav(samples, rate))
     assert got_rate == rate
     assert np.array_equal(out, samples)
+
+
+def test_feature_extraction_grayscale_and_mixed_channels(spark):
+    """Grayscale PNGs (HxWx1 decode) and batches mixing channel counts
+    must both yield valid mean_r/g/b (luma replicated for gray)."""
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+    rgb = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) % 256
+    rgba = np.arange(8 * 8 * 4, dtype=np.uint8).reshape(8, 8, 4) % 256
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(gray))),
+         (2, bytearray(encode_png(rgb))),
+         (3, bytearray(encode_png(rgba)))],
+        "doc_id long, content binary",
+    ).coalesce(1)  # one batch -> exercises mixed-channel np.stack
+    feats = {
+        r.doc_id: r
+        for r in extract_image_features(df, "doc_id", "content").collect()
+    }
+    g = feats[1]
+    assert g.mean_r == g.mean_g == g.mean_b == pytest.approx(gray.mean())
+    c = feats[2]
+    assert c.mean_r == pytest.approx(rgb[:, :, 0].mean())
+    assert c.mean_b == pytest.approx(rgb[:, :, 2].mean())
+    a = feats[3]
+    assert a.mean_g == pytest.approx(rgba[:, :, 1].mean())

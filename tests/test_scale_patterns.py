@@ -216,3 +216,66 @@ def test_connected_components_edge_cases(spark):
     }
     assert set(got.values()) == {0}
     assert len(got) == 65
+
+
+def test_retention_skips_non_iso_partitions(spark, tmp_path):
+    """Non-date partition values (incl. the Hive null-partition dir) are
+    skipped with a warning, never deleted by the lexicographic cutoff."""
+    import warnings as _warnings
+
+    from pos_data_insertion_etl_spark.operators.retention import (
+        drop_expired_partitions,
+    )
+
+    path = str(tmp_path / "mart")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-05"), (3, "not-a-date")],
+        "v int, day string",
+    )
+    df.write.partitionBy("day").parquet(path)
+    import pathlib
+
+    (pathlib.Path(path) / "day=__HIVE_DEFAULT_PARTITION__").mkdir()
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        stats = drop_expired_partitions(spark, path, "day", "2024-01-03")
+    assert stats["deleted_partitions"] == ["2024-01-01"]
+    assert stats["deleted_rows"] == 1
+    skipped = [str(w.message) for w in rec if "not an ISO date" in str(w.message)]
+    assert len(skipped) == 2  # not-a-date + __HIVE_DEFAULT_PARTITION__
+    # survivors intact
+    left = {r.day for r in spark.read.parquet(path).collect()}
+    assert left == {"2024-01-05", "not-a-date"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        drop_expired_partitions(spark, path, "day", "03/01/2024")
+
+
+def test_compaction_crashed_swap_restores_and_reads(spark, tmp_path):
+    """A crash inside the swap window (live path gone, data at __old)
+    is recovered by restore_crashed_swap -- and compact_table runs it
+    automatically, so a rerun after the crash succeeds end-to-end."""
+    import pathlib
+
+    from pos_data_insertion_etl_spark.operators.compaction import (
+        compact_table,
+        restore_crashed_swap,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(1000).withColumn("v", F.col("id") * 2).repartition(16).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    # simulate the crash: path moved aside, compacted copy never landed
+    pathlib.Path(path).rename(path + "__old")
+    assert restore_crashed_swap(spark, path) is True
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    assert restore_crashed_swap(spark, path) is False  # idempotent
+
+    # crash again; the next compact_table self-heals then compacts
+    pathlib.Path(path).rename(path + "__old")
+    stats = compact_table(spark, path, n_tasks=1)
+    assert stats["rows"] == 1000
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    assert not pathlib.Path(path + "__old").exists()
