@@ -23,14 +23,22 @@ from ..functions.text import fingerprint, shingles, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """One row per distinct content: keeper = min id, plus multiplicity."""
+    """One row per distinct content: keeper = min id, plus multiplicity.
+
+    Groups on ``sha2(text, 256)`` rather than the raw text so the shuffle
+    key is a fixed 64-char digest: at 100 TB the full corpus never moves
+    through the exchange, only (digest, id) pairs. A 256-bit collision is
+    below hardware-error rates, so the result is identical to grouping on
+    the text itself. See also `q51_dedup_fingerprint` (md5 of normalized
+    text) for the whitespace/case-insensitive variant.
+    """
     return (
-        df.groupBy(text_col)
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("_fp"))
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
-        .drop(text_col)
+        .drop("_fp")
     )
 
 

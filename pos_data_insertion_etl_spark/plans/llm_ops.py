@@ -61,11 +61,13 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
     "q50_dedup_exact",
     oracle="""
 SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
-FROM documents GROUP BY text
+FROM documents GROUP BY sha256(text)
 """,
     tags=("dedup", "exact"),
 )
 def q50_dedup_exact(spark, sf_dir):
+    """Exact dedup grouping on sha2(text, 256) so the shuffle key is a
+    64-char digest, not the document body (operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup(docs, "text", "doc_id")
 
