@@ -1,8 +1,9 @@
 """Zip-of-fixed-width-text source.
 
 Spark has no native zip codec, so this is the engine's one genuinely
-custom source (SURVEY.md §4): `binaryFile` scan + an Arrow-batched
-mapInPandas decompressor. Re-expresses the reference's
+custom source (SURVEY.md §4): a path-only file listing + an
+Arrow-batched mapInPandas decompressor that OPENS each archive as a
+seekable stream inside the task. Re-expresses the reference's
 download -> unzip -> decode -> 520-char-split chain
 (/root/reference/main.py:289-351, main.py:409-412):
 
@@ -15,6 +16,17 @@ download -> unzip -> decode -> 520-char-split chain
   trailing partial record if the file doesn't divide evenly
   (reference inserts the partial tail too, main.py:561-565).
 
+Memory contract: the task NEVER materializes the archive. The driver
+plan ships only file paths (the `binaryFile` scan is pruned to its
+`path` column -- no content read); each task opens its path as a
+seekable stream (local `open`, else `pyarrow.fs` range reads for
+s3/hdfs/gcs) and `zipfile` walks the central directory and inflates
+the member incrementally. Peak memory is O(read_bytes + batch_records
+* chunk_chars) regardless of archive size -- this restores the
+reference's unbounded-daily-file contract (its 100 MB windows,
+main.py:289-351) and lifts the former whole-archive buffering (a
+`binaryFile` content row is one JVM byte array, hard-capped at 2 GiB).
+
 Scale: zip is not splittable (DEFLATE + central directory), so the
 DECOMPRESSION of one zip is one task; a daily-file workload parallelizes
 across files/days. For one huge daily file, `read_zip_fixed_width_staged`
@@ -25,8 +37,7 @@ shuffle); stage 2 and everything downstream (fixed-width parse, mart
 aggregation -- all the CPU) is a normal parallel scan of those chunks.
 A 100 GB zip costs one pass of cheap I/O serially, then fans out.
 
-Memory is bounded by ``read_bytes`` regardless of member size. Each
-emitted Arrow batch is ``batch_records`` rows. Record provenance =
+Each emitted Arrow batch is ``batch_records`` rows. Record provenance =
 (source_file, record_idx), which also gives combine/batching a parallel,
 pre-computed sequence number (no global row_number needed at scale).
 """
@@ -34,10 +45,10 @@ pre-computed sequence number (no global row_number needed at scale).
 from __future__ import annotations
 
 import codecs
-import io
 import os
 import zipfile
 from collections.abc import Iterator
+from urllib.parse import unquote, urlparse
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -67,49 +78,75 @@ def _record_stream(
         yield buf  # trailing partial record (reference main.py:561-565)
 
 
-def records_from_binary(
-    binary_df: DataFrame,
+def _open_seekable(path: str):
+    """Open a Spark file URI (or plain path) as a seekable binary stream
+    WITHOUT materializing the file: builtin `open` for local paths,
+    `pyarrow.fs` (range-reading random-access file) for remote schemes
+    (s3/hdfs/gcs...). `zipfile` then seeks the central directory and
+    inflates members incrementally from the stream."""
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        local = unquote(parsed.path) if parsed.scheme else path
+        return open(local, "rb")
+    import pyarrow.fs as pafs  # only needed for remote filesystems
+
+    fs, rel = pafs.FileSystem.from_uri(path)
+    return fs.open_input_file(rel)
+
+
+def _extract_records(
+    path: str, chunk_chars: int, batch_records: int
+) -> Iterator[pd.DataFrame]:
+    """Decompress + decode + split ONE archive into record batches.
+    Streams end-to-end: never holds the archive, the member, or more
+    than one output batch in memory (see module docstring)."""
+    name = os.path.basename(path)
+    with _open_seekable(path) as fobj:
+        with zipfile.ZipFile(fobj) as zf:
+            members = zf.namelist()
+            if not members:
+                return
+            with zf.open(members[0]) as member:  # first member only
+                recs: list[str] = []
+                idx0 = 0
+                for rec in _record_stream(member, chunk_chars):
+                    recs.append(rec)
+                    if len(recs) >= batch_records:
+                        yield pd.DataFrame(
+                            {
+                                "source_file": name,
+                                "record_idx": range(idx0, idx0 + len(recs)),
+                                "record": recs,
+                            }
+                        )
+                        idx0 += len(recs)
+                        recs = []
+                if recs:
+                    yield pd.DataFrame(
+                        {
+                            "source_file": name,
+                            "record_idx": range(idx0, idx0 + len(recs)),
+                            "record": recs,
+                        }
+                    )
+
+
+def records_from_paths(
+    paths_df: DataFrame,
     chunk_chars: int = 520,
     batch_records: int = 20_000,
 ) -> DataFrame:
-    """Unzip + decode + split a binaryFile DataFrame (batch or a
-    foreachBatch micro-batch) into [source_file, record_idx, record]."""
+    """Unzip + decode + split a DataFrame bearing a `path` column (a
+    pruned binaryFile scan, batch or a foreachBatch micro-batch) into
+    [source_file, record_idx, record]. Only paths cross the JVM->Python
+    boundary; each task opens its archive as a stream."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                name = os.path.basename(row["path"])
-                with zipfile.ZipFile(io.BytesIO(row["content"])) as zf:
-                    members = zf.namelist()
-                    if not members:
-                        continue
-                    with zf.open(members[0]) as member:  # first member only
-                        recs: list[str] = []
-                        idx0 = 0
-                        for rec in _record_stream(member, chunk_chars):
-                            recs.append(rec)
-                            if len(recs) >= batch_records:
-                                yield pd.DataFrame(
-                                    {
-                                        "source_file": name,
-                                        "record_idx": range(
-                                            idx0, idx0 + len(recs)
-                                        ),
-                                        "record": recs,
-                                    }
-                                )
-                                idx0 += len(recs)
-                                recs = []
-                        if recs:
-                            yield pd.DataFrame(
-                                {
-                                    "source_file": name,
-                                    "record_idx": range(idx0, idx0 + len(recs)),
-                                    "record": recs,
-                                }
-                            )
+            for path in pdf["path"]:
+                yield from _extract_records(path, chunk_chars, batch_records)
 
-    return binary_df.select("path", "content").mapInPandas(extract, RECORD_SCHEMA)
+    return paths_df.select("path").mapInPandas(extract, RECORD_SCHEMA)
 
 
 def read_zip_fixed_width(
@@ -118,9 +155,13 @@ def read_zip_fixed_width(
     chunk_chars: int = 520,
     batch_records: int = 20_000,
 ) -> DataFrame:
-    """DataFrame[source_file, record_idx, record] over a glob of zips."""
-    binary = spark.read.format("binaryFile").load(path)
-    return records_from_binary(binary, chunk_chars, batch_records)
+    """DataFrame[source_file, record_idx, record] over a glob of zips.
+
+    The binaryFile scan is pruned to `path` (ReadSchema carries no
+    `content`), so listing cost is metadata-only and archives of any
+    size ingest without the 2 GiB byte-array cap."""
+    binary = spark.read.format("binaryFile").load(path).select("path")
+    return records_from_paths(binary, chunk_chars, batch_records)
 
 
 def read_zip_fixed_width_staged(
@@ -141,9 +182,11 @@ def read_zip_fixed_width_staged(
     fixed-width parse, the mart shuffles -- all the CPU-bound work) now
     runs one task per chunk instead of one task per zip.
 
-    Same schema and contents as `read_zip_fixed_width`; the staged copy
-    is the price of intra-file parallelism (the reference pays the
-    analogous cost by re-reading its 100 MB windows, main.py:289-351).
+    Same schema and contents as `read_zip_fixed_width` (and the same
+    streamed-input memory contract, since stage 1 IS that path); the
+    staged copy is the price of intra-file parallelism (the reference
+    pays the analogous cost by re-reading its 100 MB windows,
+    main.py:289-351).
     """
     records = read_zip_fixed_width(spark, path, chunk_chars, batch_records)
     (

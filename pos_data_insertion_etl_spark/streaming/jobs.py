@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import apply_runtime_confs
-from ..sources.zipsource import records_from_binary
+from ..sources.zipsource import records_from_paths
 
 
 def read_events_stream(
@@ -191,7 +191,7 @@ def pos_stream_ingest(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         session = batch_df.sparkSession
-        records = records_from_binary(batch_df)
+        records = records_from_paths(batch_df.select("path"))
         batch_sku = sku_merge(sku_temp(records)).persist()
         try:
             if batch_sku.isEmpty():
