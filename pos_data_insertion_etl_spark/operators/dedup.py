@@ -142,6 +142,100 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for LSH-band candidate pairs -- the scale
+    pair source (vs `ngram_jaccard_pairs`' id-gap stand-in). Every join
+    is an equi-join: band self-join for candidates, then
+    (id, shingle)-keyed joins to count intersections only for candidate
+    pairs. No all-pairs stage anywhere; Catalyst plans shuffled/broadcast
+    hash joins, never a nested loop.
+
+    Returns [id_a, id_b, n_common, n_sh_a, n_sh_b, jaccard] with exact
+    integer counts (the jaccard double is one division of identical
+    integer operands -> engine-portable bit-for-bit).
+    """
+    sig = minhash_signatures(df, text_col, id_col, n_hashes=n_hashes, n=n)
+    cand = lsh_candidate_pairs(sig, id_col, n_hashes, band_size).select(
+        "id_a", "id_b"
+    )
+    sh = doc_shingles(df, text_col, id_col, n=n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_sh_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_sh_a",
+            "n_sh_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def neardup_keepers(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """The complete near-dup dedup pipeline, end to end: MinHash
+    signatures -> LSH band candidates -> exact Jaccard verification ->
+    connected components -> one keeper per cluster.
+
+    The Jaccard threshold is the exact rational threshold_num /
+    threshold_den, applied as an integer cross-multiplication (no float
+    compare): keep edges with
+        n_common * den >= num * (n_sh_a + n_sh_b - n_common).
+
+    Returns [doc_id, keeper_id] for EVERY input document: members of a
+    near-dup cluster map to the cluster's min id, everything else keeps
+    itself. `keeper_id != doc_id` is the drop set.
+    """
+    from .graph import connected_components
+
+    verified = lsh_verified_pairs(
+        df, text_col, id_col, n_hashes=n_hashes, band_size=band_size, n=n
+    )
+    edges = verified.filter(
+        F.col("n_common") * threshold_den
+        >= threshold_num * (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common"))
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = connected_components(edges)
+    return df.select(F.col(id_col).alias("doc_id")).join(
+        labels, F.col("doc_id") == F.col("node"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("keeper_id"),
+    )
+
+
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash from per-token md5 hex digits: bit j is the sign of
     sum(+1/-1 over tokens by whether hex digit j >= '8'). Token

@@ -473,3 +473,82 @@ def q89_dedup_clusters(spark, sf_dir):
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     return connected_components(edges)
+
+
+def _neardup_pipeline_oracle() -> str:
+    """DuckDB replica of the full pipeline: MinHash sig -> LSH bands ->
+    candidate pairs -> exact Jaccard verify (integer threshold) ->
+    recursive-CTE transitive closure -> keeper per document."""
+    from .llm_ops import _SHINGLE_CTE, _TOKS_CTE
+
+    hashes = ",\n         ".join(
+        f"MIN(md5('mh{i:02d}|' || shingle)) AS h{i:02d}" for i in range(8)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx,"
+        f" md5(h{2*b:02d} || '|' || h{2*b+1:02d}) AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH RECURSIVE {_TOKS_CTE}, {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {hashes} FROM sh GROUP BY doc_id),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.band_idx = b.band_idx
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_common * 2 >= 1 * (sa.n_sh + sb.n_sh - i.n_common)
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION
+  SELECT id_b AS a, id_a AS b FROM edges
+),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node AS a, node AS b FROM nodes
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+labels AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+SELECT d.doc_id, CAST(COALESCE(l.component, d.doc_id) AS BIGINT) AS keeper_id
+FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+"""
+
+
+@query(
+    "q90_neardup_pipeline",
+    oracle=_neardup_pipeline_oracle(),
+    tags=("dedup", "minhash", "lsh", "graph", "iterative", "pipeline"),
+)
+def q90_neardup_pipeline(spark, sf_dir):
+    """The COMPLETE near-dup dedup pipeline as one declared query
+    (operators/dedup.neardup_keepers): MinHash signatures -> LSH band
+    candidates (equi-join) -> exact Jaccard verification restricted to
+    candidates (equi-joins on (id, shingle) -- no all-pairs, no
+    nested-loop stand-in) -> connected components -> keeper per
+    document. Jaccard threshold 1/2 applied by integer
+    cross-multiplication, so both engines compare exactly. Returns
+    [doc_id, keeper_id] for every document; keeper_id != doc_id is the
+    drop set."""
+    from ..operators.dedup import neardup_keepers
+
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup_keepers(docs, "text", "doc_id", threshold_num=1, threshold_den=2)
