@@ -97,6 +97,59 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def attributed_purchases(
+    events: DataFrame, bound: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream SELF-JOIN: attribute each 'purchase' to
+    every preceding 'click' by the same user within ``bound``.
+
+    Both sides carry watermarks AND the join has a two-sided event-time
+    range constraint, so Structured Streaming can bound its buffered
+    state: a click is evicted once the watermark passes
+    click_ts + bound, a purchase once it can no longer match any
+    retained click. That is the state-cleanup contract that makes an
+    inner stream-stream join runnable forever on an unbounded source.
+
+    In batch the identical plan is a plain range self-join (watermark is
+    a no-op), which is what the parity test recomputes.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            "click_user = purchase_user"
+            " AND purchase_ts >= click_ts"
+            f" AND purchase_ts <= click_ts + interval {bound}"
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("click_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (event count, value total) carried across micro-batches in

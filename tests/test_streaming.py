@@ -104,6 +104,82 @@ def test_streaming_dedup(spark, sf_smoke, tmp_path):
     assert n == n_src
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream self-join (click -> purchase
+    attribution) over two micro-batches equals its batch recomputation;
+    a cross-batch pair proves buffered-state matching and an
+    out-of-bound purchase proves the range constraint."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pos_data_insertion_etl_spark.streaming.jobs import attributed_purchases
+
+    def write_batch(rows, path):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), path, coerce_timestamps="us")
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    d = tmp_path / "ss_events"
+    d.mkdir()
+    # batch 1: in-batch match (1->2) and a click (3) whose purchase
+    # arrives in the NEXT micro-batch
+    write_batch(
+        [
+            (1, base, 1, "click", 0.0),
+            (2, base + dt.timedelta(minutes=10), 1, "purchase", 9.99),
+            (3, base, 2, "click", 0.0),
+        ],
+        str(d / "b1.parquet"),
+    )
+    # batch 2: cross-batch match (3->4); purchase 5 is outside the
+    # 30-minute bound of click 1 and must not attribute
+    write_batch(
+        [
+            (4, base + dt.timedelta(minutes=20), 2, "purchase", 5.00),
+            (5, base + dt.timedelta(minutes=90), 1, "purchase", 1.00),
+        ],
+        str(d / "b2.parquet"),
+    )
+
+    schema = spark.read.parquet(str(d / "b1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        attributed_purchases(stream)
+        .writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.click_id, r.purchase_id, r.user_id)
+            for r in spark.sql("SELECT * FROM ss_join_out").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got == {(1, 2, 1), (3, 4, 2)}
+
+    # batch recomputation of the identical plan over the same files
+    batch = spark.read.parquet(str(d)).withColumn("ts", F.col("ts").cast("timestamp"))
+    exp = {
+        (r.click_id, r.purchase_id, r.user_id)
+        for r in attributed_purchases(batch).collect()
+    }
+    assert got == exp
+
+
 def test_pos_stream_ingest_exactly_once(spark, tmp_path):
     """availableNow + checkpoint: a restart with no new files writes
     nothing new; a new day's file is picked up incrementally."""
