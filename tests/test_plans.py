@@ -1,0 +1,136 @@
+"""Physical-plan invariants as CI assertions (not just PLANS.md
+evidence): join strategies, pushdown, and pruning regressions fail tests
+instead of needing a judge to read explain output.
+
+Three contracts:
+* no nested-loop join anywhere in the registry except an explicit,
+  reasoned allow-list (tiny-broadcast scalars, deliberate cross joins,
+  documented oracle stand-ins);
+* filtered parquet scans carry non-empty PushedFilters (predicates reach
+  the scan, they are not evaluated post-materialization);
+* projection pruning reaches the scan (ReadSchema excludes untouched
+  wide columns).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pos_data_insertion_etl_spark.plans import all_queries
+
+QUERIES = all_queries()
+
+# Queries whose executed plan legitimately contains a
+# BroadcastNestedLoopJoin, each with the reason it is the RIGHT plan.
+ALLOWED_BNLJ = {
+    # a deliberate cross join of two broadcast-small dimensions
+    "q12_cross_join": "cross join is the query's semantics",
+    # single-row scalar (retention cutoff) broadcast against the table
+    "q37_retention_filter": "1-row cutoff scalar broadcast",
+    # pure range predicate with a broadcast-small build side -- the
+    # intended plan for a non-equi range join
+    "q42_range_join": "range join, small side broadcast",
+    # tiny query set (10 vectors) broadcast against one corpus scan
+    "q57_cosine_topk": "broadcast query set x corpus scan by design",
+    # documented id-gap oracle stand-in; the scale pair source is the
+    # LSH band equi-join (q55 / q90_neardup_pipeline)
+    "q74_minhash_estimate": "id-gap stand-in, see q90 for scale path",
+    # broadcast centroid table for cluster assignment
+    "q75_ann_ivf": "broadcast centroids for assignment",
+    # single-row corpus-size scalar broadcast into the tf-idf weights
+    "q81_tfidf_topterms": "1-row corpus scalar broadcast",
+}
+
+# Filtered TPC-H-shaped queries whose every parquet scan must push at
+# least one predicate.
+PUSHDOWN_QUERIES = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q05_region_nation_revenue",
+    "q67_big_customers",
+    "q71_volume_by_year",
+    "q85_returned_revenue",
+    "q86_promo_revenue",
+    "q87_market_share",
+]
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unexpected_nested_loop_join(name, spark, sf_dir):
+    """Every registry query plans with hash/sort-merge equi-joins unless
+    allow-listed above; a new BNLJ or CartesianProduct is a regression."""
+    plan = _executed_plan(QUERIES[name].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+    if name not in ALLOWED_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected BroadcastNestedLoopJoin; if intended, "
+            "allow-list it with a reason in test_plans.ALLOWED_BNLJ"
+        )
+
+
+def test_allowed_bnlj_list_is_tight(spark, sf_dir):
+    """The allow-list must not rot: every entry still actually plans a
+    BNLJ (otherwise the exemption is stale and should be removed)."""
+    for name in ALLOWED_BNLJ:
+        plan = _executed_plan(QUERIES[name].spark(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan, f"stale allow-list entry: {name}"
+
+
+@pytest.mark.parametrize("name", PUSHDOWN_QUERIES)
+def test_filtered_scans_push_predicates(name, spark, sf_dir):
+    """Every parquet scan in these filtered queries must carry a
+    non-empty PushedFilters -- proof the predicate reaches the reader."""
+    plan = _formatted_plan(QUERIES[name].spark(spark, sf_dir))
+    pushed = [
+        line.strip()
+        for line in plan.splitlines()
+        if line.strip().startswith("PushedFilters")
+    ]
+    assert pushed, f"{name}: no parquet scans found in formatted plan"
+    empty = [p for p in pushed if p.endswith("[]")]
+    assert not empty, f"{name}: scans with empty PushedFilters: {empty}"
+
+
+def test_projection_pruning_reaches_scan(spark, sf_dir):
+    """q02 projects 2 columns + filters 1: the scan's ReadSchema must
+    exclude the table's wide untouched columns (l_comment etc.)."""
+    plan = _formatted_plan(QUERIES["q02_filter_project"].spark(spark, sf_dir))
+    schemas = [
+        line.strip()
+        for line in plan.splitlines()
+        if line.strip().startswith("ReadSchema")
+    ]
+    assert schemas
+    for s in schemas:
+        assert "l_comment" not in s, s
+        assert "l_shipinstruct" not in s, s
+
+
+def test_neardup_pipeline_joins_are_equi_only(spark, sf_dir):
+    """The q90 verification stage (bands -> candidates -> Jaccard) must
+    plan equi-joins only -- the whole point of replacing the id-gap
+    nested-loop stand-in. Checked on the pre-clustering subplan because
+    connected_components' localCheckpoint truncates lineage."""
+    from pos_data_insertion_etl_spark.catalog import load_table
+    from pos_data_insertion_etl_spark.operators.dedup import lsh_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(lsh_verified_pairs(docs, "text", "doc_id"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
