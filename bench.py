@@ -26,7 +26,10 @@ from pos_data_insertion_etl_spark.session import get_session
 # Representative mix: scan+agg, multiway join, window, fixed-width,
 # dedup/LSH, similarity, event-time ops; widened in round 2 with shingle
 # dedup, embedding near-dup, IVF ANN, two TPC-H shapes, and the real PNG
-# codec path. Keep ordering stable across rounds for regression diffs.
+# codec path; round 3 adds the iterative clustering queries (q88
+# synthetic topology, q90 full bands->verify->cluster pipeline) and the
+# staged splittable zip ingest. Keep ordering stable across rounds for
+# regression diffs.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_top_revenue_orders",
@@ -46,6 +49,9 @@ HEADLINE = [
     "q67_big_customers",
     "q71_volume_by_year",
     "q60_image_decode_stats",
+    # round 3 additions
+    "q88_connected_components",
+    "q90_neardup_pipeline",
 ]
 
 
@@ -67,6 +73,35 @@ def bench_mart_pipeline(spark) -> float:
         write_zip(records, zpath)
         t0 = time.perf_counter()
         run_pos_pipeline(spark, zpath, out_dir=os.path.join(tmp, "marts"))
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_staged_ingest(spark) -> float:
+    """Staged splittable zip ingest (serial decompress -> parquet chunk
+    fan-out -> parallel scan), timed end to end including the staged
+    copy -- the scale mechanism for one huge daily archive."""
+    import shutil
+    import tempfile
+
+    from pos_data_insertion_etl_spark.sources.zipsource import (
+        read_zip_fixed_width_staged,
+    )
+    from tests.pos_fixture import build_fixture, write_zip
+
+    tmp = tempfile.mkdtemp(prefix="bench_staged_")
+    try:
+        records, _ = build_fixture(
+            n_days=20, stores=10, txns_per_store_day=10, lines_per_txn=5
+        )
+        zpath = os.path.join(tmp, "R520.20240301_214500.zip")
+        write_zip(records, zpath)
+        t0 = time.perf_counter()
+        staged = read_zip_fixed_width_staged(
+            spark, zpath, os.path.join(tmp, "stage"), records_per_file=20_000
+        )
+        staged.count()
         return round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -100,6 +135,7 @@ def main() -> None:
         spec.spark(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
     timings["mart_pipeline_e2e"] = bench_mart_pipeline(spark)
+    timings["staged_ingest_e2e"] = bench_staged_ingest(spark)
 
     total = round(sum(timings.values()), 3)
     print(
