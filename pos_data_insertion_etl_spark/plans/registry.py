@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extended,
         llm_ops,
         llm_ops2,
+        llm_ops3,
         media_ops,
         pos_ops,
         relational,
