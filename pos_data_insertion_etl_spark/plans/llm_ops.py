@@ -211,7 +211,9 @@ FROM sig a JOIN sig b
 def q74_minhash_estimate(spark, sf_dir):
     """Jaccard ESTIMATE from MinHash signature agreement (the sketch's
     actual payoff: similarity without touching the shingle sets again).
-    Pairs bounded by id gap; at scale the pair source is the LSH bands."""
+    Pairs bounded by id gap (plans a nested loop; kept for oracle
+    parity) -- the scale form with LSH bands as the pair source is
+    q96_minhash_estimate_banded."""
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs, "text", "doc_id", n_hashes=8)
     a, b = sig.alias("a"), sig.alias("b")

@@ -243,6 +243,91 @@ def q94_stratified_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Band-bounded MinHash estimate (the scale form of q74)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_estimate_banded_oracle() -> str:
+    hashes = ",\n         ".join(
+        f"MIN(md5('mh{i:02d}|' || shingle)) AS h{i:02d}" for i in range(8)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx,"
+        f" md5(h{2*b:02d} || '|' || h{2*b+1:02d}) AS band_key FROM sig"
+        for b in range(4)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i:02d} = sb.h{i:02d} THEN 1 ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         {hashes}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.band_idx = b.band_idx
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST({agree} AS BIGINT) AS n_agree,
+       CAST({agree} AS DOUBLE) / 8 AS jaccard_est
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+"""
+
+
+@query(
+    "q96_minhash_estimate_banded",
+    oracle=_minhash_estimate_banded_oracle(),
+    tags=("dedup", "minhash", "lsh", "estimate"),
+)
+def q96_minhash_estimate_banded(spark, sf_dir):
+    """MinHash Jaccard ESTIMATE with LSH bands as the pair source -- the
+    scale form of q74 (whose id-gap bound plans a nested loop and exists
+    for oracle parity only). Candidates come from the band equi-join;
+    the estimate is signature agreement, so the shingle sets are never
+    touched again after signing. Equi-joins end to end."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "text", "doc_id", n_hashes=8)
+    cand = lsh_candidate_pairs(sig, "doc_id", n_hashes=8, band_size=2).select(
+        "id_a", "id_b"
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{i:02d}").alias(f"a{i:02d}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{i:02d}").alias(f"b{i:02d}") for i in range(8)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i:02d}") == F.col(f"b{i:02d}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            agree.cast("long").alias("n_agree"),
+            (agree.cast("double") / 8).alias("jaccard_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup end-to-end (embedding pairs -> clusters -> keepers)
 # ---------------------------------------------------------------------------
 
