@@ -492,3 +492,49 @@ def q84_map_funcs(spark, sf_dir):
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.size(m2).cast("long").alias("n_after_concat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+_ORDER_CHAIN_SQL = """
+WITH RECURSIVE ord AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+edges AS (
+  SELECT a.o_custkey AS custkey, a.o_orderkey AS src, b.o_orderkey AS dst
+  FROM ord a JOIN ord b ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
+),
+chain AS (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+         CAST(1 AS BIGINT) AS depth
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT e.custkey, e.dst AS orderkey, c.depth + 1 AS depth
+  FROM chain c JOIN edges e ON e.src = c.orderkey AND e.custkey = c.custkey
+)
+SELECT custkey, orderkey, depth FROM chain
+"""
+
+
+@query(
+    "q97_recursive_order_chain",
+    oracle=_ORDER_CHAIN_SQL,
+    tags=("recursive", "sql", "iterative"),
+)
+def q97_recursive_order_chain(spark, sf_dir):
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`): walk each customer's
+    order-succession chain (anchor = first order by date, step = next
+    order) and emit the position of every order in its chain. The SAME
+    SQL text runs on both engines -- the declarative sibling of the
+    DataFrame-level iteration in operators/graph.py (which remains the
+    scale path for high-diameter graphs: pointer jumping converges in
+    O(log d) rounds vs the CTE's O(d) frontier expansions; here d is
+    bounded by orders-per-customer, so the CTE shape is fine and each
+    frontier is a parallel equi-join)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_ORDER_CHAIN_SQL)
