@@ -98,7 +98,10 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def attributed_purchases(
-    events: DataFrame, bound: str = "30 minutes", watermark: str = "10 minutes"
+    events: DataFrame,
+    bound: str = "30 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream SELF-JOIN: attribute each 'purchase' to
     every preceding 'click' by the same user within ``bound``.
@@ -107,8 +110,14 @@ def attributed_purchases(
     range constraint, so Structured Streaming can bound its buffered
     state: a click is evicted once the watermark passes
     click_ts + bound, a purchase once it can no longer match any
-    retained click. That is the state-cleanup contract that makes an
-    inner stream-stream join runnable forever on an unbounded source.
+    retained click. That is the state-cleanup contract that makes a
+    stream-stream join runnable forever on an unbounded source.
+
+    ``how="leftOuter"`` emits each UNMATCHED click (null purchase
+    columns) -- but only once the watermark proves no matching purchase
+    can still arrive (click_ts + bound behind the watermark), so outer
+    results are delayed by the bound, never speculative. That is the
+    funnel-analysis "click that never converted" feed.
 
     In batch the identical plan is a plain range self-join (watermark is
     a no-op), which is what the parity test recomputes.
@@ -139,7 +148,7 @@ def attributed_purchases(
             " AND purchase_ts >= click_ts"
             f" AND purchase_ts <= click_ts + interval {bound}"
         ),
-        "inner",
+        how,
     ).select(
         "click_id",
         "purchase_id",

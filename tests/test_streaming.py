@@ -180,6 +180,82 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter stream-stream join: a click with no purchase in its
+    bound is emitted with null purchase columns ONCE the watermark
+    proves no match can still arrive -- not before (no speculative
+    outer rows), and matched clicks never produce a null row."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pos_data_insertion_etl_spark.streaming.jobs import attributed_purchases
+
+    def write_batch(rows, path):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), path, coerce_timestamps="us")
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    d = tmp_path / "lo_events"
+    d.mkdir()
+    # click 1 converts (purchase 2); click 3 never converts
+    write_batch(
+        [
+            (1, base, 1, "click", 0.0),
+            (2, base + dt.timedelta(minutes=5), 1, "purchase", 9.99),
+            (3, base, 2, "click", 0.0),
+        ],
+        str(d / "b1.parquet"),
+    )
+
+    schema = spark.read.parquet(str(d / "b1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        attributed_purchases(stream, how="leftOuter")
+        .writeStream.format("memory")
+        .queryName("lo_join_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        early = {
+            (r.click_id, r.purchase_id)
+            for r in spark.sql("SELECT * FROM lo_join_out").collect()
+        }
+        # watermark has not passed click 3's bound yet: no null row
+        assert (3, None) not in early
+
+        # far-future events advance the watermark past click_ts + bound
+        write_batch(
+            [
+                (4, base + dt.timedelta(hours=3), 1, "click", 0.0),
+                (5, base + dt.timedelta(hours=3), 2, "purchase", 1.0),
+            ],
+            str(d / "b2.parquet"),
+        )
+        q.processAllAvailable()
+        got = {
+            (r.click_id, r.purchase_id)
+            for r in spark.sql("SELECT * FROM lo_join_out").collect()
+        }
+    finally:
+        q.stop()
+
+    assert (1, 2) in got  # matched pair
+    assert (3, None) in got  # unmatched click emitted after horizon
+    assert (1, None) not in got  # matched click has no null row
+
+
 def test_pos_stream_ingest_exactly_once(spark, tmp_path):
     """availableNow + checkpoint: a restart with no new files writes
     nothing new; a new day's file is picked up incrementally."""
