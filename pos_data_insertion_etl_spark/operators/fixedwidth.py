@@ -60,6 +60,65 @@ def parse_fixed_width(
     return df.select(*extra, *[f.expr(record_col) for f in fields])
 
 
+def parse_fixed_width_quarantine(
+    df: DataFrame,
+    record_col: str,
+    fields: list[FixedWidthField],
+    expected_width: int | None = None,
+    keep: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Parse with malformed-record routing: returns (valid, quarantine).
+
+    A record is quarantined when it is the wrong width (``expected_width``
+    given) or when any NON-string field try_-casts to NULL from non-blank
+    input (blank input = a legitimately missing value and stays valid;
+    garbage that fails the cast is corruption). Quarantined rows carry
+    the raw record plus a ``_reject_reason`` naming the first failing
+    field, so reprocessing after a layout fix loses nothing -- the
+    missing piece in silently-inserting fixed-width loaders (the
+    reference inserts every slice unchecked, main.py:482, main.py:561).
+
+    One scan feeds both outputs; Spark computes the reject predicate
+    twice (once per filter) but the inputs stay a single pass each --
+    cache the parsed frame if both sides are consumed eagerly.
+    """
+    extra = [F.col(c) for c in (keep or [])]
+    parsed = df.select(
+        *extra, F.col(record_col), *[f.expr(record_col) for f in fields]
+    )
+    reasons: list[Column] = []
+    if expected_width is not None:
+        reasons.append(
+            F.when(
+                F.length(F.col(record_col)) != expected_width,
+                F.concat(
+                    F.lit(f"bad_width(expected={expected_width},got="),
+                    F.length(F.col(record_col)).cast("string"),
+                    F.lit(")"),
+                ),
+            )
+        )
+    for f in fields:
+        if f.dtype == "string":
+            continue
+        raw = F.trim(F.substring(F.col(record_col), f.start, f.length))
+        reasons.append(
+            F.when(
+                F.col(f.name).isNull() & (raw != ""),
+                F.lit(f"bad_field({f.name})"),
+            )
+        )
+    reason = F.coalesce(*reasons) if reasons else F.lit(None).cast("string")
+    tagged = parsed.withColumn("_reject_reason", reason)
+    valid = tagged.filter(F.col("_reject_reason").isNull()).drop(
+        "_reject_reason", record_col
+    )
+    quarantine = tagged.filter(F.col("_reject_reason").isNotNull()).select(
+        *(keep or []), F.col(record_col), F.col("_reject_reason")
+    )
+    return valid, quarantine
+
+
 def fixed_width_record(
     parts: list[Column], total_width: int | None = None
 ) -> Column:

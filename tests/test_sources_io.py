@@ -75,3 +75,39 @@ def test_schema_evolution_merge(spark, sf_smoke, tmp_path):
     assert merged.count() == 2 * n
     assert merged.filter(F.col("r_tier").isNull()).count() == n
     assert merged.filter(F.col("r_tier") == "gold").count() == n
+
+
+def test_parse_fixed_width_quarantine(spark):
+    """Malformed records route to the quarantine with a reason; blank
+    fields are missing values (valid), garbage casts are corruption."""
+    from pos_data_insertion_etl_spark.operators.fixedwidth import (
+        FixedWidthField,
+        parse_fixed_width_quarantine,
+    )
+
+    fields = [
+        FixedWidthField("qty", 1, 4, "int"),
+        FixedWidthField("code", 5, 3),
+        FixedWidthField("day", 8, 8, "date:yyyyMMdd"),
+    ]
+    rows = [
+        ("0042ABC20240301", "ok"),
+        ("    XYZ20240301", "ok_blank_qty"),      # blank int = missing, valid
+        ("00x1ABC20240301", "bad_qty"),           # garbage int
+        ("0042ABC2024ZZ01", "bad_day"),           # garbage date
+        ("0042AB", "bad_width"),                  # truncated record
+    ]
+    df = spark.createDataFrame(rows, "rec string, label string")
+    valid, quar = parse_fixed_width_quarantine(
+        df, "rec", fields, expected_width=15, keep=["label"]
+    )
+    v = {r.label: r for r in valid.collect()}
+    q = {r.label: r for r in quar.collect()}
+    assert set(v) == {"ok", "ok_blank_qty"}
+    assert v["ok"].qty == 42 and v["ok"].code == "ABC"
+    assert v["ok_blank_qty"].qty is None
+    assert set(q) == {"bad_qty", "bad_day", "bad_width"}
+    assert q["bad_qty"]._reject_reason == "bad_field(qty)"
+    assert q["bad_day"]._reject_reason == "bad_field(day)"
+    assert q["bad_width"]._reject_reason.startswith("bad_width(")
+    assert q["bad_width"].rec == "0042AB"  # raw record preserved
