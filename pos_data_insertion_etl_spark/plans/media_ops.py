@@ -273,3 +273,79 @@ def q46_video_frame_stats(spark, sf_dir):
     return sampled.mapInPandas(
         stats, "doc_id long, frame_idx long, sum_rgb long, mean_rgb double"
     )
+
+
+@query(
+    "q98_image_phash_dedup",
+    oracle=f"""
+WITH px AS (
+  SELECT d.doc_id, d.doc_id % 40 AS base, r.i, s.j
+  FROM documents d, range(0, 8) r(i), range(0, 9) s(j)
+),
+gray AS (
+  SELECT doc_id, i, j,
+         (((base * 7919 + ((i * {IMG_SIDE} // 8) * {IMG_SIDE}
+                           + (j * {IMG_SIDE} // 9)) * 3 + 0) % 200)
+        + ((base * 7919 + ((i * {IMG_SIDE} // 8) * {IMG_SIDE}
+                           + (j * {IMG_SIDE} // 9)) * 3 + 1) % 200)
+        + ((base * 7919 + ((i * {IMG_SIDE} // 8) * {IMG_SIDE}
+                           + (j * {IMG_SIDE} // 9)) * 3 + 2) % 200)) // 3 AS g
+  FROM px
+),
+bits AS (
+  SELECT a.doc_id, a.i, a.j,
+         CASE WHEN a.g < b.g THEN '1' ELSE '0' END AS bit
+  FROM gray a JOIN gray b
+    ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
+  WHERE a.j < 8
+),
+hashes AS (
+  SELECT doc_id, STRING_AGG(bit, '' ORDER BY i, j) AS dhash
+  FROM bits GROUP BY doc_id
+)
+SELECT dhash, MIN(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_images
+FROM hashes GROUP BY dhash
+""",
+    tags=("multimodal", "image", "dedup", "phash"),
+)
+def q98_image_phash_dedup(spark, sf_dir):
+    """Perceptual image dedup via dHash over the REAL codec path: encode
+    the formula pixels to PNG, decode, nearest-resize to 9x8, gray, and
+    hash the 64 left<right gradient comparisons. Images share a base
+    pattern per (doc_id % 40) but carry a per-doc brightness offset, so
+    their BYTES differ while the gradient hash is identical -- exact
+    dedup (q50) misses them, the perceptual hash buckets them. The
+    oracle recomputes the hash from the pixel formula (offset-free: a
+    uniform shift cancels in every comparison), so the match certifies
+    decode -> resize -> hash end to end. Scale shape: one mapInPandas
+    pass emits (id, 64-char hash); only those shuffle for the groupBy."""
+    from ..multimodal.binary_ops import decode_image_batch, resize_nearest
+    from ..multimodal.png_codec import encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pngs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base, offset = d % 40, (d // 40) % 5
+                vals = (base * 7919 + np.arange(IMG_N)) % 200 + offset
+                pngs.append(
+                    encode_png(
+                        vals.reshape(IMG_SIDE, IMG_SIDE, 3).astype(np.uint8)
+                    )
+                )
+            rows = []
+            for d, img in zip(pdf["doc_id"], decode_image_batch(pd.Series(pngs))):
+                small = resize_nearest(img, (9, 8)).astype(np.int64)
+                gray = small.sum(axis=2) // 3
+                bits = (gray[:, :-1] < gray[:, 1:]).astype(int).flatten()
+                rows.append((int(d), "".join(map(str, bits))))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    h = docs.mapInPandas(hashes, "doc_id long, dhash string")
+    return h.groupBy("dhash").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_images"),
+    )
