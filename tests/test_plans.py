@@ -121,6 +121,28 @@ def test_projection_pruning_reaches_scan(spark, sf_dir):
         assert "l_shipinstruct" not in s, s
 
 
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The three join-strategy knobs a tuner reaches for must actually
+    steer the planner: BROADCAST, MERGE, and SHUFFLE_HASH hints each
+    produce their strategy on the same join."""
+    from pos_data_insertion_etl_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for hint, node in cases.items():
+        plan = _executed_plan(
+            orders.join(
+                customer.hint(hint), orders.o_custkey == customer.c_custkey
+            )
+        )
+        assert node in plan, f"hint {hint!r} did not produce {node}"
+
+
 def test_neardup_pipeline_joins_are_equi_only(spark, sf_dir):
     """The q90 verification stage (bands -> candidates -> Jaccard) must
     plan equi-joins only -- the whole point of replacing the id-gap
