@@ -376,3 +376,39 @@ def q95_semantic_dedup(spark, sf_dir):
         "vec_id",
         F.coalesce(F.col("component"), F.col("vec_id")).alias("keeper_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token position index (posexplode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q100_token_positions",
+    oracle=f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, tok,
+       CAST(MIN(i) AS BIGINT) AS first_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM toks WHERE doc_id < 50
+GROUP BY doc_id, tok
+""",
+    tags=("llm", "tokens", "posexplode"),
+)
+def q100_token_positions(spark, sf_dir):
+    """Positional token index via posexplode: first occurrence position
+    (1-based) and occurrence count per (doc, token) -- the primitive
+    under inverted indexes and positional n-gram features. Positions are
+    generated row-locally by the explode (no window, no shuffle until
+    the per-doc-token groupBy, whose keys are uniform)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select(
+            "doc_id", F.posexplode(tokens("text")).alias("p", "tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(
+            F.min(F.col("p") + 1).cast("long").alias("first_pos"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+    )

@@ -349,3 +349,67 @@ def q98_image_phash_dedup(spark, sf_dir):
         F.min("doc_id").alias("keeper_id"),
         F.count(F.lit(1)).alias("n_images"),
     )
+
+
+@query(
+    "q99_audio_fingerprint_dedup",
+    oracle="""
+WITH e AS (
+  SELECT d.doc_id, t.i // 50 AS w,
+         SUM(ABS(((d.doc_id % 30) * 31
+                  + t.i * (17 + (d.doc_id % 30) % 7)) % 4001 - 2000)) AS en
+  FROM documents d CROSS JOIN range(0, 1000) t(i)
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.doc_id, a.w,
+         CASE WHEN b.en > a.en THEN '1' ELSE '0' END AS bit
+  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+),
+fp AS (
+  SELECT doc_id, STRING_AGG(bit, '' ORDER BY w) AS afp
+  FROM bits GROUP BY doc_id
+)
+SELECT afp, MIN(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_clips
+FROM fp GROUP BY afp
+""",
+    tags=("multimodal", "audio", "dedup", "fingerprint"),
+)
+def q99_audio_fingerprint_dedup(spark, sf_dir):
+    """Audio fingerprint dedup over the REAL codec path: clips share a
+    base waveform per (doc_id % 30) (base-specific stride, so envelopes
+    genuinely differ across bases) but carry a per-doc integer GAIN, so
+    their samples (and WAV bytes) differ while the energy-envelope
+    fingerprint -- the sign of consecutive 50-sample window-energy
+    deltas, 19 bits -- is gain-invariant (positive gain scales every
+    window energy uniformly, preserving each comparison). Encode with stdlib
+    wave, decode, window, hash; the oracle recomputes the envelope from
+    the gain-free formula, so the match certifies decode -> window ->
+    fingerprint end to end. Only (id, 19-char fingerprint) shuffles."""
+    from ..multimodal.wav_codec import decode_wav, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base, gain = d % 30, 1 + (d // 30) % 4
+                vals = (
+                    ((base * 31 + np.arange(1000) * (17 + base % 7)) % 4001
+                     - 2000) * gain
+                ).astype(np.int16)
+                samples, _rate = decode_wav(encode_wav(vals, 8000))
+                en = (
+                    np.abs(samples.astype(np.int64)).reshape(20, 50).sum(axis=1)
+                )
+                bits = (en[1:] > en[:-1]).astype(int)
+                rows.append((d, "".join(map(str, bits))))
+            yield pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+    fp = docs.mapInPandas(fingerprints, "doc_id long, afp string")
+    return fp.groupBy("afp").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_clips"),
+    )
