@@ -1,0 +1,174 @@
+"""Property-based tests (hypothesis): randomized inputs against
+independent pure-Python oracles for the operators whose correctness is
+structural rather than value-based -- the iterative graph operator, the
+streamed record chunker, the global sequence, and the fixed-width
+pack/parse round-trip.
+
+Spark-touching properties cap max_examples (JVM job latency); the pure
+Python chunker property runs the full default budget.
+"""
+
+from __future__ import annotations
+
+import io
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SPARK_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# connected_components == union-find
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min node id in the component
+    return {n: find(n) for n in parent}
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=35,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Pointer-jumping label propagation == classic union-find on random
+    graphs (self-loops and duplicate/reversed edges included)."""
+    from pos_data_insertion_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# _record_stream reassembly (pure Python, full example budget)
+# ---------------------------------------------------------------------------
+
+
+@settings(deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(codec="utf-8"), min_size=0, max_size=400
+    ),
+    chunk_chars=st.integers(1, 50),
+    read_bytes=st.integers(1, 64),
+)
+def test_record_stream_reassembles(text, chunk_chars, read_bytes):
+    """Any text, any record width, any read window: the streamed records
+    concatenate back to the input, every record but the last is exactly
+    chunk_chars wide, and multi-byte characters never split."""
+    from pos_data_insertion_etl_spark.sources.zipsource import _record_stream
+
+    recs = list(
+        _record_stream(
+            io.BytesIO(text.encode("utf-8")), chunk_chars, read_bytes=read_bytes
+        )
+    )
+    assert "".join(recs) == text
+    for r in recs[:-1]:
+        assert len(r) == chunk_chars
+    if recs:
+        assert 1 <= len(recs[-1]) <= chunk_chars
+
+
+# ---------------------------------------------------------------------------
+# with_global_sequence is a dense rank over the total order
+# ---------------------------------------------------------------------------
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    keys=st.lists(st.integers(0, 1000), min_size=1, max_size=60, unique=True)
+)
+def test_global_sequence_is_dense_and_ordered(spark, keys):
+    from pos_data_insertion_etl_spark.operators.combine import (
+        with_global_sequence,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    rows = with_global_sequence(df, ["k"]).collect()
+    by_seq = sorted((r._seq, r.k) for r in rows)
+    assert [s for s, _ in by_seq] == list(range(len(keys)))
+    assert [k for _, k in by_seq] == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# fixed-width pack -> parse round-trip
+# ---------------------------------------------------------------------------
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 99_999_999),
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Lu", "Ll", "Nd")
+                ),
+                min_size=0,
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fixed_width_roundtrip(spark, rows):
+    """lpad/rpad-packed values parse back to the originals through the
+    declarative field spec (ints survive zero-padding, strings survive
+    space-padding + trim)."""
+    from pos_data_insertion_etl_spark.operators.fixedwidth import (
+        FixedWidthField,
+        fixed_width_record,
+        parse_fixed_width,
+    )
+
+    df = spark.createDataFrame(rows, "n long, s string")
+    rec = fixed_width_record(
+        [
+            F.lpad(F.col("n").cast("string"), 8, "0"),
+            F.rpad(F.col("s"), 6, " "),
+        ]
+    )
+    parsed = parse_fixed_width(
+        df.select(rec.alias("rec")),
+        "rec",
+        [
+            FixedWidthField("n", 1, 8, "long"),
+            FixedWidthField("s", 9, 6, trim=True),
+        ],
+    )
+    got = sorted((r.n, r.s) for r in parsed.collect())
+    # rpad + trim cannot distinguish trailing-space strings; inputs here
+    # have no spaces, so trim is lossless
+    assert got == sorted((n, s) for n, s in rows)
