@@ -29,14 +29,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(pairs: list[tuple]) -> dict:
+    """Classic union-find with path halving; component = min node id."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """DataFrame[node, component] for the undirected graph of ``edges``;
-    component = min node id in the component."""
+    component = min node id in the component.
+
+    Adaptive strategy, same spirit as broadcast-vs-shuffle joins: an
+    edge set at or below ``driver_threshold`` is collected and solved
+    with union-find on the driver (one count job + one collect of two
+    int columns -- bounded by the threshold), because log-diameter
+    rounds of three-shuffle iterations are pure overhead for a graph
+    that fits in one task. Larger graphs run the distributed
+    pointer-jumping loop below. ``driver_threshold=0`` forces the
+    distributed path (tests use it to pin the iteration's own
+    correctness; q88 runs with it as the convergence proof).
+
+    Near-dup pair graphs are almost always tiny relative to the corpus
+    (pairs ~ duplicates, not documents), so at 100 TB the driver path
+    is usually still the right plan for the CLUSTERING stage even when
+    every upstream stage is huge; raise the threshold knowingly if the
+    driver has the memory.
+    """
+    if driver_threshold and edges.count() <= driver_threshold:
+        pairs = [
+            (r[0], r[1]) for r in edges.select(src, dst).collect()
+        ]
+        labels = _driver_union_find(pairs)
+        id_type = dict(edges.dtypes)[src]
+        return edges.sparkSession.createDataFrame(
+            list(labels.items()), f"node {id_type}, component {id_type}"
+        )
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

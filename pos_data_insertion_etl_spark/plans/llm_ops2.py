@@ -427,7 +427,8 @@ def q88_connected_components(spark, sf_dir):
     cross = spark.range(10).select(
         (F.col("id") * 10).alias("src"), (F.col("id") * 10 + 100).alias("dst")
     )
-    cc = connected_components(chain.union(cross))
+    # driver_threshold=0: this query IS the distributed-iteration proof
+    cc = connected_components(chain.union(cross), driver_threshold=0)
     return cc.select(F.col("node"), F.col("component"))
 
 

@@ -47,6 +47,10 @@ def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
+import pytest
+
+
+@pytest.mark.parametrize("threshold", [0, 100_000])
 @settings(**SPARK_SETTINGS)
 @given(
     edges=st.lists(
@@ -55,8 +59,9 @@ def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
         max_size=35,
     )
 )
-def test_connected_components_matches_union_find(spark, edges):
-    """Pointer-jumping label propagation == classic union-find on random
+def test_connected_components_matches_union_find(spark, threshold, edges):
+    """Both strategies (distributed pointer jumping at threshold=0,
+    driver union-find otherwise) == an independent union-find on random
     graphs (self-loops and duplicate/reversed edges included)."""
     from pos_data_insertion_etl_spark.operators.graph import (
         connected_components,
@@ -64,7 +69,8 @@ def test_connected_components_matches_union_find(spark, edges):
 
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {
-        r.node: r.component for r in connected_components(df).collect()
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=threshold).collect()
     }
     assert got == _union_find_components(edges)
 

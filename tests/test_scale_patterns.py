@@ -198,21 +198,27 @@ def test_connected_components_edge_cases(spark):
         connected_components,
     )
 
-    # self-loops and duplicate/reversed edges must not confuse labels
+    # self-loops and duplicate/reversed edges must not confuse labels --
+    # on BOTH strategies (driver union-find and distributed iteration)
     edges = spark.createDataFrame(
         [(1, 1), (1, 2), (2, 1), (3, 4), (4, 5), (9, 9)],
         "src long, dst long",
     )
-    got = {
-        r.node: r.component for r in connected_components(edges).collect()
-    }
-    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 3, 9: 9}
+    for thr in (100_000, 0):
+        got = {
+            r.node: r.component
+            for r in connected_components(edges, driver_threshold=thr).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 3, 9: 9}, f"threshold={thr}"
 
     # a long chain converges via pointer jumping well under the bound
+    # (driver_threshold=0 forces the distributed loop)
     chain = spark.range(64).selectExpr("id AS src", "id + 1 AS dst")
     got = {
         r.node: r.component
-        for r in connected_components(chain, max_iter=12).collect()
+        for r in connected_components(
+            chain, max_iter=12, driver_threshold=0
+        ).collect()
     }
     assert set(got.values()) == {0}
     assert len(got) == 65
