@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pos_ops,
         relational,
         relational2,
+        relational3,
     )
 
     return REGISTRY

@@ -42,6 +42,9 @@ ALLOWED_BNLJ = {
     "q75_ann_ivf": "broadcast centroids for assignment",
     # single-row corpus-size scalar broadcast into the tf-idf weights
     "q81_tfidf_topterms": "1-row corpus scalar broadcast",
+    # single-row global-total scalar broadcast into the HAVING filter
+    # (q104's argmax equality, by contrast, collapses to an equi join)
+    "q102_value_concentration": "1-row global-total scalar broadcast",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at
