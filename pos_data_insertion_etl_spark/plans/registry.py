@@ -49,6 +49,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
     from . import (  # noqa: F401
+        etl_ops,
         extended,
         llm_ops,
         llm_ops2,

@@ -45,6 +45,8 @@ ALLOWED_BNLJ = {
     # single-row global-total scalar broadcast into the HAVING filter
     # (q104's argmax equality, by contrast, collapses to an equi join)
     "q102_value_concentration": "1-row global-total scalar broadcast",
+    # referential rule row: 1-row total-count scalar broadcast
+    "q109_quality_report": "1-row total-count scalar broadcast",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at
