@@ -70,6 +70,24 @@ def restore_crashed_swap(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def swap_table(spark: SparkSession, path: str, tmp: str) -> None:
+    """Rename-aside swap: move the live ``path`` to ``path__old``, move
+    ``tmp`` into place, delete ``__old``. A crash at any point leaves
+    old or new intact (recoverable via `restore_crashed_swap`); see the
+    module docstring for the two-renames visibility window and the
+    object-store caveat."""
+    fs, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    old = path.rstrip("/") + "__old"
+    fs.delete(P(old), True)  # clear any prior crashed attempt
+    if not fs.rename(P(path), P(old)):
+        raise RuntimeError(f"could not move {path} aside to {old}")
+    if not fs.rename(P(tmp), P(path)):
+        fs.rename(P(old), P(path))  # roll back
+        raise RuntimeError(f"could not move {tmp} into place; rolled back")
+    fs.delete(P(old), True)
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -107,15 +125,7 @@ def compact_table(
             f"compaction row mismatch ({rows_before} -> {rows_after}); "
             f"aborted, {path} untouched"
         )
-    # rename-aside swap: a crash at any point leaves old or new intact
-    old = path.rstrip("/") + "__old"
-    fs.delete(P(old), True)  # clear any prior crashed attempt
-    if not fs.rename(P(path), P(old)):
-        raise RuntimeError(f"could not move {path} aside to {old}")
-    if not fs.rename(P(tmp), P(path)):
-        fs.rename(P(old), P(path))  # roll back
-        raise RuntimeError(f"could not move {tmp} into place; rolled back")
-    fs.delete(P(old), True)
+    swap_table(spark, path, tmp)
     return {
         "files_before": files_before,
         "files_after": _count_data_files(spark, path),

@@ -125,6 +125,50 @@ def q110_scd2_dimension(spark, sf_dir):
 
 
 @query(
+    "q112_temporal_enrichment",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+       (SELECT c.ts FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.value DESC LIMIT 1) AS last_click_ts,
+       (SELECT c.value FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.value DESC LIMIT 1) AS last_click_value
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+    tags=("asof", "temporal", "etl"),
+)
+def q112_temporal_enrichment(spark, sf_dir):
+    """Temporal (as-of) enrichment -- the canonical SCD2 consumer: each
+    purchase picks up the user's most recent click state at or before
+    its timestamp. Runs through operators/asof.py's union-and-carry
+    plan: ONE shuffle on user_id, no range join, no per-key Python. The
+    oracle's correlated LIMIT-1 subqueries order by (ts DESC, value
+    DESC), matching the carry struct's (ts, value) total order for
+    same-timestamp peers."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        carry={"click_ts": "last_click_ts", "click_value": "last_click_value"},
+    )
+
+
+@query(
     "q111_incremental_rollup",
     oracle="""
 SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,

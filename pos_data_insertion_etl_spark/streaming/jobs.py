@@ -190,6 +190,53 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def apply_cdc_stream(
+    updates: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """CDC apply: merge each micro-batch of key-changes into the parquet
+    table at ``target_path`` via the MERGE upsert (operators/upsert.py)
+    and the compaction rename-aside swap (crash leaves old or new table
+    intact; `restore_crashed_swap` runs per batch so a crashed swap heals
+    on the next trigger).
+
+    Replay safety: upsert is idempotent for a given batch (applying the
+    same updates twice yields the same table), so foreachBatch's
+    at-least-once delivery gives exactly-once TABLE STATE -- the same
+    argument as the mart ingest's key-based dedup, without needing a
+    transactional format. Within one batch, several updates to one key
+    must be pre-collapsed by the caller (upsert's documented contract);
+    across batches, later triggers win by construction.
+
+    At scale the full-table rewrite per batch is the vanilla-parquet
+    price of ACID-free upserts; partition the target and restrict the
+    rewrite to touched partitions (as pos_stream_ingest does), or use a
+    manifest table format, when batches touch a small key range.
+    """
+    from ..operators.compaction import restore_crashed_swap, swap_table
+    from ..operators.upsert import upsert
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        session = batch_df.sparkSession
+        restore_crashed_swap(session, target_path)
+        target = session.read.parquet(target_path)
+        merged = upsert(target, batch_df.select(*target.columns), keys)
+        tmp = target_path.rstrip("/") + "__cdc"
+        merged.write.mode("overwrite").parquet(tmp)
+        swap_table(session, target_path, tmp)
+
+    return (
+        updates.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def pos_stream_ingest(
     spark: SparkSession,
     zip_dir: str,
