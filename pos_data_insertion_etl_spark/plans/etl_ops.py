@@ -169,6 +169,142 @@ def q112_temporal_enrichment(spark, sf_dir):
 
 
 @query(
+    "q113_snapshot_diff",
+    oracle="""
+WITH new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.05 AS DECIMAL(4,2)) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+diff AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_totalprice <> n.o_totalprice THEN 'update'
+              ELSE 'unchanged' END AS change_type,
+         COALESCE(n.o_totalprice, o.o_totalprice) AS price
+  FROM orders o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT change_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM diff GROUP BY change_type
+""",
+    tags=("cdc", "diff", "etl"),
+)
+def q113_snapshot_diff(spark, sf_dir):
+    """CDC GENERATION (the upsert's complement): diff two table
+    snapshots into insert/update/delete/unchanged classes via one full
+    outer join on the key -- the standard way to derive a change feed
+    from systems that only hand you full dumps. One shuffle on the key;
+    at 100 TB both snapshots bucket/partition on the same key so the
+    diff co-locates."""
+    old = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bumped = (dec("o_totalprice") * F.lit("1.05").cast("decimal(4,2)")).cast(
+        "double"
+    )
+    new_snap = (
+        old.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, bumped)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    o = old.alias("o")
+    n = new_snap.alias("n")
+    diff = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer").select(
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .when(F.col("o.o_totalprice") != F.col("n.o_totalprice"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce(F.col("n.o_totalprice"), F.col("o.o_totalprice")).alias("price"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec("price", 4)).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "q114_funnel_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+    AND e.ts < s1.t1 + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+    AND e.ts < s2.t2 + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_signup,
+       COUNT(s2.t2) AS n_signup_click,
+       COUNT(s3.t3) AS n_full_funnel
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""",
+    tags=("funnel", "analytics", "etl"),
+)
+def q114_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (signup -> later click -> later purchase): each
+    stage is a per-user MIN over events at-or-after the prior stage's
+    entry time. Three aggregates + equi joins on user_id -- every join
+    key is the same, so at scale the whole funnel co-locates under one
+    partitioning; no window over the global event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") < F.col("t1") + F.expr("INTERVAL 6 HOURS")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") < F.col("t2") + F.expr("INTERVAL 6 HOURS")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("t2").alias("n_signup_click"),
+            F.count("t3").alias("n_full_funnel"),
+        )
+    )
+
+
+@query(
     "q111_incremental_rollup",
     oracle="""
 SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
