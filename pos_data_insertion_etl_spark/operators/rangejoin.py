@@ -1,0 +1,68 @@
+"""Binned range join: the both-sides-large plan for interval joins.
+
+A broadcast non-equi join (q42's plan) is right when the interval side
+is tiny. When BOTH sides are big -- points against millions of
+intervals -- a nested loop is quadratic and a broadcast impossible. The
+standard decomposition makes it an EQUI join:
+
+* pick a bin width w;
+* each interval [lo, hi) replicates to every bin it overlaps
+  (`explode(sequence(floor(lo/w), floor(hi/w)))` -- expansion factor is
+  interval_length/w, a tunable constant);
+* each point maps to exactly ONE bin (`floor(v/w)`);
+* join on the bin (hash/sort-merge, shuffles on the bin key, AQE can
+  split skewed bins), then re-check the exact predicate to discard
+  same-bin non-overlaps.
+
+Open-ended intervals (hi = +inf sentinels) would replicate without
+bound, so they are clamped to the observed point maximum first -- one
+scalar aggregate over the points (a driver-side O(1) result, the same
+trade as combine.py's partition offsets), which cannot change the join
+result because no point lies beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def binned_range_join(
+    points: DataFrame,
+    value_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    domain_max: float | None = None,
+) -> DataFrame:
+    """Join each point row to every interval row with lo <= v < hi,
+    using only equi-joins. ``domain_max`` clamps open-ended intervals;
+    when None it is computed from the points (one extra scalar job).
+    Output = point columns + interval columns."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    if domain_max is None:
+        row = points.agg(F.max(value_col)).collect()[0]
+        domain_max = row[0]
+        if domain_max is None:  # no points: nothing can match
+            return points.crossJoin(intervals).limit(0)
+    w = F.lit(float(bin_width))
+    hi_clamped = F.least(F.col(hi_col), F.lit(float(domain_max)) + w)
+    binned_iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w), F.floor(hi_clamped / w)
+            )
+        ),
+    )
+    binned_pt = points.withColumn("_bin", F.floor(F.col(value_col) / w))
+    return (
+        binned_pt.join(binned_iv, "_bin")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) < F.col(hi_col))
+        )
+        .drop("_bin")
+    )

@@ -305,6 +305,41 @@ def q114_funnel_conversion(spark, sf_dir):
 
 
 @query(
+    "q115_binned_range_join",
+    oracle="""
+WITH bands(lo, hi, band) AS (VALUES (0.0, 50.0, 'low'), (50.0, 120.0, 'mid'),
+                                    (120.0, 1e18, 'high'))
+SELECT band, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band, event_type
+""",
+    tags=("join", "range", "binned"),
+)
+def q115_binned_range_join(spark, sf_dir):
+    """The both-sides-large range join (operators/rangejoin.py): same
+    semantics as q42, but intervals replicate to overlapped bins and
+    the join is a plain equi join on the bin -- no nested loop, no
+    broadcast requirement, AQE-splittable. q42 keeps the broadcast
+    non-equi plan as the small-interval-side fast path; this is the
+    plan when the interval table is itself huge."""
+    from ..operators.rangejoin import binned_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 120.0, "mid"), (120.0, 1e18, "high")],
+        "lo double, hi double, band string",
+    )
+    joined = binned_range_join(
+        ev, "value", bands, "lo", "hi", bin_width=25.0
+    )
+    return joined.groupBy("band", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@query(
     "q111_incremental_rollup",
     oracle="""
 SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
