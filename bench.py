@@ -52,6 +52,9 @@ HEADLINE = [
     # round 3 additions
     "q88_connected_components",
     "q90_neardup_pipeline",
+    # round 3 continuation: TPC-H star profit + the equi-only range join
+    "q101_product_profit",
+    "q115_binned_range_join",
 ]
 
 

@@ -178,3 +178,65 @@ def test_fixed_width_roundtrip(spark, rows):
     # rpad + trim cannot distinguish trailing-space strings; inputs here
     # have no spaces, so trim is lossless
     assert got == sorted((n, s) for n, s in rows)
+
+
+# ---------------------------------------------------------------------------
+# binned_range_join == brute force; upsert == dict update
+# ---------------------------------------------------------------------------
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    points=st.lists(
+        st.floats(0, 100, allow_nan=False, width=32), min_size=1, max_size=12
+    ),
+    intervals=st.lists(
+        st.tuples(st.floats(0, 100, allow_nan=False, width=32),
+                  st.floats(0, 120, allow_nan=False, width=32)),
+        min_size=1,
+        max_size=6,
+    ),
+    width=st.sampled_from([3.0, 10.0, 50.0]),
+)
+def test_binned_range_join_matches_brute(spark, points, intervals, width):
+    """Random points x random (possibly empty/inverted) intervals at
+    several bin widths == the quadratic loop."""
+    from pos_data_insertion_etl_spark.operators.rangejoin import (
+        binned_range_join,
+    )
+
+    iv = [(lo, hi, i) for i, (lo, hi) in enumerate(intervals)]
+    pdf = spark.createDataFrame([(float(v),) for v in points], "v double")
+    idf = spark.createDataFrame(iv, "lo double, hi double, tag int")
+    got = {
+        (r.v, r.tag)
+        for r in binned_range_join(pdf, "v", idf, "lo", "hi", width).collect()
+    }
+    want = {
+        (float(v), i)
+        for v in points
+        for (lo, hi, i) in iv
+        if lo <= float(v) < hi
+    }
+    assert got == want
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    target=st.dictionaries(st.integers(0, 9), st.integers(0, 99), min_size=1,
+                           max_size=8),
+    updates=st.dictionaries(st.integers(0, 9), st.integers(100, 199),
+                            max_size=8),
+)
+def test_upsert_matches_dict_update(spark, target, updates):
+    """upsert(target, updates, key) == Python dict.update semantics."""
+    from pos_data_insertion_etl_spark.operators.upsert import upsert
+
+    tdf = spark.createDataFrame(list(target.items()), "k int, v int")
+    udf_ = spark.createDataFrame(
+        list(updates.items()) or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    got = {r.k: r.v for r in upsert(tdf, udf_, ["k"]).collect()}
+    want = dict(target)
+    want.update(updates)
+    assert got == want
