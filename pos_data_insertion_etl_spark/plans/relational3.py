@@ -322,6 +322,42 @@ def q107_sole_returned_supplier(spark, sf_dir):
 
 
 @query(
+    "q116_priority_by_linestatus",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+    tags=("join", "conditional_agg", "tpch"),
+)
+def q116_priority_by_linestatus(spark, sf_dir):
+    """TPC-H Q12 shape (l_linestatus standing in for l_shipmode, which
+    this schema lacks): high- vs low-priority order counts under a
+    fact-dimension join with the date filter pushed to the fact scan.
+    Completes the 22/22 TPC-H query-shape inventory."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
     "q108_upsert_merge",
     oracle="""
 WITH updates AS (
