@@ -1,0 +1,84 @@
+"""The zip-of-fixed-width source as a REGISTERED Spark 4 Python Data
+Source: ``spark.read.format("zip_fixed_width").load(glob)``.
+
+Same extraction kernel as sources/zipsource.py (streamed open, no
+whole-archive buffering -- see that module's memory contract); this
+wrapper adds the idiomatic Spark 4 packaging on top of it:
+
+* one `InputPartition` PER ARCHIVE -- the natural parallel unit, since
+  DEFLATE + a central directory make one zip non-splittable. Spark
+  schedules archives across executors; `read` yields Arrow
+  RecordBatches (the mapInPandas path ships pandas frames; batch shape
+  is identical).
+* file listing happens at planning time on the driver (glob expansion
+  only -- no archive is opened), so `partitions()` is metadata-cheap
+  like a binaryFile listing.
+* options: `chunk_chars` (record width, default 520 like the
+  reference's records, /root/reference/main.py:409-412),
+  `batch_records` (rows per Arrow batch).
+
+Use this form when the consumer wants a format string (SQL
+`CREATE TABLE ... USING`, config-driven readers); `records_from_paths`
+remains the composition-friendly form (streaming foreachBatch feeds it
+micro-batch file lists, which a batch DataSource cannot express).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+RECORD_SCHEMA_DDL = "source_file string, record_idx long, record string"
+
+
+class _ZipPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ZipFixedWidthReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("zip_fixed_width requires a path")
+        self.paths = sorted(_glob.glob(path))
+        self.chunk_chars = int(options.get("chunk_chars", 520))
+        self.batch_records = int(options.get("batch_records", 20_000))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # one task per archive: the decompression unit of parallelism
+        return [_ZipPartition(p) for p in self.paths]
+
+    def read(self, partition: _ZipPartition) -> Iterator:
+        import pyarrow as pa
+
+        # late import: runs on executors, after addPyFile shipping
+        from pos_data_insertion_etl_spark.sources.zipsource import (
+            _extract_records,
+        )
+
+        for pdf in _extract_records(
+            partition.path, self.chunk_chars, self.batch_records
+        ):
+            yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
+
+class ZipFixedWidthDataSource(DataSource):
+    """``spark.read.format(ZipFixedWidthDataSource.name()).load(...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zip_fixed_width"
+
+    def schema(self) -> str:
+        return RECORD_SCHEMA_DDL
+
+    def reader(self, schema) -> ZipFixedWidthReader:
+        return ZipFixedWidthReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the format on a session."""
+    spark.dataSource.register(ZipFixedWidthDataSource)

@@ -176,3 +176,31 @@ def test_staged_ingest_splits_one_zip(spark, tmp_path):
         a = sorted(map(tuple, out_a["marts"][name].collect()))
         b = sorted(map(tuple, out_b["marts"][name].collect()))
         assert a == b, name
+
+
+def test_zip_datasource_format_matches_function_path(spark, fixture_zip):
+    """The registered Spark 4 Python Data Source
+    (format('zip_fixed_width')) returns byte-identical records to
+    read_zip_fixed_width, with one partition per archive."""
+    from pos_data_insertion_etl_spark.sources import zip_datasource
+
+    path, _records = fixture_zip
+    zip_datasource.register(spark)
+    via_format = (
+        spark.read.format("zip_fixed_width").load(path).orderBy("record_idx")
+    )
+    via_fn = read_zip_fixed_width(spark, path).orderBy("record_idx")
+    assert via_format.columns == via_fn.columns
+    assert [tuple(r) for r in via_format.collect()] == [
+        tuple(r) for r in via_fn.collect()
+    ]
+    assert via_format.rdd.getNumPartitions() == 1  # one archive -> one task
+
+
+def test_zip_datasource_requires_path(spark):
+    from pos_data_insertion_etl_spark.sources.zip_datasource import (
+        ZipFixedWidthReader,
+    )
+
+    with pytest.raises(ValueError, match="requires a path"):
+        ZipFixedWidthReader({})
