@@ -190,6 +190,51 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_v2(events: DataFrame) -> DataFrame:
+    """The same per-user running totals through Spark 4's stateful
+    processing v2 (`transformWithStateInPandas`): a `StatefulProcessor`
+    with a typed `ValueState`. Functionally equivalent to
+    `running_user_totals` (applyInPandasWithState); v2 is the API to
+    reach for when an operator needs MULTIPLE state variables, map/list
+    state, TTL, or timers -- capabilities the v1 single-tuple state
+    cannot express. Kept side by side so both state APIs stay covered.
+
+    Requirements: the RocksDB state store provider
+    (`spark.sql.streaming.stateStore.providerClass`) and a working
+    google.protobuf (the v2 driver-worker protocol) -- the test gates on
+    both; this container's protobuf is broken, so the operator is
+    exercised only where the dependency exists."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def apply_cdc_stream(
     updates: DataFrame,
     target_path: str,
