@@ -28,7 +28,12 @@ from __future__ import annotations
 import glob as _glob
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 RECORD_SCHEMA_DDL = "source_file string, record_idx long, record string"
 
@@ -65,8 +70,57 @@ class ZipFixedWidthReader(DataSourceReader):
             yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
 
 
+class ZipFixedWidthStreamReader(DataSourceStreamReader):
+    """Streaming flavor: each micro-batch processes the archives that
+    appeared since the last committed offset -- the reference's
+    daily-file arrival loop as a first-class stream.
+
+    The offset is the sorted list of discovered archive paths (the same
+    bookkeeping Spark's own file source keeps in its file log; it grows
+    with the archive count, which for daily files is ~365 entries/year
+    -- fine). `partitions` hands each NEW archive to one executor task;
+    `read` reuses the streamed extraction kernel. The checkpoint's
+    offset log makes redelivery exactly-once at the file level, which is
+    strictly stronger than the reference's byte-offset resume (a crash
+    redoes at most one archive, never corrupts mid-record)."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("zip_fixed_width requires a path")
+        self.glob_pattern = path
+        self.chunk_chars = int(options.get("chunk_chars", 520))
+        self.batch_records = int(options.get("batch_records", 20_000))
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": sorted(_glob.glob(self.glob_pattern))}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        new = sorted(set(end["seen"]) - set(start["seen"]))
+        return [_ZipPartition(p) for p in new]
+
+    def read(self, partition: _ZipPartition) -> Iterator:
+        import pyarrow as pa
+
+        from pos_data_insertion_etl_spark.sources.zipsource import (
+            _extract_records,
+        )
+
+        for pdf in _extract_records(
+            partition.path, self.chunk_chars, self.batch_records
+        ):
+            yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
+    def commit(self, end: dict) -> None:
+        pass  # offset log in the checkpoint is the source of truth
+
+
 class ZipFixedWidthDataSource(DataSource):
-    """``spark.read.format(ZipFixedWidthDataSource.name()).load(...)``."""
+    """``spark.read.format(ZipFixedWidthDataSource.name()).load(...)``
+    (batch) and ``spark.readStream.format(...)`` (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -77,6 +131,9 @@ class ZipFixedWidthDataSource(DataSource):
 
     def reader(self, schema) -> ZipFixedWidthReader:
         return ZipFixedWidthReader(self.options)
+
+    def streamReader(self, schema) -> ZipFixedWidthStreamReader:
+        return ZipFixedWidthStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -204,3 +204,51 @@ def test_zip_datasource_requires_path(spark):
 
     with pytest.raises(ValueError, match="requires a path"):
         ZipFixedWidthReader({})
+
+
+def test_zip_datasource_streaming_exactly_once(spark, tmp_path):
+    """spark.readStream.format('zip_fixed_width'): first run ingests the
+    existing archive; a restart with a NEW archive processes only the
+    new one (checkpointed file-level offsets)."""
+    from pos_data_insertion_etl_spark.sources import zip_datasource
+
+    zip_datasource.register(spark)
+    d = tmp_path / "zips"
+    d.mkdir()
+    records, _rows = build_fixture()
+    write_zip(records, str(d / "day1.zip"))
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("zip_fixed_width")
+            .load(str(d / "*.zip"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    def counts():
+        return {
+            (r.source_file, r.n)
+            for r in spark.read.parquet(out)
+            .groupBy("source_file")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+
+    run()
+    assert counts() == {("day1.zip", len(records))}
+
+    write_zip(records[:3], str(d / "day2.zip"))
+    run()
+    # day1 must NOT be re-ingested; day2 arrives once
+    assert counts() == {("day1.zip", len(records)), ("day2.zip", 3)}
