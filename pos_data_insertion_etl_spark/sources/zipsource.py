@@ -135,16 +135,36 @@ def records_from_paths(
     paths_df: DataFrame,
     chunk_chars: int = 520,
     batch_records: int = 20_000,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Unzip + decode + split a DataFrame bearing a `path` column (a
     pruned binaryFile scan, batch or a foreachBatch micro-batch) into
     [source_file, record_idx, record]. Only paths cross the JVM->Python
-    boundary; each task opens its archive as a stream."""
+    boundary; each task opens its archive as a stream.
+
+    ``on_error``: "fail" (default) propagates a corrupt archive and
+    fails the job -- the reference's abort-and-notify behavior. "skip"
+    drops the archive and ingests the rest: at fleet scale one bad file
+    among thousands must not kill an hours-long run. Skipped archives
+    are observable as discovered-but-absent `source_file`s (anti-join
+    the input listing against the output's distinct source_file) --
+    the same detect-then-requeue pattern as the parse quarantine
+    (operators/fixedwidth.py)."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path in pdf["path"]:
-                yield from _extract_records(path, chunk_chars, batch_records)
+                if on_error == "skip":
+                    try:
+                        yield from _extract_records(
+                            path, chunk_chars, batch_records
+                        )
+                    except (zipfile.BadZipFile, OSError, ValueError):
+                        continue  # archive-level failure: skip, keep the job
+                else:
+                    yield from _extract_records(path, chunk_chars, batch_records)
 
     return paths_df.select("path").mapInPandas(extract, RECORD_SCHEMA)
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from pos_data_insertion_etl_spark.sources.zipsource import (
     _record_stream,
@@ -252,3 +253,38 @@ def test_zip_datasource_streaming_exactly_once(spark, tmp_path):
     run()
     # day1 must NOT be re-ingested; day2 arrives once
     assert counts() == {("day1.zip", len(records)), ("day2.zip", 3)}
+
+
+def test_records_from_paths_on_error_skip(spark, tmp_path, fixture_zip):
+    """A corrupt archive fails the job under the default policy but is
+    skipped (others ingested, failure observable via anti-join) under
+    on_error='skip'."""
+    import shutil as _sh
+
+    from pos_data_insertion_etl_spark.sources.zipsource import (
+        records_from_paths,
+    )
+
+    good, records = fixture_zip
+    d = tmp_path / "mixed"
+    d.mkdir()
+    _sh.copy(good, d / "good.zip")
+    (d / "corrupt.zip").write_bytes(b"this is not a zip archive")
+
+    paths = spark.read.format("binaryFile").load(str(d / "*.zip")).select("path")
+
+    with pytest.raises(Exception):
+        records_from_paths(paths).count()  # default: corrupt archive fails
+
+    out = records_from_paths(paths, on_error="skip")
+    got_files = {r.source_file for r in out.select("source_file").distinct().collect()}
+    assert got_files == {"good.zip"}
+    assert out.count() == len(records) + 1  # + partial tail in the fixture
+
+    listed = paths.select(
+        F.element_at(F.split("path", "/"), -1).alias("source_file")
+    )
+    missing = listed.join(
+        out.select("source_file").distinct(), "source_file", "left_anti"
+    )
+    assert [r.source_file for r in missing.collect()] == ["corrupt.zip"]
