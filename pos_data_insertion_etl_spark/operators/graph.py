@@ -74,15 +74,20 @@ def connected_components(
     every upstream stage is huge; raise the threshold knowingly if the
     driver has the memory.
     """
-    if driver_threshold and edges.count() <= driver_threshold:
-        pairs = [
-            (r[0], r[1]) for r in edges.select(src, dst).collect()
-        ]
-        labels = _driver_union_find(pairs)
-        id_type = dict(edges.dtypes)[src]
-        return edges.sparkSession.createDataFrame(
-            list(labels.items()), f"node {id_type}, component {id_type}"
-        )
+    if driver_threshold:
+        # One job decides the path AND, when small, delivers the pairs:
+        # take(threshold+1) instead of count()-then-collect(), which would
+        # execute the upstream DAG (in q90 the whole MinHash->LSH->verify
+        # pipeline) twice.
+        probe = edges.select(src, dst).take(driver_threshold + 1)
+        if len(probe) <= driver_threshold:
+            pairs = [(r[0], r[1]) for r in probe]
+            labels = _driver_union_find(pairs)
+            id_type = dict(edges.dtypes)[src]
+            return edges.sparkSession.createDataFrame(
+                list(labels.items()),
+                f"node {id_type}, component {id_type}",
+            )
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

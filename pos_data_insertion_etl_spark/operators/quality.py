@@ -49,13 +49,21 @@ def quality_report(
         for i, (_, cond) in enumerate(scan_rules)
     ]
     one_row = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{name}', r{i}" for i, (name, _) in enumerate(scan_rules)
+    # Long-form via explode(array(struct...)), not a stack() SQL string:
+    # rule names are data, and interpolating them into selectExpr would
+    # let a quote inside a name break (or inject into) the expression.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"r{i}").alias("n_violations"),
+            )
+            for i, (name, _) in enumerate(scan_rules)
+        ]
     )
-    report = one_row.selectExpr(
-        f"stack({len(scan_rules)}, {stack_args}) AS (rule, n_violations)",
-        "n_rows",
-    )
+    report = one_row.select(
+        F.explode(pairs).alias("_p"), "n_rows"
+    ).select("_p.rule", "_p.n_violations", "n_rows")
     for name, cond, dim in ref_rules:
         orphans = df.join(F.broadcast(dim), cond, "left_anti").agg(
             F.count(F.lit(1)).alias("n_violations")

@@ -48,8 +48,21 @@ def binned_range_join(
         if domain_max is None:  # no points: nothing can match
             return points.crossJoin(intervals).limit(0)
     w = F.lit(float(bin_width))
+    # Intervals that cannot match any point must go BEFORE binning:
+    # empty intervals (hi <= lo), and intervals entirely above the point
+    # maximum (lo > domain_max -- every point is <= domain_max).  Without
+    # this, clamping makes hi_clamped < lo and F.sequence generates a
+    # DESCENDING run replicating the interval into every bin down to the
+    # domain max; one far-future sentinel lo could exceed Spark's array
+    # limit and fail the job.  After the filter, lo <= domain_max <
+    # domain_max + w and lo < hi, so hi_clamped > lo and the sequence is
+    # always ascending.
+    live = intervals.filter(
+        (F.col(lo_col) < F.col(hi_col))
+        & (F.col(lo_col) <= F.lit(float(domain_max)))
+    )
     hi_clamped = F.least(F.col(hi_col), F.lit(float(domain_max)) + w)
-    binned_iv = intervals.withColumn(
+    binned_iv = live.withColumn(
         "_bin",
         F.explode(
             F.sequence(

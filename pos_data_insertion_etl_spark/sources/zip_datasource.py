@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import glob as _glob
 from collections.abc import Iterator, Sequence
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -36,6 +37,26 @@ from pyspark.sql.datasource import (
 )
 
 RECORD_SCHEMA_DDL = "source_file string, record_idx long, record string"
+
+
+def _expand_local_glob(pattern: str) -> list[str]:
+    """Planning-time file listing. `glob.glob` only understands the
+    LOCAL filesystem; a remote pattern (s3://, hdfs://...) would
+    silently expand to zero partitions and return an empty DataFrame --
+    worse than an error. Raise instead, pointing at the path-based form
+    (`records_from_paths`) whose binaryFile listing speaks every Hadoop
+    filesystem."""
+    parsed = urlparse(pattern)
+    if parsed.scheme not in ("", "file"):
+        raise ValueError(
+            f"zip_fixed_width lists files with a local glob; remote "
+            f"scheme {parsed.scheme!r} in {pattern!r} is not supported "
+            "here -- use records_from_paths over a binaryFile listing "
+            "for remote filesystems"
+        )
+    if parsed.scheme == "file":
+        pattern = unquote(parsed.path)
+    return sorted(_glob.glob(pattern))
 
 
 class _ZipPartition(InputPartition):
@@ -48,7 +69,7 @@ class ZipFixedWidthReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("zip_fixed_width requires a path")
-        self.paths = sorted(_glob.glob(path))
+        self.paths = _expand_local_glob(path)
         self.chunk_chars = int(options.get("chunk_chars", 520))
         self.batch_records = int(options.get("batch_records", 20_000))
 
@@ -89,6 +110,7 @@ class ZipFixedWidthStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("zip_fixed_width requires a path")
         self.glob_pattern = path
+        _expand_local_glob(path)  # validate the scheme at plan time
         self.chunk_chars = int(options.get("chunk_chars", 520))
         self.batch_records = int(options.get("batch_records", 20_000))
 
@@ -96,7 +118,7 @@ class ZipFixedWidthStreamReader(DataSourceStreamReader):
         return {"seen": []}
 
     def latestOffset(self) -> dict:
-        return {"seen": sorted(_glob.glob(self.glob_pattern))}
+        return {"seen": _expand_local_glob(self.glob_pattern)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         new = sorted(set(end["seen"]) - set(start["seen"]))

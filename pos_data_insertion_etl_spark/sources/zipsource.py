@@ -45,6 +45,7 @@ pre-computed sequence number (no global row_number needed at scale).
 from __future__ import annotations
 
 import codecs
+import logging
 import os
 import zipfile
 from collections.abc import Iterator
@@ -53,7 +54,23 @@ from urllib.parse import unquote, urlparse
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+logger = logging.getLogger(__name__)
+
 RECORD_SCHEMA = "source_file string, record_idx long, record string"
+
+# Hadoop connector scheme -> the scheme pyarrow.fs.FileSystem.from_uri
+# understands. Spark's binaryFile listing returns s3a:// paths on S3
+# deployments; without the translation from_uri raises ArrowInvalid on
+# every archive, which an over-broad skip handler would silently eat as
+# "corrupt" -- total data loss with a green job.
+_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
+
+#: Errors that mean THIS ARCHIVE is bad (corrupt zip, not-a-zip,
+#: mojibake member) -- the only ones ``on_error='skip'`` may eat.
+#: Transient I/O (OSError) and filesystem/config errors (ArrowInvalid
+#: etc.) propagate so Spark's task retry / the operator can handle them
+#: loudly.
+_CORRUPT_ARCHIVE_ERRORS = (zipfile.BadZipFile, UnicodeDecodeError)
 
 
 def _record_stream(
@@ -90,6 +107,9 @@ def _open_seekable(path: str):
         return open(local, "rb")
     import pyarrow.fs as pafs  # only needed for remote filesystems
 
+    scheme = _SCHEME_ALIASES.get(parsed.scheme)
+    if scheme is not None:
+        path = scheme + path[len(parsed.scheme) :]
     fs, rel = pafs.FileSystem.from_uri(path)
     return fs.open_input_file(rel)
 
@@ -144,11 +164,17 @@ def records_from_paths(
 
     ``on_error``: "fail" (default) propagates a corrupt archive and
     fails the job -- the reference's abort-and-notify behavior. "skip"
-    drops the archive and ingests the rest: at fleet scale one bad file
-    among thousands must not kill an hours-long run. Skipped archives
-    are observable as discovered-but-absent `source_file`s (anti-join
-    the input listing against the output's distinct source_file) --
-    the same detect-then-requeue pattern as the parse quarantine
+    drops archives whose CONTENT is bad (`zipfile.BadZipFile`,
+    `UnicodeDecodeError`) and ingests the rest: at fleet scale one bad
+    file among thousands must not kill an hours-long run. Transient or
+    environmental errors -- an `OSError` from a flaky read, an
+    `ArrowInvalid` from a misconfigured filesystem -- still PROPAGATE so
+    Spark's task retry gets its chance and misconfiguration fails
+    loudly instead of silently dropping every file. Each skip is logged
+    with its path; skipped archives are also observable as
+    discovered-but-absent `source_file`s (anti-join the input listing
+    against the output's distinct source_file) -- the same
+    detect-then-requeue pattern as the parse quarantine
     (operators/fixedwidth.py)."""
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
@@ -161,8 +187,14 @@ def records_from_paths(
                         yield from _extract_records(
                             path, chunk_chars, batch_records
                         )
-                    except (zipfile.BadZipFile, OSError, ValueError):
-                        continue  # archive-level failure: skip, keep the job
+                    except _CORRUPT_ARCHIVE_ERRORS as exc:
+                        # corrupt archive: skip it, keep the job
+                        logger.warning(
+                            "zip ingest: skipping corrupt archive %s: %s",
+                            path,
+                            exc,
+                        )
+                        continue
                 else:
                     yield from _extract_records(path, chunk_chars, batch_records)
 

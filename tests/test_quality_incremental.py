@@ -74,3 +74,13 @@ def test_incremental_merge_handles_key_only_in_one_partial(spark):
 def test_merge_rollups_rejects_empty(spark):
     with pytest.raises(ValueError, match="nothing to merge"):
         merge_rollups([], ["g"], ["cnt"])
+
+
+def test_quality_report_rule_names_are_data_not_sql(spark):
+    """A quote (or any SQL metacharacter) in a rule name must not break
+    or inject into the report query -- names are data, never SQL text."""
+    df = spark.createDataFrame([(1,), (None,)], "k int")
+    hostile = "k_isn't_null', r0) --"
+    rep = quality_report(df, scan_rules=[(hostile, F.col("k").isNull())])
+    got = {r.rule: (r.n_violations, r.n_rows) for r in rep.collect()}
+    assert got == {hostile: (1, 2)}

@@ -58,3 +58,20 @@ def test_binned_interval_boundary_at_bin_edge(spark):
                                 "lo double, hi double, tag string")
     got = {r.tag for r in binned_range_join(pdf, "v", idf, "lo", "hi", 10.0).collect()}
     assert got == {"b"}
+
+
+def test_binned_far_future_sentinel_interval(spark):
+    """An interval entirely ABOVE the point max (a far-future or
+    sentinel lo) must be pre-filtered, not binned: before the fix,
+    clamping produced hi_clamped < lo and F.sequence generated a
+    descending run replicating the interval into ~lo/width bins --
+    enough to overflow Spark's array limit. With width=1.0 and
+    lo=4e9 this test would fail outright without the pre-filter."""
+    pdf = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    idf = spark.createDataFrame(
+        [(0.0, 5.0, "live"), (4.0e9, 1.0e18, "future"), (3.0, 3.0, "empty"),
+         (7.0, 2.0, "inverted")],
+        "lo double, hi double, tag string",
+    )
+    rows = binned_range_join(pdf, "v", idf, "lo", "hi", 1.0).collect()
+    assert {(r.v, r.tag) for r in rows} == {(1.0, "live"), (2.0, "live")}

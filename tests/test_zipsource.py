@@ -288,3 +288,32 @@ def test_records_from_paths_on_error_skip(spark, tmp_path, fixture_zip):
         out.select("source_file").distinct(), "source_file", "left_anti"
     )
     assert [r.source_file for r in missing.collect()] == ["corrupt.zip"]
+
+
+def test_on_error_skip_lets_transient_io_errors_propagate(spark, tmp_path, fixture_zip):
+    """'skip' means corrupt-CONTENT skip, not swallow-everything: a
+    missing file (OSError -- the shape of a transient read failure or a
+    misconfigured filesystem) must still fail the task so Spark's retry
+    and the operator see it, instead of being silently classified as
+    corrupt."""
+    from pos_data_insertion_etl_spark.sources.zipsource import (
+        records_from_paths,
+    )
+
+    paths = spark.createDataFrame(
+        [(str(tmp_path / "never_written.zip"),)], "path string"
+    )
+    with pytest.raises(Exception) as ei:
+        records_from_paths(paths, on_error="skip").count()
+    assert "FileNotFoundError" in str(ei.value) or "No such file" in str(ei.value)
+
+
+def test_zip_datasource_rejects_remote_glob(spark):
+    """glob.glob only lists the local filesystem; a remote pattern must
+    raise at plan time instead of silently yielding zero partitions."""
+    from pos_data_insertion_etl_spark.sources.zip_datasource import (
+        _expand_local_glob,
+    )
+
+    with pytest.raises(ValueError, match="remote scheme 's3a'"):
+        _expand_local_glob("s3a://bucket/daily/*.zip")
