@@ -5,14 +5,23 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-`value` is the summed wall-clock of the headline queries (each fully
-materialized via collect()), excluding JVM/session startup.
+Noise discipline (round 4): each headline query gets ONE untimed
+warm-up execution (plan compilation, codegen, shuffle-file and
+page-cache warming) followed by $SPARK_GRAFT_BENCH_REPS (default 3)
+timed executions; `queries` reports the per-query MEDIAN and `spread`
+the max-min across the timed reps, so a drifting number can be told
+from a noisy one. `value` is the summed medians. Session config is
+pinned explicitly (shuffle partitions = $SPARK_GRAFT_CPUS) and echoed
+in the output. Regression criterion across rounds: a shared query's
+MEDIAN >1.25x the prior round's median is a regression; anything
+inside the larger of the two spreads is noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -56,6 +65,17 @@ HEADLINE = [
     "q101_product_profit",
     "q115_binned_range_join",
 ]
+
+
+def _timed_reps(fn, reps: int) -> list[float]:
+    """One untimed warm-up + `reps` timed runs of a zero-arg callable."""
+    fn()  # warm-up: compile + cache effects excluded from timing
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        out.append(time.perf_counter() - t0)
+    return out
 
 
 def bench_mart_pipeline(spark) -> float:
@@ -118,13 +138,16 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    spark = get_session("pos-etl-bench")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Pinned session config: shuffle partitions explicit, not inherited
+    # from whatever session a prior tool left behind.
+    spark = get_session("pos-etl-bench", shuffle_partitions=cpus)
+
     registry = all_queries()
 
     # Warm the executor path and the parquet reader stack (footer reads,
-    # filesystem metadata, codegen infra) so the first timed query doesn't
-    # pay one-time JVM costs; per-query plans still compile inside their
-    # own timing.
+    # filesystem metadata, codegen infra) before any timing.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     from pos_data_insertion_etl_spark.catalog import TABLES, load_table
 
@@ -132,13 +155,22 @@ def main() -> None:
         load_table(spark, sf_dir, t).select(F.lit(1)).limit(1).collect()
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    timings["mart_pipeline_e2e"] = bench_mart_pipeline(spark)
-    timings["staged_ingest_e2e"] = bench_staged_ingest(spark)
+        runs = _timed_reps(lambda: spec.spark(spark, sf_dir).collect(), reps)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
+    for name, fn in (
+        ("mart_pipeline_e2e", lambda: bench_mart_pipeline(spark)),
+        ("staged_ingest_e2e", lambda: bench_staged_ingest(spark)),
+    ):
+        # e2e benches time only their pipeline body (fixture setup is
+        # outside their internal timer), so run them reps+1 times and
+        # take the median of the reported times, first run as warm-up.
+        runs = [fn() for _ in range(reps + 1)][1:]
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -148,6 +180,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
+                "config": {
+                    "master": f"local[{cpus}]",
+                    "shuffle_partitions": cpus,
+                    "aqe": True,
+                },
                 "sf": sf_val,
             }
         )

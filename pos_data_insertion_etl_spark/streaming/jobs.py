@@ -159,27 +159,39 @@ def attributed_purchases(
     )
 
 
+def accumulate_user_totals(key, prior: tuple | None, pdfs):
+    """The per-key state transition shared by BOTH stateful-API flavors
+    (v1 applyInPandasWithState and v2 transformWithStateInPandas): fold
+    the micro-batch's pandas frames for one user into the carried
+    (n_events, total_value) tuple and build the one-row output frame.
+    Pure pandas -- factored out so the accumulation logic is unit-tested
+    directly even where the v2 runtime (protobuf) is unavailable.
+    Returns (new_state, output_pdf)."""
+    import pandas as pd
+
+    n, total = prior if prior is not None else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    out = pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+    return (n, total), out
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (event count, value total) carried across micro-batches in
     the state store -- the engine's template for operators Spark's
     built-in streaming aggregates can't express (arbitrary per-key state
     transitions)."""
-    import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
-        if state.exists:
-            n, total = state.get
-        else:
-            n, total = 0, 0.0
-        for pdf in pdfs:
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
-        )
+        prior = state.get if state.exists else None
+        new_state, out = accumulate_user_totals(key, prior, pdfs)
+        state.update(new_state)
+        yield out
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
@@ -204,7 +216,6 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
     google.protobuf (the v2 driver-worker protocol) -- the test gates on
     both; this container's protobuf is broken, so the operator is
     exercised only where the dependency exists."""
-    import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -215,14 +226,10 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
             self._totals = handle.getValueState("totals", "n long, total double")
 
         def handleInputRows(self, key, rows, timer_values):
-            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._totals.update((n, total))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
-            )
+            prior = self._totals.get() if self._totals.exists() else None
+            new_state, out = accumulate_user_totals(key, prior, rows)
+            self._totals.update(new_state)
+            yield out
 
         def close(self) -> None:
             pass

@@ -131,3 +131,39 @@ def test_running_totals_v2_across_batches(spark, sf_smoke, tmp_path):
     else:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
     assert got == exp
+
+
+def test_accumulate_user_totals_unit():
+    """The state transition shared by v1 and v2 (accumulate_user_totals)
+    is pure pandas, so its logic is verified even in environments where
+    the v2 runtime (protobuf) cannot start: fresh key, carried state,
+    multi-frame batches, empty batch, float accumulation."""
+    import pandas as pd
+
+    from pos_data_insertion_etl_spark.streaming.jobs import (
+        accumulate_user_totals,
+    )
+
+    def frame(values):
+        return pd.DataFrame({"user_id": [7] * len(values), "value": values})
+
+    # fresh key: no prior state
+    state, out = accumulate_user_totals((7,), None, [frame([1.5, 2.5])])
+    assert state == (2, 4.0)
+    assert out.to_dict("records") == [
+        {"user_id": 7, "n_events": 2, "total_value": 4.0}
+    ]
+
+    # carried state + several frames in one micro-batch
+    state, out = accumulate_user_totals(
+        (7,), state, [frame([1.0]), frame([2.0, 3.0])]
+    )
+    assert state == (5, 10.0)
+    assert out.to_dict("records") == [
+        {"user_id": 7, "n_events": 5, "total_value": 10.0}
+    ]
+
+    # empty micro-batch: state unchanged but still emitted
+    state, out = accumulate_user_totals((7,), state, [])
+    assert state == (5, 10.0)
+    assert out.loc[0, "n_events"] == 5
