@@ -285,3 +285,32 @@ def test_compaction_crashed_swap_restores_and_reads(spark, tmp_path):
     assert stats["rows"] == 1000
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
     assert not pathlib.Path(path + "__old").exists()
+
+
+def test_compaction_reader_across_swap(spark, tmp_path):
+    """The documented concurrent-reader contract of the rename-aside
+    swap (operators/compaction.py module docstring): a plan resolved
+    BEFORE the swap holds the pre-swap file listing and fails loudly
+    with FILE_NOT_EXIST after it -- it never silently returns partial
+    or doubled data -- and re-resolving the path (the documented
+    retry) sees the full compacted table."""
+    import pytest as _pytest
+
+    from pos_data_insertion_etl_spark.operators.compaction import (
+        compact_table,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(path)
+    pre_swap = spark.read.parquet(path)  # file listing resolved here
+    assert pre_swap.count() == 100
+
+    stats = compact_table(spark, path, n_tasks=1)
+    assert stats["rows"] == 100 and stats["files_after"] < stats["files_before"]
+
+    # stale plan: loud failure, not silent wrong results
+    with _pytest.raises(Exception, match="FILE_NOT_EXIST|FileNotFound"):
+        pre_swap.count()
+
+    # the retry the contract prescribes: re-resolve and read everything
+    assert spark.read.parquet(path).count() == 100

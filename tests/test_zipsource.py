@@ -317,3 +317,56 @@ def test_zip_datasource_rejects_remote_glob(spark):
 
     with pytest.raises(ValueError, match="remote scheme 's3a'"):
         _expand_local_glob("s3a://bucket/daily/*.zip")
+
+
+@pytest.mark.slow
+def test_large_archive_rss_stays_bounded(tmp_path):
+    """Regression guard for the streamed-input contract at realistic
+    size: a 400 MB STORED (compression=0, incompressible layout) member
+    runs through the extraction kernel in a FRESH subprocess and the
+    process's peak RSS above its post-import baseline must stay far
+    below the member size. tracemalloc (the fast test above) only sees
+    Python allocations; ru_maxrss also catches native/pyarrow buffering
+    regressions."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import zipfile
+
+    member_mb = 400
+    rec = ("R" * 519 + "\n").encode()
+    per_block = 16 << 20
+    block = rec * (per_block // len(rec))
+    n_blocks = member_mb * (1 << 20) // len(block)
+    p = tmp_path / "huge_stored.zip"
+    with zipfile.ZipFile(p, "w", zipfile.ZIP_STORED) as zf:
+        with zf.open("daily.txt", "w", force_zip64=True) as m:
+            for _ in range(n_blocks):
+                m.write(block)
+    n_recs = n_blocks * (len(block) // len(rec))
+
+    script = """
+import json, resource, sys
+from pos_data_insertion_etl_spark.sources.zipsource import _extract_records
+baseline = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+rows = 0
+for pdf in _extract_records(sys.argv[1], 520, 20_000):
+    rows += len(pdf)
+peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+print(json.dumps({"rows": rows, "delta_kib": peak - baseline}))
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(p)],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=600,
+        check=True,
+    )
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["rows"] == n_recs
+    # whole-member buffering would add >= 400 MiB over baseline; the
+    # streamed path is bounded by read window + decode buffer + batch
+    assert got["delta_kib"] < 200 * 1024, f"RSS delta {got['delta_kib']} KiB"
