@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops,
         llm_ops2,
         llm_ops3,
+        llm_ops4,
         media_ops,
         pos_ops,
         relational,

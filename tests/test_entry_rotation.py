@@ -30,8 +30,17 @@ def test_rotation_window_is_the_unchecked_block():
     assert len(exported) == len(registry)
     window = sorted(exported)[:50]
     assert window == sorted(f"00r4_{n}" for n in mod._ROTATED_R4)
-    # the rotated names are exactly sorted-registry positions 51-100
-    assert sorted(mod._ROTATED_R4) == sorted(registry)[50:100]
+    # re-derive the never-driver-checked set from the committed r01-r03
+    # artifacts: the rotation must be exactly its alphabetical first 50
+    import json
+
+    repo = os.path.dirname(_ENTRY)
+    checked: set[str] = set()
+    for rnd in (1, 2, 3):
+        with open(os.path.join(repo, f"CORRECTNESS_r{rnd:02d}.json")) as fh:
+            checked |= set(json.load(fh))
+    never = [n for n in sorted(registry) if n not in checked]
+    assert sorted(mod._ROTATED_R4) == never[:50]
 
 
 def test_rotation_aliases_are_identity():
