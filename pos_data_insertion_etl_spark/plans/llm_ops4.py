@@ -22,8 +22,9 @@ Scale shapes:
   shuffle on the block hash, never on text;
 * chunking is explode + per-row array slice -- no shuffle, and chunk
   boundaries depend only on the row, so it parallelizes per document;
-* mix weights aggregate to one row per language then broadcast the
-  1-row total -- the scalar-broadcast pattern (q109).
+* mix weights aggregate to one row per language in one corpus scan;
+  totals come from an unpartitioned window over the |langs|-row
+  aggregate (bounded cardinality, so the single-task window is free).
 """
 
 from __future__ import annotations
@@ -311,31 +312,36 @@ SELECT lang, n_docs, n_tokens,
        CAST(total_docs * 1000 // (n_langs * n_docs) AS BIGINT) AS weight_milli
 FROM per CROSS JOIN tot
 """,
-    tags=("llm", "curation", "scalar-broadcast"),
+    tags=("llm", "curation", "window"),
 )
 def q121_lang_mix_weights(spark, sf_dir):
     """Language-mix reweighting for pretraining data assembly: per
     language, observed share (milli-units) and the sampling weight that
     would equalize the mix (uniform target across the observed
     languages), in exact integer fixed-point (no float division feeds a
-    result column). Aggregate to one row per language, then broadcast
-    the 1-row corpus total -- the scalar-broadcast pattern (q109);
-    Catalyst folds the crossJoin of a 1-row broadcast into a cheap
-    BNLJ over |langs| rows, which is constant-size regardless of corpus
-    scale."""
+    result column). ONE scan + one map-side-partial aggregate to |langs|
+    rows; the corpus totals come from an unpartitioned window over that
+    aggregate -- a single-task window over a bounded-cardinality frame
+    (languages, not documents), so unlike the q109 scalar-broadcast
+    shape this never re-reads the corpus for the total."""
     docs = load_table(spark, sf_dir, "documents")
     per = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
     )
-    tot = per.agg(
-        F.sum("n_docs").cast("long").alias("total_docs"),
-        F.count(F.lit(1)).alias("n_langs"),
-    )
-    return per.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_docs",
-        "n_tokens",
-        F.expr("n_docs * 1000 div total_docs").alias("share_milli"),
-        F.expr("total_docs * 1000 div (n_langs * n_docs)").alias("weight_milli"),
+    everything = W.partitionBy()
+    return (
+        per.withColumn(
+            "total_docs", F.sum("n_docs").over(everything).cast("long")
+        )
+        .withColumn("n_langs", F.count(F.lit(1)).over(everything))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_docs * 1000 div total_docs").alias("share_milli"),
+            F.expr("total_docs * 1000 div (n_langs * n_docs)").alias(
+                "weight_milli"
+            ),
+        )
     )

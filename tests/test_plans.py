@@ -47,8 +47,6 @@ ALLOWED_BNLJ = {
     "q102_value_concentration": "1-row global-total scalar broadcast",
     # referential rule row: 1-row total-count scalar broadcast
     "q109_quality_report": "1-row total-count scalar broadcast",
-    # single-row corpus-total scalar broadcast into per-language weights
-    "q121_lang_mix_weights": "1-row corpus-total scalar broadcast",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at
