@@ -47,6 +47,7 @@ _ROTATED_R4 = frozenset(
         "q120_chunk_overlap",
         "q121_lang_mix_weights",
         "q122_bpe_token_estimate",
+        "q123_chunked_minhash_merge",
         "q54_ngram_jaccard",
         "q55_minhash_lsh",
         "q56_simhash",
@@ -90,7 +91,6 @@ _ROTATED_R4 = frozenset(
         "q94_stratified_sample",
         "q95_semantic_dedup",
         "q96_minhash_estimate_banded",
-        "q97_recursive_order_chain",
     }
 )
 

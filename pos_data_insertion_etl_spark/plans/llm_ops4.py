@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
-from ..functions.text import tokens
+from ..functions.text import shingles, tokens
+from .llm_ops import _SHINGLE_CTE, _TOKS_CTE
 from .registry import query
 
 _BS = 2          # tokens per "line"/"paragraph" block
@@ -292,6 +293,81 @@ def q120_chunk_overlap(spark, sf_dir):
             F.length(F.array_join(chunk, " ")).cast("long").alias("chunk_chars"),
         )
     )
+
+
+_MH_CHUNK = 32            # tokens per minhash chunk
+_MH_STRIDE = _MH_CHUNK - 2  # overlap = n-1 tokens so no 3-gram is lost
+
+
+def _chunked_minhash_oracle() -> str:
+    hashes = ",\n       ".join(
+        f"MIN(md5('mh{i:02d}|' || shingle)) AS h{i:02d}" for i in range(8)
+    )
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLE_CTE}
+SELECT doc_id,
+       {hashes}
+FROM sh GROUP BY doc_id
+"""
+
+
+@query(
+    "q123_chunked_minhash_merge",
+    oracle=_chunked_minhash_oracle(),
+    tags=("dedup", "minhash", "incremental"),
+)
+def q123_chunked_minhash_merge(spark, sf_dir):
+    """MinHash signatures computed from STREAMED CHUNKS, merged per doc
+    -- the identity that lets a 10 GB document be signed without ever
+    materializing its full text: chunks overlap by n-1 tokens, so the
+    union of chunk shingles is exactly the document's shingle set, and
+    MIN is associative, so per-chunk partial signatures merged by MIN
+    equal the full-document signature. The ORACLE is the full-document
+    recompute (q55's signature form) -- a hash match proves the merge
+    algebra, the same evidence pattern as q111 incremental rollup.
+
+    Plan: explode chunks (row-local), per-(doc, chunk) partial MIN
+    (map-side combinable), then the per-doc merge -- the second
+    aggregate reuses the first's (doc_id, ci) hash partitioning, so the
+    merge adds no full-width shuffle of shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("w"))
+    i_max = F.greatest(
+        F.ceil(
+            (F.size("w") - _MH_CHUNK) / F.lit(float(_MH_STRIDE))
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    chunked = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0).cast("long"), i_max)).alias("ci"),
+    )
+    chunk_sh = chunked.select(
+        "doc_id",
+        "ci",
+        F.explode(
+            F.array_distinct(
+                shingles(
+                    F.slice(
+                        "w",
+                        (F.col("ci") * _MH_STRIDE + 1).cast("int"),
+                        _MH_CHUNK,
+                    ),
+                    n=3,
+                )
+            )
+        ).alias("shingle"),
+    )
+    partial = [
+        F.min(
+            F.md5(F.concat(F.lit(f"mh{i:02d}|"), F.col("shingle")))
+        ).alias(f"h{i:02d}")
+        for i in range(8)
+    ]
+    chunk_sigs = chunk_sh.groupBy("doc_id", "ci").agg(*partial)
+    merge = [F.min(f"h{i:02d}").alias(f"h{i:02d}") for i in range(8)]
+    return chunk_sigs.groupBy("doc_id").agg(*merge)
 
 
 @query(

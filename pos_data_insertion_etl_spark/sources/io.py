@@ -3,8 +3,9 @@
 The reference reads exactly one format (zip-of-fixed-width text) and
 writes exactly one sink (SQL Server via pyodbc, main.py:213-262). The
 engine exposes the standard format matrix -- parquet/orc (columnar,
-pushdown), csv/json/text (interchange), jdbc (parity sink; needs a
-driver jar on the classpath, not bundled here).
+pushdown), csv/json/text (interchange), jdbc (parity sink; vendor
+driver jar goes on the classpath -- tests execute the sink for real
+against the embedded Derby that Spark already bundles).
 
 Explicit schemas everywhere: csv/json inference is both slow (extra
 pass) and nondeterministic under promotion -- never used.
@@ -60,8 +61,9 @@ def write_jdbc(
     df: DataFrame, url: str, table: str, batchsize: int = 150, **options
 ) -> None:
     """JDBC append sink. Requires the vendor driver jar on the Spark
-    classpath (not bundled; see README) -- option assembly is
-    `jdbc_options`, which tests cover without a database."""
+    classpath; option assembly is `jdbc_options`. Executed end-to-end
+    in tests against embedded Derby (bundled with Spark), batchsize
+    included."""
     (
         df.write.format("jdbc")
         .options(**jdbc_options(url, table, batchsize, **options))

@@ -314,3 +314,61 @@ def test_compaction_reader_across_swap(spark, tmp_path):
 
     # the retry the contract prescribes: re-resolve and read everything
     assert spark.read.parquet(path).count() == 100
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_smoke):
+    """Spark's runtime bloom-filter join pruning -- the 100 TB pattern
+    where a selective dimension predicate builds a bloom filter that
+    drops fact rows BEFORE the join shuffle. Thresholds are scaled to
+    test volume (the application-side default demands a 10 GiB scan);
+    the assert is on the mechanism: a might_contain() filter fed by a
+    bloom_filter_agg over the dimension keys appears on the fact side,
+    and results match the unfiltered plan."""
+    from pos_data_insertion_etl_spark.catalog import load_table
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_smoke, "lineitem")
+        o = load_table(spark, sf_smoke, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = {(r.o_orderpriority, r.n) for r in j.collect()}
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # same answer without the runtime filter
+    li = load_table(spark, sf_smoke, "lineitem")
+    o = load_table(spark, sf_smoke, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r.o_orderpriority, r.n) for r in plain.collect()} == rows
