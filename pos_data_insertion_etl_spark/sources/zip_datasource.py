@@ -26,6 +26,7 @@ micro-batch file lists, which a batch DataSource cannot express).
 from __future__ import annotations
 
 import glob as _glob
+import re
 from collections.abc import Iterator, Sequence
 from urllib.parse import unquote, urlparse
 
@@ -46,15 +47,25 @@ def _expand_local_glob(pattern: str) -> list[str]:
     worse than an error. Raise instead, pointing at the path-based form
     (`records_from_paths`) whose binaryFile listing speaks every Hadoop
     filesystem."""
-    parsed = urlparse(pattern)
-    if parsed.scheme not in ("", "file"):
-        raise ValueError(
-            f"zip_fixed_width lists files with a local glob; remote "
-            f"scheme {parsed.scheme!r} in {pattern!r} is not supported "
-            "here -- use records_from_paths over a binaryFile listing "
-            "for remote filesystems"
-        )
-    if parsed.scheme == "file":
+    # Only treat the input as a URI when it LOOKS like one (RFC 3986
+    # scheme followed by '//'): urlparse would misread odd-but-legal
+    # local patterns like 'dir:with:colons/x.zip' as remote schemes.
+    if re.match(r"^[a-z][a-z0-9+.\-]*://", pattern, re.IGNORECASE):
+        parsed = urlparse(pattern)
+        if parsed.scheme.lower() != "file":
+            raise ValueError(
+                f"zip_fixed_width lists files with a local glob; remote "
+                f"scheme {parsed.scheme!r} in {pattern!r} is not supported "
+                "here -- use records_from_paths over a binaryFile listing "
+                "for remote filesystems"
+            )
+        if parsed.netloc not in ("", "localhost"):
+            # file://host/share/x.zip names a REMOTE host; globbing
+            # parsed.path would silently read the wrong (local) tree.
+            raise ValueError(
+                f"file:// pattern {pattern!r} carries a remote host "
+                f"{parsed.netloc!r}; only local files are supported here"
+            )
         pattern = unquote(parsed.path)
     return sorted(_glob.glob(pattern))
 

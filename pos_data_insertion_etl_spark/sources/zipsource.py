@@ -48,6 +48,7 @@ import codecs
 import logging
 import os
 import zipfile
+import zlib
 from collections.abc import Iterator
 from urllib.parse import unquote, urlparse
 
@@ -65,12 +66,23 @@ RECORD_SCHEMA = "source_file string, record_idx long, record string"
 # "corrupt" -- total data loss with a green job.
 _SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
 
-#: Errors that mean THIS ARCHIVE is bad (corrupt zip, not-a-zip,
-#: mojibake member) -- the only ones ``on_error='skip'`` may eat.
+#: Errors that mean THIS ARCHIVE is bad -- the only ones
+#: ``on_error='skip'`` may eat:
+#:   * zipfile.BadZipFile  -- not a zip / broken central directory;
+#:   * zlib.error          -- valid central directory but a corrupt
+#:                            DEFLATE member stream (raised mid-read);
+#:   * EOFError            -- member truncated short of its declared
+#:                            length (zipfile raises on the final read);
+#:   * UnicodeDecodeError  -- member content is not the declared UTF-8.
 #: Transient I/O (OSError) and filesystem/config errors (ArrowInvalid
 #: etc.) propagate so Spark's task retry / the operator can handle them
 #: loudly.
-_CORRUPT_ARCHIVE_ERRORS = (zipfile.BadZipFile, UnicodeDecodeError)
+_CORRUPT_ARCHIVE_ERRORS = (
+    zipfile.BadZipFile,
+    zlib.error,
+    EOFError,
+    UnicodeDecodeError,
+)
 
 
 def _record_stream(
@@ -164,8 +176,9 @@ def records_from_paths(
 
     ``on_error``: "fail" (default) propagates a corrupt archive and
     fails the job -- the reference's abort-and-notify behavior. "skip"
-    drops archives whose CONTENT is bad (`zipfile.BadZipFile`,
-    `UnicodeDecodeError`) and ingests the rest: at fleet scale one bad
+    drops archives whose CONTENT is bad (`_CORRUPT_ARCHIVE_ERRORS`:
+    bad zip, corrupt DEFLATE stream, truncated member, mojibake
+    member) and ingests the rest: at fleet scale one bad
     file among thousands must not kill an hours-long run. Transient or
     environmental errors -- an `OSError` from a flaky read, an
     `ArrowInvalid` from a misconfigured filesystem -- still PROPAGATE so

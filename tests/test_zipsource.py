@@ -308,6 +308,57 @@ def test_on_error_skip_lets_transient_io_errors_propagate(spark, tmp_path, fixtu
     assert "FileNotFoundError" in str(ei.value) or "No such file" in str(ei.value)
 
 
+def test_on_error_skip_eats_corrupt_deflate_member(spark, tmp_path, fixture_zip):
+    """A zip with a VALID central directory but a corrupt DEFLATE member
+    stream raises zlib.error mid-read (not BadZipFile at open); 'skip'
+    must classify that as corrupt-content too, or one rotted archive
+    kills an hours-long fleet run (ADVICE r4)."""
+    import io as _io
+    import shutil as _sh
+    import zipfile as _zf
+
+    from pos_data_insertion_etl_spark.sources.zipsource import (
+        records_from_paths,
+    )
+
+    good, records = fixture_zip
+    d = tmp_path / "mixed"
+    d.mkdir()
+    _sh.copy(good, d / "good.zip")
+
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w", _zf.ZIP_DEFLATED) as zf:
+        zf.writestr("member.txt", "abcdefgh" * 4000)
+    data = bytearray(buf.getvalue())
+    # local header = 30 bytes + len('member.txt'); flip bytes inside the
+    # compressed stream, leaving the directory intact
+    for i in range(45, 60):
+        data[i] ^= 0xFF
+    (d / "rotted.zip").write_bytes(bytes(data))
+
+    paths = spark.read.format("binaryFile").load(str(d / "*.zip")).select("path")
+    out = records_from_paths(paths, on_error="skip")
+    got = {r.source_file for r in out.select("source_file").distinct().collect()}
+    assert got == {"good.zip"}
+    assert out.count() == len(records) + 1
+
+
+def test_truncated_member_counts_as_corrupt_content():
+    """zipfile raises EOFError when a member's data ends short of its
+    declared length; the skip policy must treat that as THIS-archive
+    corruption, not an environmental failure."""
+    from pos_data_insertion_etl_spark.sources.zipsource import (
+        _CORRUPT_ARCHIVE_ERRORS,
+    )
+
+    assert EOFError in _CORRUPT_ARCHIVE_ERRORS
+    import zlib as _zlib
+
+    assert _zlib.error in _CORRUPT_ARCHIVE_ERRORS
+    # environmental errors stay OUT: propagation is the contract
+    assert OSError not in _CORRUPT_ARCHIVE_ERRORS
+
+
 def test_zip_datasource_rejects_remote_glob(spark):
     """glob.glob only lists the local filesystem; a remote pattern must
     raise at plan time instead of silently yielding zero partitions."""
@@ -317,6 +368,25 @@ def test_zip_datasource_rejects_remote_glob(spark):
 
     with pytest.raises(ValueError, match="remote scheme 's3a'"):
         _expand_local_glob("s3a://bucket/daily/*.zip")
+
+
+def test_zip_datasource_glob_uri_edge_cases(tmp_path):
+    """file:// with a remote host must raise (globbing parsed.path would
+    silently read the wrong local tree), file:///abs and file://localhost
+    work, and a local pattern containing ':' is NOT misread as a URI."""
+    from pos_data_insertion_etl_spark.sources.zip_datasource import (
+        _expand_local_glob,
+    )
+
+    d = tmp_path / "dir:with:colons"
+    d.mkdir()
+    (d / "a.zip").write_bytes(b"x")
+
+    assert _expand_local_glob(str(d / "*.zip")) == [str(d / "a.zip")]
+    assert _expand_local_glob(f"file://{d}/*.zip") == [str(d / "a.zip")]
+    assert _expand_local_glob(f"file://localhost{d}/*.zip") == [str(d / "a.zip")]
+    with pytest.raises(ValueError, match="remote host 'fileserver'"):
+        _expand_local_glob("file://fileserver/share/*.zip")
 
 
 @pytest.mark.slow
