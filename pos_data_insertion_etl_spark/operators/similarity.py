@@ -107,24 +107,54 @@ def ivf_topk(
     centroids: DataFrame,
     query_pred,
     k: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: probe only the query's own cluster (nprobe=1).
+    """IVF-style ANN: probe the query's ``nprobe`` nearest cells.
 
     The scale story: assignment is one broadcast-join pass; search is an
     equi-join on the cluster id instead of a cross product -- candidate
-    count drops by ~n_clusters x. Recall < 1.0 by design (neighbors in
-    other cells are missed), which is the approximate trade.
+    count drops by ~(n_clusters / nprobe) x. Recall < 1.0 by design
+    (neighbors outside the probed cells are missed); raising ``nprobe``
+    trades candidates for recall, the standard IVF knob -- candidate
+    count grows linearly in nprobe while the plan shape (broadcast
+    centroid ranking + one cluster equi-join) is unchanged. nprobe=1
+    reproduces probe-own-cell exactly (the query's top-1 centroid IS its
+    assignment, same sim/tiebreak order).
     """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     assign = ivf_assign(corpus, id_col, vec_col, centroids)
     qv = quantize_vec(F.col(vec_col))
     vecs = corpus.select(
         F.col(id_col), qv.alias("_v"), norm_fixed_point(qv).alias("_n")
     ).join(assign, id_col)
-    q = vecs.filter(query_pred(F.col(id_col))).select(
+    q_base = vecs.filter(query_pred(F.col(id_col))).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("qv"),
         F.col("_n").alias("qn"),
-        "cluster",
+    )
+    # Rank centroids per query (broadcast, same scoring as ivf_assign)
+    # and keep the top-nprobe cells: one probe row per (query, cell).
+    cents = centroids.select(
+        "cid", "cv", norm_fixed_point(F.col("cv")).alias("_cn")
+    )
+    qsims = q_base.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "qn",
+        F.col("cid"),
+        F.round(
+            cosine_precomputed(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("_cn")
+            ),
+            6,
+        ).alias("_sim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("_sim"), "cid")
+    q = (
+        qsims.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("cid").alias("cluster"))
     )
     sims = (
         vecs.join(F.broadcast(q), "cluster")
@@ -191,6 +221,36 @@ def embedding_neardup_pairs(
     )
 
 
+def seeded_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic Gaussian random-projection hyperplanes.
+
+    Generated ONCE on the driver (n_planes x dim floats -- a few KB) and
+    embedded as plan literals, so executors pay no RNG and every run of
+    the same seed buckets identically. Gaussian entries make each plane
+    a uniformly-random direction (the classic SimHash/sign-LSH
+    construction: P[sign differs] = angle/pi per plane), which is what
+    axis-aligned planes are NOT -- axis planes bucket on raw coordinate
+    signs and collapse badly when coordinates are correlated or
+    non-centered. Rounded to 6dp so the literal is compact and the plan
+    text stable."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return [[round(float(x), 6) for x in row] for row in planes]
+
+
+def _plane_dot(vc, plane_row: list[float]):
+    """<vec, plane> as a sequential fold: deterministic order, stays in
+    the JVM (no Python in the hot path)."""
+    plane = F.array(*[F.lit(x) for x in plane_row])
+    return F.aggregate(
+        F.zip_with(vc.cast("array<double>"), plane, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -198,22 +258,42 @@ def lsh_bucket_topk(
     vec_col: str,
     k: int = 5,
     n_planes: int = 8,
+    seed: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate variant: random-hyperplane (sign) LSH buckets.
 
-    Bucket key = sign pattern of the first `n_planes` components (a
-    deterministic, data-independent set of axis-aligned "hyperplanes" --
-    at scale swap in seeded random projections). Candidates are pairs in
-    the SAME bucket -> the corpus-vs-query comparison becomes an
-    equi-join on the bucket key instead of a cross product.
+    Bucket key = sign pattern of ``n_planes`` projections. With ``seed``
+    (and the vector ``dim``) the planes are seeded Gaussian random
+    projections (`seeded_planes`) -- the at-scale form, recall governed
+    by plane count/quality; without a seed it falls back to axis-aligned
+    components (cheap, but coordinate-correlation-sensitive -- fixture
+    use only). Candidates are pairs in the SAME bucket -> the
+    corpus-vs-query comparison becomes an equi-join on the bucket key
+    instead of a cross product.
     """
+    if seed is not None:
+        if dim is None:
+            raise ValueError("seeded planes need the vector dim")
+        planes = seeded_planes(n_planes, dim, seed)
 
-    def bucket(vc):
-        bits = [
-            F.when(F.get(vc, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(n_planes)
-        ]
-        return F.concat(*bits)
+        def bucket(vc):
+            bits = [
+                F.when(_plane_dot(vc, row) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for row in planes
+            ]
+            return F.concat(*bits)
+
+    else:
+
+        def bucket(vc):
+            bits = [
+                F.when(F.get(vc, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for i in range(n_planes)
+            ]
+            return F.concat(*bits)
 
     qv = quantize_vec(F.col(vec_col))
     q = queries.select(

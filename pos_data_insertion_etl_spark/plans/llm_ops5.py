@@ -1,0 +1,258 @@
+"""Fifth LLM-data-pipeline batch: ANN quality knobs and curation ops.
+
+Round-5 additions closing VERDICT r4 items 7/8 plus two curation
+operators a pretraining pipeline needs between dedup and tokenization:
+
+* q124 -- sign-LSH ANN with SEEDED Gaussian random-projection planes
+  (`operators.similarity.seeded_planes`), the at-scale replacement for
+  the axis-aligned plane substitution q58 uses (recall at 100 TB
+  depends on plane quality; axis planes collapse on correlated or
+  non-centered coordinates). Approximate -> rows-only + invariant
+  tests (bucket balance, recall floor vs q57 brute force).
+* q125 -- IVF ANN with nprobe=2: the standard recall-vs-candidates
+  knob. Deterministic given fixed centroids, so unlike q58/q124 it
+  carries a FULL DuckDB oracle (same fixed-point cosine CTEs as q75).
+* q126 -- per-source document cap: C4-style "at most N pages per
+  domain" curation, deterministic md5 order so the sample is stable
+  across runs/engines. One window over (source), never over the corpus.
+* q127 -- int8 embedding quantization error report: per-vector scale =
+  max |component|, symmetric round-half-up integer codes, exact
+  integer reconstruction-error stats. The compression-health check run
+  before shipping embeddings to an ANN index. All arithmetic on the
+  1e-7 fixed-point BIGINT representation (functions.vectors), so both
+  engines agree bit-for-bit.
+
+Scale shapes: q124/q125 keep the bucket/cell equi-join plan (candidate
+sets bounded by bucket/cell size; no all-pairs); q126 shuffles (source,
+md5) pairs once -- the window key is the domain, whose cardinality is
+the number of sources, and rows per domain are bounded by the cap's
+purpose; q127 is one explode + per-vector partial aggregation -- the
+64 elements of a vector live in one row, so map-side combine collapses
+them before the (tiny) per-vector shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from .registry import query
+
+_EMB_DIM = 64       # embeddings.embedding element count (TESTDATA.md)
+_LSH_SEED = 42
+_LSH_PLANES = 6     # 64 buckets over 500 sf0.01 vectors -> healthy occupancy
+_SOURCE_CAP = 10    # q126: keep at most N docs per source
+_INT8_MAX = 127     # q127: symmetric int8 code range
+
+
+@query("q124_ann_lsh_seeded", oracle=None, tags=("similarity", "ann", "lsh"))
+def q124_ann_lsh_seeded(spark, sf_dir):
+    """Sign-LSH bucketed ANN with seeded Gaussian projection planes
+    (approximate -> rows-only check; invariants in test_similarity_lsh).
+    """
+    from ..operators.similarity import lsh_bucket_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_planes=_LSH_PLANES,
+        seed=_LSH_SEED,
+        dim=_EMB_DIM,
+    )
+
+
+_IVF_NPROBE_ORACLE = """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 10000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM qv WHERE vec_id < 8),
+ac AS (SELECT q.vec_id, c.cid, unnest(q.v) AS vx, unnest(c.cv) AS cx
+       FROM qv q CROSS JOIN cent c),
+ad AS (SELECT vec_id, cid,
+              CAST(SUM(vx * cx) AS BIGINT) AS dot,
+              CAST(SUM(vx * vx) AS BIGINT) AS vv,
+              CAST(SUM(cx * cx) AS BIGINT) AS cc
+       FROM ac GROUP BY 1, 2),
+asim AS (SELECT vec_id, cid,
+                ROUND(CAST(dot AS DOUBLE)
+                      / (SQRT(CAST(vv AS DOUBLE)) * SQRT(CAST(cc AS DOUBLE))), 6)
+                    AS sim
+         FROM ad),
+assign AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cid) AS rn
+             FROM asim) t WHERE rn = 1),
+probe AS (SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM asim) t
+          WHERE rn <= 2 AND vec_id BETWEEN 100 AND 109),
+pairs AS (SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id
+          FROM probe p JOIN assign m
+            ON p.cluster = m.cluster AND m.vec_id != p.vec_id),
+pc AS (SELECT p.query_id, p.neighbor_id, unnest(a.v) AS qx, unnest(b.v) AS nx
+       FROM pairs p JOIN qv a ON a.vec_id = p.query_id
+                    JOIN qv b ON b.vec_id = p.neighbor_id),
+pd AS (SELECT query_id, neighbor_id,
+              CAST(SUM(qx * nx) AS BIGINT) AS dot,
+              CAST(SUM(qx * qx) AS BIGINT) AS qq,
+              CAST(SUM(nx * nx) AS BIGINT) AS nn
+       FROM pc GROUP BY 1, 2),
+psim AS (SELECT query_id, neighbor_id,
+                ROUND(CAST(dot AS DOUBLE)
+                      / (SQRT(CAST(qq AS DOUBLE)) * SQRT(CAST(nn AS DOUBLE))), 6)
+                    AS cos_sim
+         FROM pd)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS BIGINT)
+             AS rn
+  FROM psim) t
+WHERE rn <= 3
+"""
+
+
+@query(
+    "q125_ann_ivf_nprobe",
+    oracle=_IVF_NPROBE_ORACLE,
+    tags=("similarity", "ann", "ivf"),
+)
+def q125_ann_ivf_nprobe(spark, sf_dir):
+    """IVF ANN probing the 2 nearest cells per query (vs q75's
+    nprobe=1): more candidates, higher recall, same plan shape."""
+    from ..functions.vectors import quantize_vec
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        quantize_vec(F.col("embedding")).alias("cv"),
+    )
+    return ivf_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        centroids,
+        query_pred=lambda c: c.between(100, 109),
+        k=3,
+        nprobe=2,
+    )
+
+
+@query(
+    "q126_source_cap_sample",
+    oracle=f"""
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents) t
+WHERE rk <= {_SOURCE_CAP}
+""",
+    tags=("curation", "sampling"),
+)
+def q126_source_cap_sample(spark, sf_dir):
+    """Per-source document cap (C4-style per-domain page limit): keep
+    the md5-first ``_SOURCE_CAP`` docs of each source. md5 order is a
+    deterministic, engine-portable shuffle of each domain's docs, so
+    the kept sample is unbiased-by-position and stable across runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _SOURCE_CAP)
+    )
+
+
+@query(
+    "q127_int8_quantize_error",
+    oracle=f"""
+WITH fp AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 10000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, v,
+         GREATEST(list_aggregate(list_transform(v, x -> ABS(x)), 'max'),
+                  1) AS scale
+  FROM fp
+),
+el AS (SELECT vec_id, scale, unnest(v) AS e FROM sc),
+codes AS (
+  SELECT vec_id, scale,
+         (ABS(e) * {2 * _INT8_MAX} + scale) // (2 * scale) AS acode,
+         ABS(e) AS ae
+  FROM el
+),
+errs AS (
+  SELECT vec_id, scale, acode,
+         ABS(ae - (acode * scale) // {_INT8_MAX}) AS err
+  FROM codes
+)
+SELECT vec_id,
+       MAX(scale) AS scale_fp,
+       CAST(SUM(err) AS BIGINT) AS sum_abs_err,
+       CAST(MAX(err) AS BIGINT) AS max_abs_err,
+       CAST(COUNT(CASE WHEN acode = {_INT8_MAX} THEN 1 END) AS BIGINT)
+           AS n_saturated
+FROM errs GROUP BY vec_id
+""",
+    tags=("similarity", "quantization", "curation"),
+)
+def q127_int8_quantize_error(spark, sf_dir):
+    """Symmetric int8 quantization error report per embedding: scale =
+    max |component| (fixed-point), code = round-half-up(|x|*127/scale)
+    with sign, error = | |x| - dequant | -- all exact BIGINT arithmetic
+    so Spark and DuckDB agree bit-for-bit. The health check run before
+    shipping compressed vectors to an ANN index: sum/max error and
+    saturation count per vector."""
+    from ..functions.vectors import quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = quantize_vec(F.col("embedding"))
+    # scale computed row-wise BEFORE the explode: no self-join, and the
+    # per-vector aggregation below combines map-side (a vector's
+    # elements never leave their row's partition).
+    fp = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.greatest(
+            F.array_max(F.transform(v, lambda e: F.abs(e))),
+            F.lit(1).cast("long"),
+        ).alias("scale"),
+    )
+    el = fp.select("vec_id", "scale", F.explode("v").alias("e"))
+    codes = el.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            f"(abs(e) * {2 * _INT8_MAX} + scale) div (2 * scale)"
+        ).alias("acode"),
+        F.abs(F.col("e")).alias("ae"),
+    )
+    errs = codes.withColumn(
+        "err", F.expr(f"abs(ae - (acode * scale) div {_INT8_MAX})")
+    )
+    return errs.groupBy("vec_id").agg(
+        F.max("scale").alias("scale_fp"),
+        F.sum("err").cast("long").alias("sum_abs_err"),
+        F.max("err").cast("long").alias("max_abs_err"),
+        F.count(F.when(F.col("acode") == _INT8_MAX, 1)).alias("n_saturated"),
+    )

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops2,
         llm_ops3,
         llm_ops4,
+        llm_ops5,
         media_ops,
         pos_ops,
         relational,

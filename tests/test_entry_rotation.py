@@ -33,7 +33,14 @@ _ALIAS = re.compile(r"^00r\d+_")
 
 #: Registry names introduced after round 4 (keep in sync as operators
 #: land): excluded when reconstructing the round-4 export ordering.
-_NEW_SINCE_R4: frozenset[str] = frozenset()
+_NEW_SINCE_R4: frozenset[str] = frozenset(
+    {
+        "q124_ann_lsh_seeded",
+        "q125_ann_ivf_nprobe",
+        "q126_source_cap_sample",
+        "q127_int8_quantize_error",
+    }
+)
 
 
 def _entry_module():

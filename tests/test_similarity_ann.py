@@ -1,0 +1,166 @@
+"""Invariant tests for the approximate-ANN knobs (VERDICT r4 items 7/8).
+
+q58/q124 sign-LSH and q75/q125 IVF are approximate by design, so they
+carry rows-only oracle checks; these tests pin the properties that make
+the approximations trustworthy at scale:
+
+* seeded Gaussian planes are deterministic per seed and well-spread
+  (bucket balance -- a skewed bucket is a skewed equi-join at 100 TB);
+* seeded LSH achieves a recall floor vs brute force (q57's exact plan);
+* IVF recall grows with nprobe (the knob does what it claims) and
+  nprobe=1 reproduces the probe-own-cell plan exactly.
+
+Floors are pinned against measured values on the sf0.01 fixture (seeded
+recall 4/50, IVF recall 5->9->16 of 30 for nprobe 1/2/4) with one unit
+of slack for fixture regeneration.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_data_insertion_etl_spark.catalog import load_table
+from pos_data_insertion_etl_spark.functions.vectors import quantize_vec
+from pos_data_insertion_etl_spark.operators.similarity import (
+    _plane_dot,
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+    seeded_planes,
+)
+
+from .conftest import SF_CORRECT
+
+_DIM = 64
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_CORRECT, "embeddings")
+
+
+def test_seeded_planes_deterministic_and_shaped():
+    a = seeded_planes(6, _DIM, 42)
+    assert a == seeded_planes(6, _DIM, 42)
+    assert a != seeded_planes(6, _DIM, 43)
+    assert len(a) == 6 and all(len(row) == _DIM for row in a)
+    # Gaussian directions: every plane must touch many coordinates
+    # (the axis-aligned substitution has exactly one nonzero)
+    assert all(sum(1 for x in row if x != 0.0) > _DIM // 2 for row in a)
+
+
+def test_seeded_lsh_buckets_are_balanced(spark, emb):
+    """Bucket occupancy bounds: a hot bucket is a hot join key. 6
+    planes -> 64 possible buckets over 500 vectors; measured: 63
+    distinct, max 22."""
+    planes = seeded_planes(6, _DIM, 42)
+    bits = [
+        F.when(_plane_dot(F.col("embedding"), row) >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        for row in planes
+    ]
+    occ = (
+        emb.select(F.concat(*bits).alias("bucket"))
+        .groupBy("bucket")
+        .count()
+        .agg(F.count("*").alias("nb"), F.max("count").alias("mx"))
+        .collect()[0]
+    )
+    assert occ.nb >= 32  # most of the keyspace in use
+    assert occ.mx <= 50  # no bucket holds >10% of the corpus
+
+
+def test_seeded_lsh_recall_floor(spark, emb):
+    """Same-bucket candidates must recover a floor of the true top-5
+    (random 64-dim fixture vectors are near-orthogonal, so ~8% recall
+    at 6 planes is the theory-consistent measured value; floor 3/50)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = _pairs(cosine_topk(emb, queries, "vec_id", "embedding", k=5))
+    got = _pairs(
+        lsh_bucket_topk(
+            emb, queries, "vec_id", "embedding",
+            k=5, n_planes=6, seed=42, dim=_DIM,
+        )
+    )
+    assert len(truth) == 50
+    assert len(truth & got) >= 3
+    # every reported neighbor shares the query's bucket -> cos_sim is
+    # the EXACT similarity, so reported pairs are a subset of correct
+    # values even when ranks differ from the global truth
+    assert got  # nonempty (empty would pass the rows-only gate)
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        quantize_vec(F.col("embedding")).alias("cv"),
+    )
+
+
+def test_ivf_nprobe_1_is_probe_own_cell(spark, emb, centroids):
+    """nprobe=1 must reproduce the original plan row-for-row: the
+    query's top-1 centroid IS its assignment under the same tiebreak."""
+    pred = lambda c: c.between(100, 109)  # noqa: E731
+    a = ivf_topk(emb, "vec_id", "embedding", centroids, pred, k=3, nprobe=1)
+    rows = {tuple(r) for r in a.collect()}
+    # q75 is the registry form of the nprobe=1 plan
+    from pos_data_insertion_etl_spark.plans.llm_ops import q75_ann_ivf
+
+    assert rows == {tuple(r) for r in q75_ann_ivf(spark, SF_CORRECT).collect()}
+
+
+def test_ivf_recall_grows_with_nprobe(spark, emb, centroids):
+    """The recall-vs-candidates knob: measured recall@3 = 5/9/16 of 30
+    for nprobe=1/2/4 on the fixture; assert strict improvement with a
+    unit of slack, and that candidate quality is monotone per query
+    (probing more cells can only raise the similarity floor of the
+    reported top-k)."""
+    pred = lambda c: c.between(100, 109)  # noqa: E731
+    truth = _pairs(
+        cosine_topk(
+            emb, emb.filter(F.col("vec_id").between(100, 109)),
+            "vec_id", "embedding", k=3,
+        )
+    )
+    recalls = {}
+    results = {}
+    for nprobe in (1, 2, 4):
+        df = ivf_topk(
+            emb, "vec_id", "embedding", centroids, pred, k=3, nprobe=nprobe
+        )
+        results[nprobe] = df.collect()
+        recalls[nprobe] = len(truth & {(r.query_id, r.neighbor_id) for r in results[nprobe]})
+    assert recalls[1] <= recalls[2] <= recalls[4]
+    assert recalls[2] >= recalls[1] + 1  # measured 5 -> 9
+    assert recalls[4] >= recalls[2] + 1  # measured 9 -> 16
+    # per-query top-1 similarity is monotone in nprobe
+    for lo, hi in ((1, 2), (2, 4)):
+        best_lo = {}
+        for r in results[lo]:
+            best_lo[r.query_id] = max(best_lo.get(r.query_id, -2.0), r.cos_sim)
+        best_hi = {}
+        for r in results[hi]:
+            best_hi[r.query_id] = max(best_hi.get(r.query_id, -2.0), r.cos_sim)
+        for qid, s in best_lo.items():
+            assert best_hi.get(qid, -2.0) >= s
+
+
+def test_ivf_nprobe_validation(emb, centroids):
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_topk(
+            emb, "vec_id", "embedding", centroids,
+            lambda c: c < 10, k=3, nprobe=0,
+        )
+
+
+def test_seeded_lsh_requires_dim(emb):
+    with pytest.raises(ValueError, match="dim"):
+        lsh_bucket_topk(
+            emb, emb.limit(1), "vec_id", "embedding", seed=7
+        )
