@@ -1,10 +1,11 @@
 #!/usr/bin/env python3
 """Generate ORACLE_LOCAL_r{N}.json: a committed, per-query
 machine-readable record of the LOCAL oracle replica over the FULL query
-registry (the driver's CORRECTNESS file caps at the alphabetically
-first 50 entries, so the registry tail would otherwise ride on pytest
-alone). Same shape as the driver artifact: rows/schema/hash matches per
-query; rows-only queries (no oracle SQL) record a non-empty row count.
+registry (the driver's CORRECTNESS file caps at the first 50
+insertion-order entries of queries(), so the registry tail would
+otherwise ride on pytest alone). Same shape as the driver artifact:
+rows/schema/hash matches per query; rows-only queries (no oracle SQL)
+record a non-empty row count.
 
 Run: python tools/oracle_local.py <round> [sf_dir]
 """
