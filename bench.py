@@ -5,16 +5,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Noise discipline (round 4): each headline query gets ONE untimed
-warm-up execution (plan compilation, codegen, shuffle-file and
-page-cache warming) followed by $SPARK_GRAFT_BENCH_REPS (default 3)
-timed executions; `queries` reports the per-query MEDIAN and `spread`
-the max-min across the timed reps, so a drifting number can be told
-from a noisy one. `value` is the summed medians. Session config is
-pinned explicitly (shuffle partitions = $SPARK_GRAFT_CPUS) and echoed
-in the output. Regression criterion across rounds: a shared query's
-MEDIAN >1.25x the prior round's median is a regression; anything
-inside the larger of the two spreads is noise.
+Noise discipline (round 4, tightened round 5): each headline query gets
+ONE untimed warm-up execution (plan compilation, codegen, shuffle-file
+and page-cache warming) followed by $SPARK_GRAFT_BENCH_REPS (default 3)
+timed executions. When the observed spread exceeds 30% of the median
+(the r4 q57/mart_pipeline failure mode), up to $SPARK_GRAFT_BENCH_MAX_EXTRA
+(default 4) EXTRA reps are run so the median settles. `queries` reports
+the per-query MEDIAN; `spread` is the max-min of the three
+median-adjacent reps (identical to plain max-min at 3 reps) -- the
+uncertainty OF THE MEDIAN, immune to a single straggler rep that
+max-min over 7 reps would pin forever. `value` is the summed medians.
+Session config is pinned explicitly (shuffle partitions =
+$SPARK_GRAFT_CPUS) and echoed in the output. Regression criterion
+across rounds: a shared query's MEDIAN >1.25x the prior round's median
+is a regression; anything inside the larger of the two spreads is noise.
 """
 
 from __future__ import annotations
@@ -67,17 +71,42 @@ HEADLINE = [
     # round 4 additions: the shuffling corpus-hygiene ops
     "q118_boilerplate_blocks",
     "q119_paragraph_dedup",
+    # round 5 additions: seeded-plane LSH (JVM HOF fold per plane),
+    # window-group-limit source cap, explode + map-side-combine int8 report
+    "q124_ann_lsh_seeded",
+    "q126_source_cap_sample",
+    "q127_int8_quantize_error",
 ]
 
 
-def _timed_reps(fn, reps: int) -> list[float]:
-    """One untimed warm-up + `reps` timed runs of a zero-arg callable."""
+def _central_spread(runs: list[float]) -> float:
+    """Max-min of the three median-adjacent values: the median's own
+    uncertainty. Equals plain max-min for 3 reps."""
+    s = sorted(runs)
+    mid = len(s) // 2
+    lo = max(0, mid - 1)
+    window = s[lo : lo + 3] if len(s) >= 3 else s
+    return max(window) - min(window)
+
+
+def _timed_reps(fn, reps: int, max_extra: int) -> list[float]:
+    """One untimed warm-up + `reps` timed runs; widen by up to
+    `max_extra` reps while the spread exceeds 30% of the median."""
     fn()  # warm-up: compile + cache effects excluded from timing
     out = []
-    for _ in range(reps):
+
+    def one() -> None:
         t0 = time.perf_counter()
         fn()
         out.append(time.perf_counter() - t0)
+
+    for _ in range(reps):
+        one()
+    while (
+        len(out) < reps + max_extra
+        and _central_spread(out) > 0.3 * statistics.median(out)
+    ):
+        one()
     return out
 
 
@@ -143,6 +172,7 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "4"))
     # Pinned session config: shuffle partitions explicit, not inherited
     # from whatever session a prior tool left behind.
     spark = get_session("pos-etl-bench", shuffle_partitions=cpus)
@@ -161,19 +191,26 @@ def main() -> None:
     spread: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
-        runs = _timed_reps(lambda: spec.spark(spark, sf_dir).collect(), reps)
+        runs = _timed_reps(
+            lambda: spec.spark(spark, sf_dir).collect(), reps, max_extra
+        )
         timings[name] = round(statistics.median(runs), 3)
-        spread[name] = round(max(runs) - min(runs), 3)
+        spread[name] = round(_central_spread(runs), 3)
     for name, fn in (
         ("mart_pipeline_e2e", lambda: bench_mart_pipeline(spark)),
         ("staged_ingest_e2e", lambda: bench_staged_ingest(spark)),
     ):
         # e2e benches time only their pipeline body (fixture setup is
-        # outside their internal timer), so run them reps+1 times and
-        # take the median of the reported times, first run as warm-up.
+        # outside their internal timer), so run them reps+1 times, first
+        # run as warm-up, widening like the query reps while noisy.
         runs = [fn() for _ in range(reps + 1)][1:]
+        while (
+            len(runs) < reps + max_extra
+            and _central_spread(runs) > 0.3 * statistics.median(runs)
+        ):
+            runs.append(fn())
         timings[name] = round(statistics.median(runs), 3)
-        spread[name] = round(max(runs) - min(runs), 3)
+        spread[name] = round(_central_spread(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
