@@ -37,6 +37,7 @@ def test_rows_only_inventory_is_known():
         "q58_ann_lsh_bucket",
         "q63_approx_distinct",
         "q64_percentile_approx",
+        "q124_ann_lsh_seeded",  # structural tests in test_similarity_ann.py
     }
 
 

@@ -64,15 +64,27 @@ def test_running_totals_v2_across_batches(spark, sf_smoke, tmp_path):
     across micro-batches and matches the v1 operator's final state.
 
     The v2 driver-worker protocol needs google.protobuf; this container
-    ships a broken protobuf (and installs are off-limits), so the test
-    skips when the import fails -- the operator itself targets the
-    public Spark 4 API unchanged."""
+    ships no protobuf distribution (and installs are off-limits), so
+    compat.ensure_protobuf() activates the vendored cloudsdk redirect
+    shim (conftest runs it before the session starts, as the workers
+    need it on PYTHONPATH). Skips only if neither a real protobuf nor
+    the shim is available."""
     import pytest
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
+    from pos_data_insertion_etl_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
         pytest.skip("google.protobuf unavailable: v2 state runner cannot start")
+    try:
+        from pyspark.sql.streaming.proto import StateMessage_pb2 as _M
+    except ImportError as exc:  # pragma: no cover - shim regression guard
+        pytest.skip(f"StateMessage_pb2 import failed under protobuf shim: {exc}")
+    # Wire-level sanity before paying for a streaming query: the 4.23
+    # runtime must round-trip the 6.33-gencode messages.
+    probe = _M.StateRequest(version=2)
+    echo = _M.StateRequest()
+    echo.ParseFromString(probe.SerializeToString())
+    assert echo.version == 2
     from pos_data_insertion_etl_spark.streaming.jobs import (
         running_user_totals_v2,
     )
