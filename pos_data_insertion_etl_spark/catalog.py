@@ -31,19 +31,35 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table as a DataFrame.
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-local TIMESTAMP (LTZ),
+    whatever the parquet generation encoded:
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as nanos-since-epoch (long) and
-    convert to a microsecond timestamp (same truncation DuckDB applies
-    when casting TIMESTAMP_NS to TIMESTAMP).
+    * TIMESTAMP(NANOS) -- Spark's vectorized reader rejects it; with
+      ``nanosAsLong`` (session.RUNTIME_CONFS) it arrives as
+      nanos-since-epoch BIGINT, converted here to microseconds (the same
+      truncation DuckDB applies casting TIMESTAMP_NS to TIMESTAMP).
+    * tz-naive TIMESTAMP(MICROS) -- arrives as TIMESTAMP_NTZ (Spark's
+      ``inferTimestampNTZ`` default); cast to TIMESTAMP, which under the
+      UTC session timezone preserves the wall-clock value and therefore
+      matches DuckDB's naive reading. Watermarks/windows require LTZ.
     """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table as a DataFrame (event-time normalized: see
+    normalize_event_ts)."""
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

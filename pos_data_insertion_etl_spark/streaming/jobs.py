@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import normalize_event_ts
 from ..session import apply_runtime_confs
 from ..sources.zipsource import records_from_paths
 
@@ -29,18 +30,16 @@ from ..sources.zipsource import records_from_paths
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Streaming view of the events table. The parquet carries
-    TIMESTAMP(NANOS) (read as long via nanosAsLong, then converted),
-    matching catalog.load_table's batch behavior."""
+    """Streaming view of the events table, event-time normalized to LTZ
+    (catalog.normalize_event_ts) to match catalog.load_table's batch
+    behavior -- watermarks reject TIMESTAMP_NTZ."""
     apply_runtime_confs(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_ts(df)
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

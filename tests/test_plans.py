@@ -40,6 +40,8 @@ ALLOWED_BNLJ = {
     "q74_minhash_estimate": "id-gap stand-in, see q90 for scale path",
     # broadcast centroid table for cluster assignment
     "q75_ann_ivf": "broadcast centroids for assignment",
+    # same broadcast-centroid ranking, probing nprobe cells per query
+    "q125_ann_ivf_nprobe": "broadcast centroids for assignment + probe",
     # single-row corpus-size scalar broadcast into the tf-idf weights
     "q81_tfidf_topterms": "1-row corpus scalar broadcast",
     # single-row global-total scalar broadcast into the HAVING filter

@@ -7,6 +7,7 @@ import shutil
 from pyspark.sql import functions as F
 
 from pos_data_insertion_etl_spark.session import apply_runtime_confs
+from pos_data_insertion_etl_spark.catalog import normalize_event_ts
 from pos_data_insertion_etl_spark.streaming.jobs import running_user_totals
 
 
@@ -25,8 +26,7 @@ def test_running_totals_across_batches(spark, sf_smoke, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
 
     q = (
         running_user_totals(stream)
@@ -108,8 +108,7 @@ def test_running_totals_v2_across_batches(spark, sf_smoke, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
 
     q = (
         running_user_totals_v2(stream)

@@ -9,7 +9,7 @@ import collections
 import pytest
 from pyspark.sql import functions as F
 
-from pos_data_insertion_etl_spark.catalog import load_table
+from pos_data_insertion_etl_spark.catalog import load_table, normalize_event_ts
 from pos_data_insertion_etl_spark.streaming.jobs import (
     hourly_event_counts,
     pos_stream_ingest,
@@ -95,8 +95,7 @@ def test_streaming_dedup(spark, sf_smoke, tmp_path):
     apply_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_smoke}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(str(d))
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     q = _run_to_memory(streaming_dedup(stream), "dedup_out")
     n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n
     n_src = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
