@@ -1,0 +1,132 @@
+"""Unigram language-model scoring: per-document cross-entropy against a
+corpus-trained add-one-smoothed unigram model (the CCNet-style
+"perplexity filter" stage of an LLM-data pipeline, minus the external
+KenLM binary -- the model is trained on the corpus itself, in-engine).
+
+Scale design (100 TB):
+
+* Tokenization + explode are map-side (no shuffle of text).
+* The vocabulary count is ONE shuffle keyed on token -- partial
+  aggregation absorbs the Zipf head ("the" combines map-side), so the
+  hot keys ship one partial row per task, not one row per occurrence.
+* The model is capped to the top ``top_v`` tokens and BROADCAST; rare
+  tail tokens score as OOV. The scoring join is therefore map-side.
+* The per-document reduce ships (doc_id, partial_sum, partial_count)
+  pairs -- integer fixed-point log-probs, so partial sums are exact and
+  associative regardless of partitioning.
+
+Determinism across engines: each token's log-prob is computed ONCE, in
+the (small) model table, from exact integer counts, then rounded to
+1e-6 and held as a fixed-point BIGINT. Document sums are integer sums
+of those fixed-point values (associative -- any shuffle order gives the
+same bits); the final division and rounding are single IEEE ops on
+identical operands in Spark and DuckDB.
+
+The reference has no text-quality tier at all (its analytics are
+delegated to SQL Server stored procedures, /root/reference/main.py:
+181-211); this operator is part of the engine's LLM-curation surface
+(SURVEY.md north star), alongside operators/quality.py and
+plans/llm_ops*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+#: fixed-point scale for per-token log-probabilities.
+LP_SCALE = 1_000_000
+
+
+def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) pairs: lowercase, whitespace-split, empty-text rows
+    dropped (same tokenization the DuckDB oracle applies)."""
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("tok"),
+        )
+    )
+
+
+def unigram_model(
+    tokens: DataFrame, top_v: int
+) -> tuple[DataFrame, DataFrame]:
+    """Train the capped unigram model.
+
+    Returns (model, scalars): ``model`` is the top-``top_v`` tokens with
+    their fixed-point add-one log-probs (broadcast-sized by
+    construction); ``scalars`` is one row carrying the OOV log-prob.
+    Denominator is N + V + 1 (corpus tokens + distinct vocabulary + one
+    OOV class), so probabilities sum to < 1 with mass reserved for
+    unseen tokens.
+    """
+    vocab = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    w = W.orderBy(F.desc("c"), "tok")
+    top = (
+        vocab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_v)
+        .drop("rn")
+    )
+    denom = F.col("n") + F.col("v") + F.lit(1)
+    model = top.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.round(
+            F.log((F.col("c") + F.lit(1)).cast("double") / denom.cast("double"))
+            * LP_SCALE
+        )
+        .cast("long")
+        .alias("lp_fp"),
+    )
+    scalars = totals.select(
+        F.round(F.log(F.lit(1.0) / denom.cast("double")) * LP_SCALE)
+        .cast("long")
+        .alias("oov_fp")
+    )
+    return model, scalars
+
+
+def unigram_lm_scores(
+    df: DataFrame, text_col: str, id_col: str, top_v: int = 20
+) -> DataFrame:
+    """Per-document [id, n_tokens, cross_entropy, ppl_proxy].
+
+    ``cross_entropy`` is mean negative log-prob (nats/token) under the
+    corpus-trained model; ``ppl_proxy`` its exponential. High values =
+    unusual token distribution = curation candidates.
+    """
+    toks = tokenize(df, text_col, id_col)
+    model, scalars = unigram_model(toks, top_v)
+    scored = (
+        toks.join(F.broadcast(model), "tok", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lp_fp"), F.col("oov_fp")).alias("fp"),
+        )
+    )
+    ce = (
+        -F.col("sum_fp").cast("double")
+        / F.lit(LP_SCALE)
+        / F.col("n_tokens").cast("double")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("fp").alias("sum_fp"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(ce, 6).alias("cross_entropy"),
+            F.round(F.exp(F.round(ce, 6)), 4).alias("ppl_proxy"),
+        )
+    )

@@ -74,3 +74,94 @@ def quality_report(
         )
         report = report.unionByName(row)
     return report
+
+
+# ---------------------------------------------------------------------------
+# Document-level heuristic quality rules (Gopher/C4-style).
+
+
+#: Stopword probe set (Gopher's "contains >= 2 of these" rule).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Rule-based document quality in ONE expression-only pass -- the
+    Gopher/C4 heuristic filter family (word-count bounds, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alphabetic
+    word fraction, stopword presence) as per-document metrics + flags.
+
+    Complements unigram_lm_scores (statistical) and quality_report
+    (schema-level): this is the cheap row-wise gate that runs FIRST in a
+    curation pipeline, before anything that shuffles. Everything here is
+    built-in string/array expressions inside whole-stage codegen -- zero
+    shuffles, zero Python, so at 100 TB it is scan-bound.
+
+    Determinism: ratios are computed from exact integer counts and
+    rounded to 1e-6; NULL (not a crash, not a flag pass) when a
+    denominator is zero -- matching the DuckDB oracle exactly.
+    """
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n_words = F.when(t == "", F.lit(0)).otherwise(F.size(words))
+    # total word characters = text with ALL whitespace removed
+    n_word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    n_alpha_words = F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.trim(x), 1, 2).isin("- ", "* ", "• "),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+    )
+    n_symbols = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        + F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    )
+    stop_hits = sum(
+        (
+            F.array_contains(words, w).cast("int")
+            for w in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+
+    def ratio(num, den):
+        return F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+        )
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        ratio(n_word_chars, n_words).alias("mean_word_len"),
+        ratio(n_symbols, n_words).alias("symbol_word_ratio"),
+        ratio(n_bullet, n_lines).alias("bullet_line_frac"),
+        ratio(n_ellipsis, n_lines).alias("ellipsis_line_frac"),
+        ratio(n_alpha_words, n_words).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+    )
+    flags = {
+        "flag_word_count": F.col("n_words").between(min_words, max_words),
+        "flag_mean_word_len": F.col("mean_word_len").between(3.0, 10.0),
+        "flag_symbol_ratio": F.col("symbol_word_ratio") < 0.1,
+        "flag_bullet_lines": F.col("bullet_line_frac") <= 0.9,
+        "flag_ellipsis_lines": F.col("ellipsis_line_frac") <= 0.3,
+        "flag_alpha_words": F.col("alpha_word_frac") >= 0.8,
+        "flag_stopwords": F.col("stopword_hits") >= 2,
+    }
+    for name, cond in flags.items():
+        out = out.withColumn(name, F.coalesce(cond, F.lit(False)))
+    gopher_pass = F.lit(True)
+    for name in flags:
+        gopher_pass = gopher_pass & F.col(name)
+    return out.withColumn("gopher_pass", gopher_pass)

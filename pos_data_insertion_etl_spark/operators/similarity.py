@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.vectors import (
+    SCALE,
     cosine_precomputed,
     norm_fixed_point,
     quantize_vec,
@@ -327,3 +328,240 @@ def lsh_bucket_topk(
         sims.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to m byte-codes, search
+# with asymmetric distance computation (ADC).
+
+
+def quantize_unit_vec(col):
+    """Normalize to a unit vector, then fixed-point quantize. On unit
+    vectors squared L2 is 2 - 2*cos, so PQ's L2-based ADC ranking agrees
+    with cosine ranking up to quantization error -- the standard
+    cosine-metric PQ construction. One double sqrt per vector; each
+    component then rounds identically in Spark and DuckDB."""
+    v = col.cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.transform(v, lambda x: F.round(x / norm * SCALE).cast("long"))
+
+
+def _subvectors(q_vec, m: int, dim: int):
+    """Quantized vector -> array of (sub_idx, subvector) structs, ready
+    to explode. Pure expression; the split is free at scan time."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("sub_idx"),
+                F.slice(q_vec, i * sub + 1, sub).alias("subvec"),
+            )
+            for i in range(m)
+        ]
+    )
+
+
+def _l2sq(a, b):
+    """Exact integer squared L2 between two quantized subvectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, n_codes: int, dim: int
+) -> DataFrame:
+    """Per-subspace codebook [sub_idx, code, csub]: the first ``n_codes``
+    vectors by id serve as codeword sources (deterministic stand-in for
+    per-subspace k-means at test scale -- the search-side plan is
+    identical either way, and a trained codebook drops in as the same
+    (sub_idx, code, csub) relation)."""
+    qv = quantize_unit_vec(F.col(vec_col))
+    return (
+        corpus.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).cast("long").alias("code"), qv.alias("_v"))
+        .select("code", F.explode(_subvectors(F.col("_v"), m, dim)).alias("s"))
+        .select("s.sub_idx", "code", F.col("s.subvec").alias("csub"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: DataFrame,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """Encode every vector as its nearest codeword per subspace:
+    [id, sub_idx, code]. m rows per vector, ~1 byte of payload each --
+    the 100 TB story is exactly this compression: the (id, sub_idx,
+    code) relation is what downstream search shuffles, never the
+    vectors.
+
+    Plan: map-side subvector explode -> broadcast-join the codebook ->
+    min_by over an integer (distance, code) key. The argmin reduce
+    combines map-side (min_by is associative), so the shuffle carries
+    one candidate row per (vector, subspace) per task.
+    """
+    qv = quantize_unit_vec(F.col(vec_col))
+    exploded = corpus.select(
+        F.col(id_col), F.explode(_subvectors(qv, m, dim)).alias("s")
+    ).select(F.col(id_col), "s.sub_idx", F.col("s.subvec").alias("vsub"))
+    scored = exploded.join(F.broadcast(codebook), "sub_idx").select(
+        F.col(id_col),
+        "sub_idx",
+        "code",
+        _l2sq(F.col("vsub"), F.col("csub")).alias("dist"),
+    )
+    # Single-BIGINT argmin key: distance-major, code tiebreak (codes are
+    # < 2^8; distances are bounded by (2*SCALE)^2 * subdim << 2^55).
+    key = F.col("dist") * F.lit(256) + F.col("code")
+    return (
+        scored.groupBy(id_col, "sub_idx")
+        .agg(F.min_by("code", key).alias("code"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred,
+    m: int = 8,
+    n_codes: int = 32,
+    k: int = 3,
+    dim: int = 64,
+    train_iters: int = 4,
+) -> DataFrame:
+    """ADC top-k: [query_id, neighbor_id, adc_dist, rn].
+
+    Queries keep their exact subvectors; corpus vectors participate only
+    as codes. Per query the distance to EVERY codeword is precomputed
+    per subspace (q x m x n_codes rows -- broadcast-sized), then the
+    approximate distance to a corpus vector is the SUM of table lookups
+    along its code row -- an equi-join on (sub_idx, code) plus an
+    integer sum, never a vector op per pair. Approximate by design
+    (quantization error), like IVF/sign-LSH; recall floors are pinned by
+    invariant tests rather than a value oracle.
+    """
+    if train_iters > 0:
+        codebook = pq_train(
+            corpus, id_col, vec_col, m, n_codes, dim, iters=train_iters
+        )
+    else:
+        codebook = pq_codebook(corpus, id_col, vec_col, m, n_codes, dim)
+    codes = pq_encode(corpus, id_col, vec_col, codebook, m, dim)
+    qv = quantize_unit_vec(F.col(vec_col))
+    qsub = (
+        corpus.filter(query_pred(F.col(id_col)))
+        .select(F.col(id_col).alias("query_id"), qv.alias("_v"))
+        .select(
+            "query_id", F.explode(_subvectors(F.col("_v"), m, dim)).alias("s")
+        )
+        .select("query_id", "s.sub_idx", F.col("s.subvec").alias("qsub"))
+    )
+    # distance table: query x subspace x codeword
+    dtab = qsub.join(F.broadcast(codebook), "sub_idx").select(
+        "query_id",
+        "sub_idx",
+        "code",
+        _l2sq(F.col("qsub"), F.col("csub")).alias("qdist"),
+    )
+    pairs = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(dtab), ["sub_idx", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qdist").alias("adc_dist"), F.count(F.lit(1)).alias("_m"))
+        # a neighbor must have a lookup row in EVERY subspace (inner
+        # join guarantees it here, but assert via count to keep the
+        # contract explicit if the join form ever changes)
+        .filter(F.col("_m") == m)
+        .drop("_m")
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    n_codes: int,
+    dim: int,
+    iters: int = 4,
+) -> DataFrame:
+    """Train the PQ codebook with per-subspace Lloyd iterations,
+    initialized from the first ``n_codes`` vectors by id.
+
+    Each iteration: encode against the current codebook (broadcast join
+    + integer argmin, see pq_encode), then recompute every codeword as
+    the component-wise mean of its assigned subvectors (posexplode ->
+    one shuffle keyed on (sub_idx, code, component) with map-side
+    partial sums -> reassemble). Codewords that attract no vectors keep
+    their previous value. Means of exact integer sums round identically
+    everywhere, so training is deterministic.
+
+    The trained codebook (m x n_codes rows) is pulled to the driver
+    between iterations -- a bounded, metadata-sized collect that
+    truncates the iteration's lineage (the same pattern as
+    operators/graph.py's pointer jumping); at 100 TB you train on a
+    bounded SAMPLE (standard PQ practice: codebooks converge on ~1e5
+    vectors) and only ENCODE the full corpus.
+    """
+    spark = corpus.sparkSession
+    cb = pq_codebook(corpus, id_col, vec_col, m, n_codes, dim)
+    qv = quantize_unit_vec(F.col(vec_col))
+    subs = corpus.select(
+        F.col(id_col), F.explode(_subvectors(qv, m, dim)).alias("s")
+    ).select(F.col(id_col), "s.sub_idx", F.col("s.subvec").alias("vsub"))
+    for _ in range(iters):
+        codes = pq_encode(corpus, id_col, vec_col, cb, m, dim)
+        assigned = subs.join(codes, [id_col, "sub_idx"])
+        comp = assigned.select(
+            "sub_idx",
+            "code",
+            F.posexplode("vsub").alias("pos", "val"),
+        )
+        means = (
+            comp.groupBy("sub_idx", "code", "pos")
+            .agg(F.round(F.avg("val")).cast("long").alias("cval"))
+            .groupBy("sub_idx", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "cval"))
+                    ),
+                    lambda s: s.cval,
+                ).alias("csub_new")
+            )
+        )
+        updated = (
+            cb.join(means, ["sub_idx", "code"], "left")
+            .select(
+                "sub_idx",
+                "code",
+                F.coalesce(F.col("csub_new"), F.col("csub")).alias("csub"),
+            )
+            .collect()
+        )
+        cb = spark.createDataFrame(
+            [(r.sub_idx, r.code, r.csub) for r in updated],
+            "sub_idx int, code long, csub array<long>",
+        )
+    return cb

@@ -1,0 +1,283 @@
+"""Round-5 library operators (register in the query inventory next
+round -- the driver's 50-entry evidence window is exactly full this
+round, COVERAGE.md "Window capacity note"): Gopher-style quality rules,
+unigram-LM cross-entropy scoring, and product-quantization ANN. The
+first two hash-match a DuckDB oracle here with the same
+oracle_harness.compare the driver methodology uses; PQ search is
+approximate by design, so (like q58/q124) its encode stage is
+oracle-checked and its search stage carries structural + recall-floor
+invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_data_insertion_etl_spark.catalog import load_table
+from pos_data_insertion_etl_spark.operators.lm_score import (
+    unigram_lm_scores,
+)
+from pos_data_insertion_etl_spark.operators.quality import (
+    gopher_quality_flags,
+)
+from pos_data_insertion_etl_spark.operators.similarity import (
+    cosine_topk,
+    pq_codebook,
+    pq_encode,
+    pq_topk,
+)
+
+from .oracle_harness import compare, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+GOPHER_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         trim(text) AS t,
+         string_split_regex(trim(text), '\\s+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN 0 ELSE len(words) END AS n_words,
+         length(regexp_replace(t, '\\s+', '', 'g')) AS n_word_chars,
+         len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             x -> substr(trim(x), 1, 2) IN ('- ', '* ', '• '))) AS n_bullet,
+         len(list_filter(lines, x -> rtrim(x) LIKE '%...')) AS n_ellipsis,
+         (length(t) - length(replace(t, '#', '')))
+           + (length(t) - length(replace(t, '…', ''))) AS n_symbols,
+         (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END
+         ) AS stop_hits
+  FROM base
+), r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN ROUND(CAST(n_word_chars AS DOUBLE) / n_words, 6) END
+             AS mean_word_len,
+         CASE WHEN n_words > 0
+              THEN ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6) END
+             AS symbol_word_ratio,
+         CASE WHEN n_lines > 0
+              THEN ROUND(CAST(n_bullet AS DOUBLE) / n_lines, 6) END
+             AS bullet_line_frac,
+         CASE WHEN n_lines > 0
+              THEN ROUND(CAST(n_ellipsis AS DOUBLE) / n_lines, 6) END
+             AS ellipsis_line_frac,
+         CASE WHEN n_words > 0
+              THEN ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) END
+             AS alpha_word_frac,
+         CAST(stop_hits AS BIGINT) AS stopword_hits
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       stopword_hits,
+       COALESCE(n_words BETWEEN 50 AND 100000, FALSE) AS flag_word_count,
+       COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE) AS flag_mean_word_len,
+       COALESCE(symbol_word_ratio < 0.1, FALSE) AS flag_symbol_ratio,
+       COALESCE(bullet_line_frac <= 0.9, FALSE) AS flag_bullet_lines,
+       COALESCE(ellipsis_line_frac <= 0.3, FALSE) AS flag_ellipsis_lines,
+       COALESCE(alpha_word_frac >= 0.8, FALSE) AS flag_alpha_words,
+       COALESCE(stopword_hits >= 2, FALSE) AS flag_stopwords,
+       (COALESCE(n_words BETWEEN 50 AND 100000, FALSE)
+        AND COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE)
+        AND COALESCE(symbol_word_ratio < 0.1, FALSE)
+        AND COALESCE(bullet_line_frac <= 0.9, FALSE)
+        AND COALESCE(ellipsis_line_frac <= 0.3, FALSE)
+        AND COALESCE(alpha_word_frac >= 0.8, FALSE)
+        AND COALESCE(stopword_hits >= 2, FALSE)) AS gopher_pass
+FROM r
+"""
+
+
+def test_gopher_flags_match_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    ok, msg = compare(gopher_quality_flags(docs), duck, GOPHER_ORACLE)
+    assert ok, msg
+
+
+def test_gopher_flags_degenerate_rows(spark):
+    """Empty and symbol-only docs: NULL ratios, no crash, no pass."""
+    rows = [(1, ""), (2, "   "), (3, "### ### ###"), (4, "- a\n- b\n- c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[1].n_words == 0 and got[1].mean_word_len is None
+    assert not got[1].gopher_pass and not got[2].gopher_pass
+    assert got[3].symbol_word_ratio == pytest.approx(3.0)
+    assert not got[3].flag_symbol_ratio
+    assert got[4].bullet_line_frac == 1.0 and not got[4].flag_bullet_lines
+
+
+_TOPV = 20
+
+LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) != ''
+), vocab AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab
+), topv AS (
+  SELECT tok, c FROM (
+    SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn FROM vocab
+  ) WHERE rn <= {_TOPV}
+), model AS (
+  SELECT tok,
+         CAST(ROUND(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v + 1 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp_fp
+  FROM topv, tot
+), oov AS (
+  SELECT CAST(ROUND(ln(1.0 / CAST(n + v + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             AS oov_fp
+  FROM tot
+), scored AS (
+  SELECT t.doc_id, COALESCE(m.lp_fp, o.oov_fp) AS fp
+  FROM toks t LEFT JOIN model m USING (tok) CROSS JOIN oov o
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(fp) AS sum_fp FROM scored
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(-CAST(sum_fp AS DOUBLE) / 1000000 / n_tokens, 6) AS cross_entropy,
+       ROUND(exp(ROUND(-CAST(sum_fp AS DOUBLE) / 1000000 / n_tokens, 6)), 4)
+           AS ppl_proxy
+FROM agg
+"""
+
+
+def test_unigram_lm_scores_match_oracle(spark, sf_dir, duck):
+    docs = load_table(spark, sf_dir, "documents")
+    got = unigram_lm_scores(docs, "text", "doc_id", top_v=_TOPV)
+    ok, msg = compare(got, duck, LM_ORACLE)
+    assert ok, msg
+
+
+def test_unigram_lm_oov_scores_worse(spark):
+    """A doc made of unseen-rare tokens must score strictly worse (higher
+    cross-entropy) than one made of the corpus head."""
+    common = [(i, "alpha beta alpha beta alpha") for i in range(20)]
+    rows = common + [(100, "zzq qqz zqq"), (101, "alpha beta alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.cross_entropy
+        for r in unigram_lm_scores(df, "text", "doc_id", top_v=2).collect()
+    }
+    assert got[100] > got[101]
+
+
+_PQ_M = 8
+_PQ_CODES = 16
+_PQ_DIM = 64
+
+PQ_ENCODE_ORACLE = f"""
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+), q AS (
+  SELECT vec_id,
+         list_transform(
+             vd,
+             x -> CAST(ROUND(x / sqrt(list_sum(
+                      list_transform(vd, y -> y * y))) * 10000000)
+                  AS BIGINT)) AS v
+  FROM raw
+), subs AS (
+  SELECT vec_id, s.i AS sub_idx,
+         v[(s.i * ({_PQ_DIM} // {_PQ_M}) + 1)
+           :((s.i + 1) * ({_PQ_DIM} // {_PQ_M}))] AS vsub
+  FROM q CROSS JOIN (SELECT unnest(range({_PQ_M})) AS i) s
+), cb AS (
+  SELECT sub_idx, vec_id AS code, vsub AS csub FROM subs
+  WHERE vec_id < {_PQ_CODES}
+), dists AS (
+  SELECT s.vec_id, s.sub_idx, c.code,
+         list_sum(list_transform(
+             list_zip(s.vsub, c.csub),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM subs s JOIN cb c ON s.sub_idx = c.sub_idx
+)
+SELECT vec_id, CAST(sub_idx AS INTEGER) AS sub_idx,
+       arg_min(code, dist * 256 + code) AS code
+FROM dists GROUP BY vec_id, sub_idx
+"""
+
+
+def test_pq_encode_matches_oracle(spark, sf_dir, duck):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "vec_id", "embedding", _PQ_M, _PQ_CODES, _PQ_DIM)
+    got = pq_encode(emb, "vec_id", "embedding", cb, _PQ_M, _PQ_DIM)
+    ok, msg = compare(got, duck, PQ_ENCODE_ORACLE)
+    assert ok, msg
+
+
+def test_pq_codes_selfmatch(spark, sf_dir):
+    """A codeword-source vector must encode to its own code in every
+    subspace (distance 0 beats everything, code tiebreak irrelevant)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "vec_id", "embedding", _PQ_M, _PQ_CODES, _PQ_DIM)
+    codes = pq_encode(
+        emb.filter(F.col("vec_id") < _PQ_CODES),
+        "vec_id",
+        "embedding",
+        cb,
+        _PQ_M,
+        _PQ_DIM,
+    ).collect()
+    assert len(codes) == _PQ_CODES * _PQ_M
+    assert all(r.code == r.vec_id for r in codes)
+
+
+def test_pq_topk_structure_and_recall(spark, sf_dir):
+    """ADC top-k with a Lloyd-trained codebook: dense ranks ordered by
+    distance, no self-pairs, and recall@10-vs-exact-top-3 above a floor.
+    Untrained id-sampled codewords measure ~0.23 on this corpus and
+    random guessing ~0.06, so the 0.4 floor pins both 'training works'
+    and 'clearly better than random'."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = lambda c: c.between(100, 109)  # noqa: E731
+    approx = pq_topk(
+        emb, "vec_id", "embedding", pred,
+        m=_PQ_M, n_codes=32, k=10, dim=_PQ_DIM, train_iters=4,
+    ).collect()
+    per_query: dict[int, list] = {}
+    for r in approx:
+        assert r.query_id != r.neighbor_id
+        per_query.setdefault(r.query_id, []).append(r)
+    assert set(per_query) == set(range(100, 110))
+    for rs in per_query.values():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.adc_dist for r in rs]
+        assert dists == sorted(dists)
+
+    exact = cosine_topk(
+        emb, emb.filter(pred(F.col("vec_id"))), "vec_id", "embedding", k=3
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for qid, want in exact_sets.items():
+        got = {r.neighbor_id for r in per_query.get(qid, [])}
+        hits += len(want & got)
+        total += len(want)
+    assert total == 30
+    assert hits / total >= 0.4, f"recall {hits}/{total}"
