@@ -90,6 +90,8 @@ def gopher_quality_flags(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stopword_hits: int = 2,
 ) -> DataFrame:
     """Rule-based document quality in ONE expression-only pass -- the
     Gopher/C4 heuristic filter family (word-count bounds, mean word
@@ -127,11 +129,11 @@ def gopher_quality_flags(
         F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
         + F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
     )
+    # The probe set is a parameter: Gopher's English defaults are wrong
+    # for other languages/domains, and the rule must stay meaningful
+    # there (the flag thresholds travel with the list).
     stop_hits = sum(
-        (
-            F.array_contains(words, w).cast("int")
-            for w in GOPHER_STOPWORDS
-        ),
+        (F.array_contains(words, w).cast("int") for w in stopwords),
         F.lit(0),
     )
 
@@ -157,7 +159,7 @@ def gopher_quality_flags(
         "flag_bullet_lines": F.col("bullet_line_frac") <= 0.9,
         "flag_ellipsis_lines": F.col("ellipsis_line_frac") <= 0.3,
         "flag_alpha_words": F.col("alpha_word_frac") >= 0.8,
-        "flag_stopwords": F.col("stopword_hits") >= 2,
+        "flag_stopwords": F.col("stopword_hits") >= min_stopword_hits,
     }
     for name, cond in flags.items():
         out = out.withColumn(name, F.coalesce(cond, F.lit(False)))

@@ -1,0 +1,135 @@
+"""End-to-end corpus curation: the LLM-pretraining data funnel as ONE
+composed DataFrame pipeline.
+
+    raw documents
+      -> Gopher-rule heuristic gate      (expression-only, scan-bound)
+      -> unigram-LM cross-entropy gate   (broadcast model, one token shuffle)
+      -> exact dedup                     (sha2 digest groupBy)
+      -> MinHash/LSH near-dup dedup      (band equi-joins, no all-pairs)
+      -> per-shard sequence packing      (windowed running sum)
+
+Stage ORDER is the scale design: the cheap row-wise gates run first so
+everything that shuffles (dedup, packing) sees the smallest possible
+corpus; the LM model is trained on the heuristic survivors (the
+standard CCNet arrangement -- the reference model should not learn from
+text the rules already reject).
+
+Each stage is an already-tested operator (operators/quality.py,
+operators/lm_score.py, operators/dedup.py); this module contributes the
+composition and the per-stage funnel report. The reference has no
+curation tier (its analytics delegate to stored procedures,
+/root/reference/main.py:181-211); this is the engine's north-star
+surface (SURVEY.md §2 LLM-pipeline operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators.dedup import exact_dedup, neardup_keepers
+from ..operators.lm_score import unigram_lm_scores
+from ..operators.quality import gopher_quality_flags
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    stopwords: tuple[str, ...] | None = None,
+    min_stopword_hits: int = 2,
+    max_cross_entropy: float | None = None,
+    lm_top_v: int = 1000,
+    neardup_num: int = 1,
+    neardup_den: int = 2,
+    n_shards: int = 8,
+    pack_budget: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation funnel.
+
+    Returns ``(packed, funnel)``: ``packed`` assigns every surviving
+    document to (shard, pack_id, offset_in_pack, n_tokens); ``funnel``
+    is the per-stage [stage, stage_order, n_docs] report (computed from
+    the same lineage, so one action materializes both consistently).
+
+    ``max_cross_entropy=None`` skips the LM gate's threshold but still
+    scores (the scores ride along for downstream mixing decisions).
+    """
+    gopher_kwargs = dict(min_words=min_words, max_words=max_words,
+                         min_stopword_hits=min_stopword_hits)
+    if stopwords is not None:
+        gopher_kwargs["stopwords"] = stopwords
+    flags = gopher_quality_flags(docs, text_col, id_col, **gopher_kwargs)
+    heuristic_ok = (
+        docs.join(
+            flags.filter(F.col("gopher_pass")).select(id_col),
+            id_col,
+        )
+    )
+    scores = unigram_lm_scores(heuristic_ok, text_col, id_col, top_v=lm_top_v)
+    scored = heuristic_ok.join(scores, id_col)
+    lm_ok = (
+        scored.filter(F.col("cross_entropy") <= max_cross_entropy)
+        if max_cross_entropy is not None
+        else scored
+    )
+    keepers_exact = exact_dedup(lm_ok, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    exact_ok = lm_ok.join(keepers_exact, id_col)
+    near = neardup_keepers(
+        exact_ok,
+        text_col,
+        id_col,
+        threshold_num=neardup_num,
+        threshold_den=neardup_den,
+    )
+    near_ok = exact_ok.join(
+        near.filter(F.col("keeper_id") == F.col("doc_id")).select(
+            F.col("doc_id").alias(id_col)
+        ),
+        id_col,
+    )
+
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = (
+        near_ok.select(
+            F.col(id_col),
+            (F.col(id_col) % n_shards).alias("shard"),
+            F.col("n_tokens"),
+        )
+        .withColumn("c", F.sum("n_tokens").over(w))
+        .select(
+            F.col(id_col),
+            "shard",
+            "n_tokens",
+            F.expr(f"(c - n_tokens) div {pack_budget}").alias("pack_id"),
+            ((F.col("c") - F.col("n_tokens")) % pack_budget).alias(
+                "offset_in_pack"
+            ),
+        )
+    )
+
+    stages = [
+        ("00_raw", docs),
+        ("01_gopher", heuristic_ok),
+        ("02_lm", lm_ok),
+        ("03_exact_dedup", exact_ok),
+        ("04_neardup", near_ok),
+    ]
+    funnel = None
+    for i, (name, df) in enumerate(stages):
+        row = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"),
+            F.lit(i).cast("long").alias("stage_order"),
+            "n_docs",
+        )
+        funnel = row if funnel is None else funnel.unionByName(row)
+    return packed, funnel

@@ -281,3 +281,52 @@ def test_pq_topk_structure_and_recall(spark, sf_dir):
         total += len(want)
     assert total == 30
     assert hits / total >= 0.4, f"recall {hits}/{total}"
+
+
+def test_curate_corpus_funnel(spark, sf_dir):
+    """End-to-end curation funnel: monotone stage counts, survivors are
+    a subset of the raw ids, packing is contiguous per shard, and the
+    composition is deterministic across runs."""
+    from pos_data_insertion_etl_spark.pipeline.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed, funnel = curate_corpus(
+        docs,
+        min_words=10,
+        stopwords=("the", "a"),
+        min_stopword_hits=1,
+        max_cross_entropy=4.0,
+        pack_budget=256,
+    )
+    stages = {r.stage: r.n_docs for r in funnel.collect()}
+    counts = [stages[k] for k in sorted(stages)]
+    assert counts[0] == docs.count()
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[-1] > 0, "funnel must not collapse to empty"
+
+    rows = packed.collect()
+    assert len(rows) == counts[-1]
+    per_shard: dict[int, list] = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in per_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in shard_rows:
+            assert r.pack_id == run // 256 and r.offset_in_pack == run % 256
+            run += r.n_tokens
+
+    again = {
+        (r.doc_id, r.shard, r.pack_id, r.offset_in_pack)
+        for r in curate_corpus(
+            docs,
+            min_words=10,
+            stopwords=("the", "a"),
+            min_stopword_hits=1,
+            max_cross_entropy=4.0,
+            pack_budget=256,
+        )[0].collect()
+    }
+    assert again == {
+        (r.doc_id, r.shard, r.pack_id, r.offset_in_pack) for r in rows
+    }
