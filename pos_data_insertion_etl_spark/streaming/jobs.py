@@ -224,7 +224,7 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState("totals", "n long, total double")
 
-        def handleInputRows(self, key, rows, timer_values):
+        def handleInputRows(self, key, rows, timerValues):
             prior = self._totals.get() if self._totals.exists() else None
             new_state, out = accumulate_user_totals(key, prior, rows)
             self._totals.update(new_state)
@@ -421,4 +421,134 @@ def pos_stream_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def inactive_user_sessions_v2(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom sessionization via stateful-v2 EVENT-TIME TIMERS: a
+    session closes -- and is emitted exactly once, then its state
+    cleared -- when the watermark passes (last event + gap).
+
+    This is the operator shape the built-in `session_window` aggregate
+    cannot express: arbitrary per-session payload (here count + value
+    total, but anything), explicit close-time control, and state that
+    provably leaves the store on expiry. Each batch merges its rows into
+    the session's ValueState and re-arms ONE timer at last_ts + gap
+    (the previous timer is deleted -- timers don't auto-coalesce);
+    `handleExpiredTimer` emits the closed session [user_id,
+    session_start, session_end, n_events, total_value].
+
+    At scale this is the idiomatic Spark form of the reference's
+    imperative "finalize when quiet" cadence (main.py:590-597): state is
+    per-key in RocksDB, timer wheel and watermark are engine-managed, no
+    driver-side bookkeeping. Requires the v2 runtime (google.protobuf;
+    see compat.ensure_protobuf) and the RocksDB state store.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_minutes * 60_000
+
+    class SessionCloser(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_us long, last_us long, n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            frames = [pdf[["ts", "value"]] for pdf in rows if len(pdf)]
+            if not frames:
+                return iter(())
+            batch = pd.concat(frames, ignore_index=True)
+            # Microsecond precision end to end (events carry micros);
+            # only the timer API itself is millisecond-grained.
+            batch["ts_us"] = pd.to_datetime(batch["ts"]).astype("int64") // 1_000
+            batch = batch.sort_values("ts_us", ignore_index=True)
+
+            # Seed the sweep with the carried open session, if any.
+            if self._sess.exists():
+                cur = list(self._sess.get())
+                for t in list(self._handle.listTimers()):
+                    self._handle.deleteTimer(t)
+            else:
+                cur = None
+
+            # Gaps-and-islands sweep over the merged timeline: rows more
+            # than `gap` past the open session CLOSE it here (the input
+            # side of session splitting); the armed timer only covers
+            # the key going quiet entirely.
+            closed = []
+            gap_us = gap_ms * 1000
+            for ts_us, val in zip(batch["ts_us"], batch["value"]):
+                ts_us = int(ts_us)
+                val = float(val)
+                if cur is None:
+                    cur = [ts_us, ts_us, 1, val]
+                elif ts_us - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = [ts_us, ts_us, 1, val]
+                else:
+                    cur[1] = max(cur[1], ts_us)
+                    cur[2] += 1
+                    cur[3] += val
+            self._sess.update((cur[0], cur[1], cur[2], round(cur[3], 6)))
+            # ceil to ms so the timer never fires a hair early
+            self._handle.registerTimer(-(-cur[1] // 1000) + gap_ms)
+            if not closed:
+                return iter(())
+            out = pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(c[0], unit="us") for c in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(c[1], unit="us") for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [round(c[3], 6) for c in closed],
+                }
+            )
+            return iter((out,))
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            if not self._sess.exists():
+                return iter(())
+            s0, l0, n0, t0 = self._sess.get()
+            self._sess.clear()
+            out = pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(s0, unit="us")],
+                    "session_end": [pd.Timestamp(l0, unit="us")],
+                    "n_events": [n0],
+                    "total_value": [round(t0, 6)],
+                }
+            )
+            return iter((out,))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionCloser(),
+            outputStructType=(
+                "user_id long, session_start timestamp, "
+                "session_end timestamp, n_events long, total_value double"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
     )

@@ -5,6 +5,7 @@ from __future__ import annotations
 import shutil
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pos_data_insertion_etl_spark.session import apply_runtime_confs
 from pos_data_insertion_etl_spark.catalog import normalize_event_ts
@@ -178,3 +179,125 @@ def test_accumulate_user_totals_unit():
     state, out = accumulate_user_totals((7,), state, [])
     assert state == (5, 10.0)
     assert out.loc[0, "n_events"] == 5
+
+
+def test_inactive_sessions_v2_timers(spark, sf_smoke, tmp_path):
+    """Event-time timers close sessions exactly once: batch 1 is the
+    real events file, batches 2 and 3 are the same rows shifted +60 and
+    +120 days (fresh state epochs that also advance the watermark far
+    past every batch-1 session's last_ts + gap). Every batch-1 per-user
+    session from a batch gaps-and-islands recomputation must be emitted
+    with identical (start, end, count, total), with no duplicates."""
+    import pytest
+
+    from pos_data_insertion_etl_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("google.protobuf unavailable: v2 state runner cannot start")
+    from pos_data_insertion_etl_spark.streaming.jobs import (
+        inactive_user_sessions_v2,
+    )
+
+    gap_min = 30
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    apply_runtime_confs(spark)
+
+    base = normalize_event_ts(spark.read.parquet(f"{sf_smoke}/events.parquet"))
+    d = tmp_path / "sess_events"
+    d.mkdir()
+    # The file stream source needs plain FILES (a .write.parquet
+    # directory-per-batch is not picked up); write each batch through a
+    # scratch dir and copy out its single part file.
+    import glob as globmod
+
+    for i, days in enumerate((0, 60, 120), start=1):
+        df = (
+            base
+            if days == 0
+            else base.withColumn(
+                "ts", F.col("ts") + F.expr(f"interval {days} days")
+            )
+        )
+        scratch = tmp_path / f"scratch{i}"
+        df.repartition(1).write.parquet(str(scratch))
+        shutil.copy(
+            globmod.glob(str(scratch / "part-*.parquet"))[0],
+            d / f"b{i}.parquet",
+        )
+
+    schema = spark.read.parquet(str(d / "b1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        inactive_user_sessions_v2(stream, gap_minutes=gap_min)
+        .writeStream.format("memory")
+        .queryName("sessions_v2_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    emitted = spark.sql("SELECT * FROM sessions_v2_out").collect()
+    q.stop()
+    if prior is None:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+    got = {}
+    for r in emitted:
+        key = (r.user_id, r.session_start)
+        assert key not in got, f"duplicate session emission: {key}"
+        got[key] = (r.session_end, r.n_events, round(r.total_value, 2))
+
+    # Batch recomputation of batch-1 sessions (gaps and islands).
+    sess = (
+        base.select("user_id", "ts", "value")
+        .withColumn(
+            "prev",
+            F.lag("ts").over(
+                W.partitionBy("user_id").orderBy("ts")
+            ),
+        )
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev").isNull()
+                | (
+                    F.col("ts").cast("long") - F.col("prev").cast("long")
+                    > gap_min * 60
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                W.partitionBy("user_id").orderBy("ts")
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    )
+    assert sess, "batch recomputation produced no sessions"
+    for r in sess:
+        key = (r.user_id, r.session_start)
+        assert key in got, f"missing session {key}"
+        end, n, tot = got[key]
+        assert (end, n, tot) == (
+            r.session_end,
+            r.n_events,
+            round(r.total_value, 2),
+        ), key
