@@ -130,3 +130,113 @@ def unigram_lm_scores(
             F.round(F.exp(F.round(ce, 6)), 4).alias("ppl_proxy"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str, id_col: str, top_b: int = 200
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained add-one BIGRAM
+    model: mean -ln P(tok | prev) over the document's adjacent pairs.
+    Documents with fewer than two tokens drop out (no bigrams to score).
+
+    Model shape: the top ``top_b`` bigrams ride with exact conditional
+    log-probs; an unseen bigram whose CONTEXT was seen backs off to the
+    context's add-one floor 1/(c(prev) + V + 1) (per-context, so the
+    floor is tight for rare contexts); an unseen context backs off to
+    the global 1/(V + 1). Both fallback tables are broadcast alongside
+    the model -- contexts are vocabulary-sized, not corpus-sized.
+
+    Same determinism scheme as the unigram scorer: every log-prob is
+    computed once in a small table from exact integer counts, rounded
+    to 1e-6 fixed point; document sums are associative integer sums.
+    """
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    bigrams = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), arr.alias("_a"))
+        .filter(F.size(F.col("_a")) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_a"), 1, F.size(F.col("_a")) - 1).alias(
+                        "prev"
+                    ),
+                    F.slice(F.col("_a"), 2, F.size(F.col("_a")) - 1).alias(
+                        "tok"
+                    ),
+                )
+            ).alias("_bg"),
+        )
+        .select(F.col(id_col), F.col("_bg.prev"), F.col("_bg.tok"))
+    )
+    counts = bigrams.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ctx = counts.groupBy("prev").agg(F.sum("c").alias("c_prev"))
+    vocab_n = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(arr).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    denom = F.col("c_prev") + F.col("v") + F.lit(1)
+    ctx_fp = ctx.crossJoin(F.broadcast(vocab_n)).select(
+        "prev",
+        "c_prev",
+        F.round(F.log(F.lit(1.0) / denom.cast("double")) * LP_SCALE)
+        .cast("long")
+        .alias("ctx_oov_fp"),
+    )
+    w = W.orderBy(F.desc("c"), "prev", "tok")
+    model = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_b)
+        .join(ctx_fp.select("prev", "c_prev"), "prev")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "prev",
+            "tok",
+            F.round(
+                F.log(
+                    (F.col("c") + F.lit(1)).cast("double") / denom.cast("double")
+                )
+                * LP_SCALE
+            )
+            .cast("long")
+            .alias("lp_fp"),
+        )
+    )
+    global_fp = vocab_n.select(
+        F.round(
+            F.log(F.lit(1.0) / (F.col("v") + F.lit(1)).cast("double"))
+            * LP_SCALE
+        )
+        .cast("long")
+        .alias("global_oov_fp")
+    )
+    scored = (
+        bigrams.join(F.broadcast(model), ["prev", "tok"], "left")
+        .join(F.broadcast(ctx_fp.select("prev", "ctx_oov_fp")), "prev", "left")
+        .crossJoin(F.broadcast(global_fp))
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("lp_fp"), F.col("ctx_oov_fp"), F.col("global_oov_fp")
+            ).alias("fp"),
+        )
+    )
+    ce = (
+        -F.col("sum_fp").cast("double")
+        / F.lit(LP_SCALE)
+        / F.col("n_bigrams").cast("double")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("fp").alias("sum_fp"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.round(ce, 6).alias("cross_entropy"),
+        )
+    )

@@ -330,3 +330,177 @@ def test_curate_corpus_funnel(spark, sf_dir):
     assert again == {
         (r.doc_id, r.shard, r.pack_id, r.offset_in_pack) for r in rows
     }
+
+
+MIXTURE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         CASE source WHEN 'src0' THEN 10000
+                     WHEN 'src1' THEN 6000
+                     WHEN 'src2' THEN 4000 END AS source_budget
+  FROM documents
+), ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS sel_rank
+  FROM base WHERE source_budget IS NOT NULL
+), summed AS (
+  SELECT *,
+         SUM(n_tokens) OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM ranked
+)
+SELECT doc_id, source, n_tokens, sel_rank, cum_before, source_budget
+FROM summed WHERE cum_before < source_budget
+"""
+
+
+def test_budgeted_mixture_sample_matches_oracle(spark, sf_dir, duck):
+    from pos_data_insertion_etl_spark.operators.mixture import (
+        budgeted_mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = budgeted_mixture_sample(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, total_tokens=20_000
+    )
+    ok, msg = compare(got, duck, MIXTURE_ORACLE)
+    assert ok, msg
+
+
+def test_budgeted_mixture_sample_budget_contract(spark, sf_dir):
+    """Budgets fill to the strict-prefix rule: selected tokens reach at
+    least the budget (unless the source ran out of documents) and
+    exceed it by less than one document; unweighted sources are
+    dropped; quality-first ordering selects the best scores."""
+    from pos_data_insertion_etl_spark.operators.mixture import (
+        budgeted_mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 0.5, "src1": 0.3}
+    sel = budgeted_mixture_sample(docs, weights, total_tokens=10_000).collect()
+    assert {r.source for r in sel} == set(weights)
+    by_src: dict[str, list] = {}
+    for r in sel:
+        by_src.setdefault(r.source, []).append(r)
+    avail = {
+        r.source: r.n
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, rows in by_src.items():
+        total = sum(r.n_tokens for r in rows)
+        budget = rows[0].source_budget
+        if len(rows) < avail[src]:  # budget was the binding constraint
+            assert total >= budget
+            assert total - max(r.n_tokens for r in rows) < budget
+
+    scored = docs.withColumn("score", (F.col("doc_id") % 7).cast("double"))
+    best = budgeted_mixture_sample(
+        scored, {"src0": 1.0}, total_tokens=3_000, score_col="score"
+    ).collect()
+    picked = {r.doc_id for r in best}
+    scores = {
+        r.doc_id: r.score
+        for r in scored.filter(F.col("source") == "src0").collect()
+    }
+    worst_picked = min(scores[i] for i in picked)
+    best_left = max(
+        (s for i, s in scores.items() if i not in picked), default=-1.0
+    )
+    # quality-first: no unpicked doc strictly beats a picked one
+    assert best_left <= worst_picked
+
+
+_TOPB = 40
+
+BIGRAM_ORACLE = f"""
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+  FROM documents WHERE trim(text) != ''
+), bg AS (
+  SELECT doc_id,
+         unnest(a[1:len(a)-1]) AS prev,
+         unnest(a[2:len(a)]) AS tok
+  FROM arrs WHERE len(a) >= 2
+), counts AS (
+  SELECT prev, tok, COUNT(*) AS c FROM bg GROUP BY prev, tok
+), ctx AS (
+  SELECT prev, SUM(c) AS c_prev FROM counts GROUP BY prev
+), vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(a) AS tok FROM arrs)
+), ctx_fp AS (
+  SELECT prev, c_prev,
+         CAST(ROUND(ln(1.0 / CAST(c_prev + v + 1 AS DOUBLE)) * 1000000)
+              AS BIGINT) AS ctx_oov_fp
+  FROM ctx, vocab
+), model AS (
+  SELECT prev, tok,
+         CAST(ROUND(ln(CAST(c + 1 AS DOUBLE) / CAST(c_prev + v + 1 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp_fp
+  FROM (
+    SELECT prev, tok, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, prev, tok) AS rn
+    FROM counts
+  ) t JOIN ctx USING (prev) CROSS JOIN vocab
+  WHERE rn <= {_TOPB}
+), gfp AS (
+  SELECT CAST(ROUND(ln(1.0 / CAST(v + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             AS global_oov_fp
+  FROM vocab
+), scored AS (
+  SELECT b.doc_id,
+         COALESCE(m.lp_fp, c.ctx_oov_fp, g.global_oov_fp) AS fp
+  FROM bg b
+  LEFT JOIN model m USING (prev, tok)
+  LEFT JOIN ctx_fp c USING (prev)
+  CROSS JOIN gfp g
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(-CAST(SUM(fp) AS DOUBLE) / 1000000 / COUNT(*), 6)
+           AS cross_entropy
+FROM scored GROUP BY doc_id
+"""
+
+
+def test_bigram_lm_scores_match_oracle(spark, sf_dir, duck):
+    from pos_data_insertion_etl_spark.operators.lm_score import (
+        bigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = bigram_lm_scores(docs, "text", "doc_id", top_b=_TOPB)
+    ok, msg = compare(got, duck, BIGRAM_ORACLE)
+    assert ok, msg
+
+
+def test_bigram_lm_orders_scrambled_text_worse(spark):
+    """Bigram (unlike unigram) cross-entropy must punish a document with
+    the corpus's token FREQUENCIES but scrambled ORDER."""
+    from pos_data_insertion_etl_spark.operators.lm_score import (
+        bigram_lm_scores,
+        unigram_lm_scores,
+    )
+
+    base = [(i, "one two three four one two three four") for i in range(20)]
+    rows = base + [(100, "four one three two four two one three"),
+                   (101, "one two three four one two three four")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bi = {
+        r.doc_id: r.cross_entropy
+        for r in bigram_lm_scores(df, "text", "doc_id", top_b=16).collect()
+    }
+    uni = {
+        r.doc_id: r.cross_entropy
+        for r in unigram_lm_scores(df, "text", "doc_id", top_v=16).collect()
+    }
+    assert bi[100] > bi[101], "scrambled order must score worse on bigrams"
+    assert uni[100] == uni[101], "unigram is order-blind by construction"
