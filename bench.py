@@ -162,6 +162,28 @@ def bench_staged_ingest(spark) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_curation(spark, sf_dir: str) -> float:
+    """End-to-end LLM curation funnel (Gopher gate -> unigram-LM gate ->
+    exact + LSH near-dup dedup -> per-shard packing + funnel report) on
+    the documents table -- the north-star composition, timed as a user
+    would run it (both output actions)."""
+    from pos_data_insertion_etl_spark.catalog import load_table
+    from pos_data_insertion_etl_spark.pipeline.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    packed, funnel = curate_corpus(
+        docs,
+        min_words=10,
+        stopwords=("the", "a"),
+        min_stopword_hits=1,
+        max_cross_entropy=4.0,
+    )
+    packed.count()
+    funnel.collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -199,6 +221,8 @@ def main() -> None:
     for name, fn in (
         ("mart_pipeline_e2e", lambda: bench_mart_pipeline(spark)),
         ("staged_ingest_e2e", lambda: bench_staged_ingest(spark)),
+        # round 5: the curation-funnel composition
+        ("curation_e2e", lambda: bench_curation(spark, sf_dir)),
     ):
         # e2e benches time only their pipeline body (fixture setup is
         # outside their internal timer), so run them reps+1 times, first

@@ -76,10 +76,19 @@ def curate_corpus(
         if max_cross_entropy is not None
         else scored
     )
+    # Lineage cut: everything downstream (exact dedup, the multi-pass
+    # LSH near-dup stage, packing, the funnel report) re-reads this
+    # frame several times; without the cut each consumer re-runs the
+    # gopher + LM-training subtree. localCheckpoint materializes the
+    # narrow (doc columns + scores) rows once to executor storage --
+    # the same pattern as operators/combine.py. On a real cluster with
+    # a 100 TB corpus you would persist this boundary to durable
+    # storage instead; the plan shape is identical.
+    lm_ok = lm_ok.localCheckpoint(eager=False)
     keepers_exact = exact_dedup(lm_ok, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    exact_ok = lm_ok.join(keepers_exact, id_col)
+    exact_ok = lm_ok.join(keepers_exact, id_col).localCheckpoint(eager=False)
     near = neardup_keepers(
         exact_ok,
         text_col,
@@ -92,7 +101,7 @@ def curate_corpus(
             F.col("doc_id").alias(id_col)
         ),
         id_col,
-    )
+    ).localCheckpoint(eager=False)
 
     w = (
         W.partitionBy("shard")
