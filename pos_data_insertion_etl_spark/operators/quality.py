@@ -108,7 +108,10 @@ def gopher_quality_flags(
     rounded to 1e-6; NULL (not a crash, not a flag pass) when a
     denominator is zero -- matching the DuckDB oracle exactly.
     """
-    t = F.trim(F.col(text_col))
+    # Regex trim, NOT F.trim: trim() strips only ASCII spaces, so a
+    # "\n"-only document would tokenize to two empty words. The regex
+    # form strips all whitespace, matching Python str.strip().
+    t = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     words = F.split(t, r"\s+")
     n_words = F.when(t == "", F.lit(0)).otherwise(F.size(words))
     # total word characters = text with ALL whitespace removed

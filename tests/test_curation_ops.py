@@ -41,8 +41,9 @@ def duck(sf_dir):
 GOPHER_ORACLE = """
 WITH base AS (
   SELECT doc_id,
-         trim(text) AS t,
-         string_split_regex(trim(text), '\\s+') AS words,
+         regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t,
+         string_split_regex(
+             regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words,
          string_split(text, chr(10)) AS lines
   FROM documents
 ), m AS (

@@ -240,3 +240,128 @@ def test_upsert_matches_dict_update(spark, target, updates):
     want = dict(target)
     want.update(updates)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_flags == pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def _gopher_reference(text: str) -> dict:
+    """Independent reimplementation of the Gopher-rule metrics with
+    plain Python string ops (no regex engine shared with the operator)."""
+    t = text.strip()
+    words = t.split() if t else []
+    n_words = len(words)
+    n_word_chars = sum(len(w) for w in words)
+    n_alpha = sum(1 for w in words if any("a" <= ch <= "z" for ch in w))
+    lines = text.split("\n")
+    n_lines = len(lines)
+    n_bullet = sum(
+        1 for x in lines if x.strip()[:2] in ("- ", "* ", "• ")
+    )
+    n_ellipsis = sum(1 for x in lines if x.rstrip().endswith("..."))
+    n_symbols = t.count("#") + t.count("…")
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    stop_hits = sum(1 for w in stops if w in words)
+
+    def ratio(n, d):
+        return round(n / d, 6) if d else None
+
+    return {
+        "n_words": n_words,
+        "mean_word_len": ratio(n_word_chars, n_words),
+        "symbol_word_ratio": ratio(n_symbols, n_words),
+        "bullet_line_frac": ratio(n_bullet, n_lines),
+        "ellipsis_line_frac": ratio(n_ellipsis, n_lines),
+        "alpha_word_frac": ratio(n_alpha, n_words),
+        "stopword_hits": stop_hits,
+    }
+
+
+# Printable-ish corpus including the special chars the rules inspect;
+# avoid non-\n whitespace (reference splits on ALL whitespace, operator
+# regex \s+ does too, but \x0b/\x0c classification differs by engine).
+_DOC_ALPHABET = st.sampled_from(
+    list("abcdefgh XY.#…•-*\n") + ["the", "of", "..."]
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(_DOC_ALPHABET, max_size=40).map("".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_gopher_flags_match_reference(spark, texts):
+    from pos_data_insertion_etl_spark.operators.quality import (
+        gopher_quality_flags,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_quality_flags(df).collect()}
+    for i, text in enumerate(texts):
+        exp = _gopher_reference(text)
+        for k, v in exp.items():
+            g = got[i][k]
+            # float metrics are HALF_UP-rounded to 1e-6 in the engine;
+            # the reference uses Python round (half-even), so allow a
+            # half-step of rounding difference
+            assert g == v or (
+                isinstance(v, float) and g is not None and abs(g - v) <= 5.1e-7
+            ), (k, text, g, v)
+
+
+# ---------------------------------------------------------------------------
+# unigram_lm_scores == pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    top_v=st.integers(1, 6),
+)
+def test_unigram_lm_matches_reference(spark, texts, top_v):
+    import math
+    from collections import Counter
+
+    from pos_data_insertion_etl_spark.operators.lm_score import (
+        unigram_lm_scores,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.cross_entropy)
+        for r in unigram_lm_scores(df, "text", "doc_id", top_v=top_v).collect()
+    }
+
+    toks = [t.lower().split() for t in texts]
+    vocab = Counter(tok for ts in toks for tok in ts)
+    n, v = sum(vocab.values()), len(vocab)
+    head = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    fp = {
+        tok: round(math.log((c + 1) / (n + v + 1)) * 1e6)
+        for tok, c in head
+    }
+    oov = round(math.log(1 / (n + v + 1)) * 1e6)
+    for i, ts in enumerate(toks):
+        s = sum(fp.get(tok, oov) for tok in ts)
+        ce_exact = -s / 1e6 / len(ts)
+        n_got, ce_got = got[i]
+        # engine rounds HALF_UP to 1e-6; accept either side of the step
+        assert n_got == len(ts) and abs(ce_got - ce_exact) <= 5.1e-7, (
+            i, got[i], (len(ts), ce_exact),
+        )
