@@ -505,3 +505,24 @@ def test_bigram_lm_orders_scrambled_text_worse(spark):
     }
     assert bi[100] > bi[101], "scrambled order must score worse on bigrams"
     assert uni[100] == uni[101], "unigram is order-blind by construction"
+
+
+def test_curate_corpus_plan_has_no_nested_loops(spark, sf_dir):
+    """The funnel composition must stay equi-join-only end to end: a
+    CartesianProduct or BroadcastNestedLoopJoin sneaking into the
+    composed plan is a scale regression even if results stay right.
+    (The LM stage's 1-row scalar broadcast is a BNLJ by necessity --
+    assert the count stays at exactly that one.)"""
+    from pos_data_insertion_etl_spark.pipeline.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed, funnel = curate_corpus(
+        docs, min_words=10, stopwords=("the", "a"), min_stopword_hits=1
+    )
+    for df in (packed, funnel):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # scalar OOV broadcast (unigram_lm_scores) is the only allowed
+        # nested-loop site; localCheckpoint truncation means at most one
+        # appearance per remaining plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
