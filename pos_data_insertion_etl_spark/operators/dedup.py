@@ -313,3 +313,162 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new ingest batches against the already-kept corpus.
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_digests: DataFrame | None,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingestion exact dedup: drop new documents whose content
+    digest is already in the corpus, keep one representative (min id) of
+    any content repeated WITHIN the batch, and return the digest table
+    extended with the batch's novel digests.
+
+    Returns ``(novel_docs, updated_digests)``. ``seen_digests`` is a
+    one-column [digest] frame (None for the first batch). The digest
+    table is the only state carried between ingests -- 32 bytes per
+    distinct document ever kept, the same sha2 keying as exact_dedup, so
+    at 100 TB the anti-join ships digests, never text, and the state
+    table is orders of magnitude smaller than the corpus.
+
+    Replay-safe: re-running a batch against the PRE-batch digest table
+    reproduces the same novel set; against the post-batch table it
+    yields zero novels (both idempotence forms a checkpointed ingest
+    needs).
+    """
+    digested = new_docs.withColumn(
+        "_fp", F.sha2(F.col(text_col), 256)
+    )
+    keeper = digested.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    batch_kept = digested.join(keeper, "_fp").filter(
+        F.col(id_col) == F.col("_keep_id")
+    )
+    if seen_digests is not None:
+        seen = seen_digests.select(F.col("digest").alias("_fp"))
+        novel = batch_kept.join(seen, "_fp", "left_anti")
+    else:
+        novel = batch_kept
+    novel_docs = novel.drop("_fp", "_keep_id")
+    new_digests = novel.select(F.col("_fp").alias("digest"))
+    updated = (
+        seen_digests.unionByName(new_digests).distinct()
+        if seen_digests is not None
+        else new_digests.distinct()
+    )
+    return novel_docs, updated
+
+
+def incremental_neardup_filter(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Drop new documents that near-duplicate the EXISTING corpus: the
+    asymmetric (new x corpus) form of the LSH pipeline, for continuous
+    ingestion.
+
+    Candidates come from an equi-join of the two sides' LSH band keys
+    (never new x corpus all-pairs); candidates are verified with the
+    exact shingle-Jaccard, thresholded by integer cross-multiplication.
+    Returns ``(novel_docs, matches)`` where matches is
+    [new_id, corpus_id, jaccard] for every verified near-duplicate pair
+    (the provenance a curation audit wants).
+
+    Unlike neardup_keepers there is no clustering stage: corpus docs are
+    already keepers, so one verified match suffices to drop a new doc.
+    New docs that near-duplicate only EACH OTHER survive here -- run the
+    batch through neardup_keepers first (or feed kept batches in
+    sequence) for intra-batch near-dedup.
+    """
+
+    def band_long(docs: DataFrame, side: str) -> DataFrame:
+        sig = minhash_signatures(
+            docs, text_col, id_col, n_hashes=n_hashes, n=n
+        )
+        n_bands = n_hashes // band_size
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * band_size + j:02d}")
+                        for j in range(band_size)
+                    ],
+                )
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ]
+        stack_expr = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+        return (
+            sig.select(F.col(id_col).alias(side), *band_cols)
+            .select(
+                side,
+                F.expr(
+                    f"stack({n_bands}, {stack_expr}) AS (band_idx, band_key)"
+                ),
+            )
+            .select(side, "band_idx", "band_key")
+        )
+
+    cand = (
+        band_long(new_docs, "new_id")
+        .join(band_long(corpus_docs, "corpus_id"), ["band_idx", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sh_new = doc_shingles(new_docs, text_col, id_col, n=n).select(
+        F.col(id_col).alias("new_id"), "shingle"
+    )
+    sh_corpus = doc_shingles(corpus_docs, text_col, id_col, n=n).select(
+        F.col(id_col).alias("corpus_id"), "shingle"
+    )
+    sizes_new = sh_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_sh_new"))
+    sizes_corpus = sh_corpus.groupBy("corpus_id").agg(
+        F.count(F.lit(1)).alias("n_sh_corpus")
+    )
+    inter = (
+        cand.join(sh_new, "new_id")
+        .join(sh_corpus, ["corpus_id", "shingle"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    matches = (
+        inter.join(sizes_new, "new_id")
+        .join(sizes_corpus, "corpus_id")
+        .filter(
+            F.col("n_common") * threshold_den
+            >= threshold_num
+            * (F.col("n_sh_new") + F.col("n_sh_corpus") - F.col("n_common"))
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_sh_new")
+                    + F.col("n_sh_corpus")
+                    - F.col("n_common")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    novel = new_docs.join(
+        matches.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    return novel, matches

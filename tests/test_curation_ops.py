@@ -526,3 +526,66 @@ def test_curate_corpus_plan_has_no_nested_loops(spark, sf_dir):
         # nested-loop site; localCheckpoint truncation means at most one
         # appearance per remaining plan
         assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+
+
+def test_incremental_exact_dedup_batches(spark):
+    """Two ingest batches: within-batch repeats keep the min id, digests
+    already seen drop, replay against the pre-batch table reproduces the
+    same novels, replay against the post-batch table yields none."""
+    from pos_data_insertion_etl_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(0, "aaa"), (1, "bbb"), (2, "aaa")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, "bbb"), (4, "ccc"), (5, "ccc"), (6, "ddd")],
+        "doc_id long, text string",
+    )
+    novel1, seen1 = incremental_exact_dedup(b1, None, "text", "doc_id")
+    assert {r.doc_id for r in novel1.collect()} == {0, 1}
+    assert seen1.count() == 2
+
+    novel2, seen2 = incremental_exact_dedup(b2, seen1, "text", "doc_id")
+    assert {r.doc_id for r in novel2.collect()} == {4, 6}
+    assert seen2.count() == 4
+
+    replay_pre, _ = incremental_exact_dedup(b2, seen1, "text", "doc_id")
+    assert {r.doc_id for r in replay_pre.collect()} == {4, 6}
+    replay_post, _ = incremental_exact_dedup(b2, seen2, "text", "doc_id")
+    assert replay_post.count() == 0
+
+
+def test_incremental_neardup_filter(spark, sf_dir):
+    """New docs that copy or lightly edit corpus docs drop with recorded
+    provenance; genuinely new text survives; jaccard values are exact."""
+    from pos_data_insertion_etl_spark.operators.dedup import (
+        incremental_neardup_filter,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    )
+    rows = corpus.orderBy("doc_id").limit(2).collect()
+    exact_copy = rows[0].text
+    toks = rows[1].text.split()
+    light_edit = " ".join(toks[:-1] + ["zzznovel"])
+    fresh = " ".join(f"uniqtok{i}" for i in range(30))
+    new = spark.createDataFrame(
+        [(1000, exact_copy), (1001, light_edit), (1002, fresh)],
+        "doc_id long, text string",
+    )
+    novel, matches = incremental_neardup_filter(
+        new, corpus, "text", "doc_id", threshold_num=1, threshold_den=2
+    )
+    got_matches = {
+        (r.new_id, r.corpus_id): r.jaccard for r in matches.collect()
+    }
+    novel_ids = {r.doc_id for r in novel.collect()}
+    assert 1002 in novel_ids, "fresh text must survive"
+    assert (1000, rows[0].doc_id) in got_matches, "exact copy must match"
+    assert got_matches[(1000, rows[0].doc_id)] == 1.0
+    assert 1000 not in novel_ids
+    assert (1001, rows[1].doc_id) in got_matches, "light edit must match"
+    assert 1001 not in novel_ids
