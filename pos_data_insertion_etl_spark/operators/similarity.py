@@ -565,3 +565,116 @@ def pq_train(
             "sub_idx int, code long, csub array<long>",
         )
     return cb
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    n_flip: int = 2,
+) -> DataFrame:
+    """Multiprobe sign-LSH: besides its own bucket, each QUERY probes
+    the ``n_flip`` buckets reachable by flipping its lowest-|margin|
+    sign bits -- the planes the vector sits closest to, i.e. the flips
+    most likely to recover a true neighbor hashed across the boundary.
+
+    The standard recall/cost knob for sign-LSH (the analog of IVF's
+    nprobe): candidates grow ~(1 + n_flip)x while the plan is unchanged
+    -- the query side explodes into (1 + n_flip) bucket keys (query
+    rows only; the corpus keeps exactly one bucket per vector and is
+    never re-hashed or re-shuffled), then the same broadcast bucket
+    equi-join as lsh_bucket_topk. n_flip=0 reproduces single-probe
+    exactly.
+
+    Margins and flips are computed with the same deterministic plane
+    dots as the bucket itself, so the probe set is engine-stable.
+    """
+    if not 0 <= n_flip <= n_planes:
+        raise ValueError(f"n_flip must be in [0, {n_planes}], got {n_flip}")
+    planes = seeded_planes(n_planes, dim, seed)
+
+    def bits_and_margins(vc):
+        dots = [_plane_dot(vc, row) for row in planes]
+        bits = [
+            F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")) for d in dots
+        ]
+        return bits, dots
+
+    qv = quantize_vec(F.col(vec_col))
+    qbits, qdots = bits_and_margins(F.col(vec_col))
+    # rank plane indices by |dot| ascending -> the n_flip cheapest flips
+    margin_structs = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(d).alias("m"), F.lit(i).cast("int").alias("i")
+                )
+                for i, d in enumerate(qdots)
+            ]
+        )
+    )
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        norm_fixed_point(qv).alias("qn"),
+        F.concat(*qbits).alias("_bucket0"),
+        F.slice(margin_structs, 1, n_flip).alias("_flips")
+        if n_flip
+        else F.array().alias("_flips"),
+    )
+    probe_cols = [F.col("_bucket0")]
+    for j in range(n_flip):
+        idx = F.element_at(F.col("_flips"), j + 1)["i"]
+        # expression-level flip at a dynamic index: rebuild via substring
+        flipped_bit = F.when(
+            F.substring(F.col("_bucket0"), idx + 1, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        probe_cols.append(
+            F.concat(
+                F.expr(f"substring(_bucket0, 1, element_at(_flips, {j + 1}).i)"),
+                flipped_bit,
+                F.expr(
+                    f"substring(_bucket0, element_at(_flips, {j + 1}).i + 2, "
+                    f"{n_planes} - element_at(_flips, {j + 1}).i - 1)"
+                ),
+            )
+        )
+    q = q_base.select(
+        "query_id",
+        "qv",
+        "qn",
+        F.explode(F.array_distinct(F.array(*probe_cols))).alias("bucket"),
+    )
+
+    cbits, _ = bits_and_margins(F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        qv.alias("cv"),
+        norm_fixed_point(qv).alias("cn"),
+        F.concat(*cbits).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_precomputed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .distinct()  # a neighbor can surface via several probed buckets
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

@@ -164,3 +164,53 @@ def test_seeded_lsh_requires_dim(emb):
         lsh_bucket_topk(
             emb, emb.limit(1), "vec_id", "embedding", seed=7
         )
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multiprobe sign-LSH: flipping the lowest-margin bits can only ADD
+    candidates, so recall vs exact top-k must be >= the single-probe
+    run's, and n_flip=0 must reproduce single-probe exactly. All
+    deterministic (seeded planes + md5-free integer math)."""
+    from pos_data_insertion_etl_spark.catalog import load_table
+    from pos_data_insertion_etl_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucket_topk,
+        lsh_multiprobe_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    kw = dict(k=5, n_planes=6, seed=42, dim=64)
+
+    single = lsh_bucket_topk(emb, queries, "vec_id", "embedding", **kw)
+    zero_flip = lsh_multiprobe_topk(
+        emb, queries, "vec_id", "embedding", n_flip=0, **kw
+    )
+    key = lambda r: (r.query_id, r.neighbor_id, r.cos_sim, r.rn)  # noqa: E731
+    assert sorted(map(key, zero_flip.collect())) == sorted(
+        map(key, single.collect())
+    )
+
+    multi = lsh_multiprobe_topk(
+        emb, queries, "vec_id", "embedding", n_flip=2, **kw
+    )
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    exact_sets: dict[int, set] = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(
+            len(want & got.get(q, set())) for q, want in exact_sets.items()
+        )
+        return hits / sum(len(w) for w in exact_sets.values())
+
+    r1, rm = recall(single), recall(multi)
+    assert rm >= r1, (r1, rm)
+    # structure: dense ranks, no self pairs
+    for r in multi.collect():
+        assert r.query_id != r.neighbor_id and 1 <= r.rn <= 5
