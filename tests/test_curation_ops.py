@@ -589,3 +589,100 @@ def test_incremental_neardup_filter(spark, sf_dir):
     assert 1000 not in novel_ids
     assert (1001, rows[1].doc_id) in got_matches, "light edit must match"
     assert 1001 not in novel_ids
+
+
+GAPFILL_ORACLE = """
+WITH obs AS (
+  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders WHERE o_custkey < 40 GROUP BY 1, 2
+), bounds AS (
+  SELECT k, MIN(d) AS lo, MAX(d) AS hi FROM obs GROUP BY k
+), spine AS (
+  SELECT k, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                        CAST(hi AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), dense AS (
+  SELECT s.k, s.day, o.v, o.v IS NOT NULL AS observed
+  FROM spine s LEFT JOIN obs o ON o.k = s.k AND o.d = s.day
+)
+SELECT k AS o_custkey, day,
+       last_value(v IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o_totalprice,
+       observed
+FROM dense
+"""
+
+
+def test_gapfill_ffill_matches_oracle(spark, sf_dir, duck):
+    from pos_data_insertion_etl_spark.operators.gapfill import gapfill_daily
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 40
+    )
+    daily = (
+        orders.groupBy(
+            "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("o_totalprice")
+        )
+    )
+    got = gapfill_daily(daily, "o_custkey", "day", "o_totalprice", "ffill")
+    ok, msg = compare(got, duck, GAPFILL_ORACLE)
+    assert ok, msg
+
+
+def test_gapfill_linear_exact_values(spark):
+    """Linear interpolation on a hand-built series: interior gaps take
+    the exact linear value, a leading gap backfills, observed rows stay
+    bit-identical, and the spine is dense per key."""
+    import datetime as dt
+
+    from pos_data_insertion_etl_spark.operators.gapfill import gapfill_daily
+
+    d = dt.date
+    rows = [
+        (1, d(2024, 1, 1), 10.0),
+        (1, d(2024, 1, 4), 40.0),   # gap of 2 days: expect 20, 30
+        (1, d(2024, 1, 6), 50.0),   # gap of 1 day: expect 45
+        (2, d(2024, 2, 10), 7.5),   # singleton key: one row, no gaps
+    ]
+    df = spark.createDataFrame(rows, "k long, day date, v double")
+    got = {
+        (r.k, r.day): (r.v, r.observed)
+        for r in gapfill_daily(df, "k", "day", "v", "linear").collect()
+    }
+    assert got[(1, d(2024, 1, 1))] == (10.0, True)
+    assert got[(1, d(2024, 1, 2))] == (20.0, False)
+    assert got[(1, d(2024, 1, 3))] == (30.0, False)
+    assert got[(1, d(2024, 1, 4))] == (40.0, True)
+    assert got[(1, d(2024, 1, 5))] == (45.0, False)
+    assert got[(1, d(2024, 1, 6))] == (50.0, True)
+    assert got[(2, d(2024, 2, 10))] == (7.5, True)
+    assert len(got) == 7
+
+
+def test_gapfill_single_exchange(spark, sf_dir):
+    """All fill windows share one (key x day) partitioning: the executed
+    plan must contain exactly ONE shuffle beyond the source aggregate --
+    a second Exchange between the windows is a scale regression."""
+    from pos_data_insertion_etl_spark.operators.gapfill import gapfill_daily
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("v"))
+    )
+    plan = (
+        gapfill_daily(daily, "o_custkey", "day", "v", "linear")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_window_exchanges = plan.count("Exchange hashpartitioning(key")
+    assert n_window_exchanges <= 1, plan[:3000]
