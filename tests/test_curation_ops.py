@@ -686,3 +686,68 @@ def test_gapfill_single_exchange(spark, sf_dir):
     )
     n_window_exchanges = plan.count("Exchange hashpartitioning(key")
     assert n_window_exchanges <= 1, plan[:3000]
+
+
+def _pagerank_reference(edges, iters=10, dn=85, dd=100, scale=10**9):
+    """Same integer arithmetic as operators.graph.pagerank, in plain
+    Python -- an independent implementation of the identical spec."""
+    sym = sorted(set(edges))
+    nodes = sorted({n for e in sym for n in e})
+    out = {n: 0 for n in nodes}
+    for s, _ in sym:
+        out[s] += 1
+    n = len(nodes)
+    teleport = (dd - dn) * scale // dd
+    rank = {v: scale for v in nodes}
+    for _ in range(iters):
+        contrib = {
+            v: (rank[v] // out[v] if out[v] else 0) for v in nodes
+        }
+        kept = {v: rank[v] - out[v] * contrib[v] for v in nodes}
+        inflow = {v: 0 for v in nodes}
+        for s, d in sym:
+            inflow[d] += contrib[s]
+        rank = {
+            v: teleport + ((kept[v] + inflow[v]) * dn) // dd for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_integer_reference(spark):
+    """Bit-exact agreement with the pure-Python integer reference on a
+    graph with a hub, a chain, a dangling node, and a cycle."""
+    from pos_data_insertion_etl_spark.operators.graph import pagerank
+
+    edges = [
+        (1, 2), (1, 3), (1, 4),        # hub out
+        (2, 1), (3, 1),                # back-links
+        (4, 5), (5, 6),                # chain into...
+        (6, 7),                        # ...a dangling node 7
+        (8, 9), (9, 10), (10, 8),      # separate cycle
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_fp for r in pagerank(df, iters=10).collect()}
+    exp = _pagerank_reference(edges, iters=10)
+    assert got == exp
+
+
+def test_pagerank_invariants(spark):
+    """Hub beats leaf; total mass drifts by less than iters units per
+    node (integer-div truncation bound); repeat run is bit-identical."""
+    from pos_data_insertion_etl_spark.operators.graph import (
+        PR_SCALE,
+        pagerank,
+    )
+
+    edges = [(i, 0) for i in range(1, 30)] + [(0, 1), (5, 6), (6, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    iters = 10
+    r1 = {r.node: r.rank_fp for r in pagerank(df, iters=iters).collect()}
+    assert r1[0] > r1[2], "hub must outrank a pure leaf"
+    n = len(r1)
+    total = sum(r1.values())
+    # teleport constant is itself div-truncated; allow 1 unit for it too
+    drift = abs(total - n * PR_SCALE)
+    assert drift <= iters * n * 2, (total, n * PR_SCALE, drift)
+    r2 = {r.node: r.rank_fp for r in pagerank(df, iters=iters).collect()}
+    assert r1 == r2
