@@ -751,3 +751,46 @@ def test_pagerank_invariants(spark):
     assert drift <= iters * n * 2, (total, n * PR_SCALE, drift)
     r2 = {r.node: r.rank_fp for r in pagerank(df, iters=iters).collect()}
     assert r1 == r2
+
+
+def test_pca_matches_numpy_and_invariants(spark, sf_dir):
+    """The distributed Gram bit-matches numpy's on the quantized grid;
+    components are orthonormal with descending variance; projection
+    matches a numpy projection; repeat runs are identical (partition-
+    independence of the integer Gram)."""
+    import numpy as np
+
+    from pos_data_insertion_etl_spark.operators.pca import (
+        GRAM_SCALE,
+        gram_matrix,
+        pca_components,
+        pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    x = np.rint(
+        np.asarray([r.embedding for r in rows], dtype=np.float64) * GRAM_SCALE
+    ).astype(np.int64)
+
+    g = gram_matrix(emb, "embedding", 64)
+    g_np = (x.T @ x).tolist()
+    assert g == g_np, "distributed integer Gram must equal numpy's"
+    g2 = gram_matrix(emb.repartition(13), "embedding", 64)
+    assert g2 == g_np, "Gram must be partitioning-independent"
+
+    comps, var = pca_components(emb, "embedding", dim=64, k=8)
+    c = np.asarray(comps)
+    assert np.allclose(c @ c.T, np.eye(8), atol=1e-4), "orthonormal"
+    assert all(a >= b for a, b in zip(var, var[1:])), "descending variance"
+    assert all(v > 0 for v in var)
+
+    proj = pca_project(emb, "embedding", comps).orderBy("vec_id").collect()
+    exp = np.asarray([r.embedding for r in rows], dtype=np.float64) @ c.T
+    got = np.asarray([r.pca for r in proj])
+    assert got.shape == (len(rows), 8)
+    assert np.allclose(got, exp, atol=2e-6)
+
+    # variance captured by top-8 must dominate an arbitrary later axis
+    _, var16 = pca_components(emb, "embedding", dim=64, k=16)
+    assert sum(var[:8]) >= sum(var16[8:16])
