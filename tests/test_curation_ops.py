@@ -835,3 +835,70 @@ def test_pca_projected_ann_recall_grows_with_k(spark, sf_dir):
     r8, r24 = recall_at(8), recall_at(24)
     assert r24 >= r8, (r8, r24)
     assert r24 >= 0.3, r24
+
+
+def test_bpe_train_and_encode(spark):
+    """BPE mechanics on a hand-checkable corpus: the first merges are
+    the hand-computed most-frequent pairs; token concatenation
+    round-trips every word; more merges never increase the token count;
+    repeated runs are identical."""
+    from pos_data_insertion_etl_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    rows = [(i, "low low low lower lowest") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    merges = bpe_train(df, "text", n_merges=6)
+    # 'l','o' co-occur in every word (50 occurrences) -- must merge
+    # first; then ('lo','w') (50) dominates everything else.
+    assert merges[0] == ("l", "o"), merges
+    assert merges[1] == ("lo", "w"), merges
+    assert merges == bpe_train(df, "text", n_merges=6)
+
+    enc = {r.doc_id: r for r in bpe_encode(df, "text", "doc_id", merges).collect()}
+    r0 = enc[0]
+    assert r0.n_words == 5
+    # round-trip: tokens concatenated == words + terminators
+    joined = "".join(r0.tokens).replace("</w>", " ").strip()
+    assert joined == "low low low lower lowest"
+
+    fewer = bpe_encode(df, "text", "doc_id", merges[:2]).collect()[0]
+    assert fewer.n_bpe_tokens >= r0.n_bpe_tokens
+    none = bpe_encode(df, "text", "doc_id", []).collect()[0]
+    # zero merges => chars + one </w> per word
+    assert none.n_bpe_tokens == sum(len(w) + 1 for w in "low low low lower lowest".split())
+
+
+def test_bpe_corpus_compression(spark, sf_dir):
+    """On the fixture corpus, 120 learned merges must cut the corpus
+    to less than half its character-level token count (the corpus has
+    ~31 distinct words of ~4.5 chars, so ~140 merges would capture
+    every word whole; 120 gets most of the mass)."""
+    from pos_data_insertion_etl_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    merges = bpe_train(docs, "text", n_merges=120)
+    # training stops early when every vocab word is a single symbol --
+    # the strongest possible outcome on this small vocabulary
+    exhausted = len(merges) < 120
+    enc = bpe_encode(docs, "text", "doc_id", merges)
+    agg = enc.agg(
+        F.sum("n_bpe_tokens").alias("toks"),
+        F.sum("n_words").alias("words"),
+    ).collect()[0]
+    chars = docs.agg(
+        F.sum(F.length(F.regexp_replace(F.col("text"), r"\s+", ""))).alias("c")
+    ).collect()[0].c
+    char_level = chars + agg.words  # chars + one </w> per word
+    assert agg.toks < char_level * 0.5, (agg.toks, char_level)
+    assert agg.toks >= agg.words  # cannot go below one token per word
+    if exhausted:
+        # fully merged vocabulary => exactly one token per word
+        assert agg.toks == agg.words, (agg.toks, agg.words)
