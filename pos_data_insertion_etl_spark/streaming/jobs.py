@@ -552,3 +552,77 @@ def inactive_user_sessions_v2(
             timeMode="EventTime",
         )
     )
+
+
+def dedup_ingest_stream(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous corpus ingestion with cross-batch EXACT dedup: each
+    micro-batch drops documents whose content digest is already in the
+    corpus (operators/dedup.incremental_exact_dedup), appends the novel
+    ones to ``out_dir``/corpus, and maintains the carried
+    ``out_dir``/digests table via the compaction rename-aside swap
+    (crash leaves old or new digest table intact; a crashed swap heals
+    at the next batch).
+
+    Exactly-once TABLE STATE from at-least-once foreachBatch: replaying
+    a batch finds its digests already present, so novel is empty and
+    both writes are no-ops -- the same idempotence argument as
+    apply_cdc_stream, pinned by the replay test. State is 32 bytes per
+    distinct document ever kept; the corpus itself is append-only.
+    """
+    import os
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from ..operators.compaction import restore_crashed_swap, swap_table
+    from ..operators.dedup import incremental_exact_dedup
+
+    corpus_path = os.path.join(out_dir, "corpus")
+    digests_path = os.path.join(out_dir, "digests")
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        restore_crashed_swap(spark, digests_path)
+        try:
+            seen = spark.read.parquet(digests_path)
+        except AnalysisException:
+            seen = None
+        novel, updated = incremental_exact_dedup(
+            batch, seen, text_col, id_col
+        )
+        # Materialize both BEFORE mutating state: `updated` reads the
+        # live digest table, so the overwrite goes aside-then-swap.
+        novel = novel.localCheckpoint(eager=True)
+        tmp = digests_path + f"__new{batch_id}"
+        updated.write.mode("overwrite").parquet(tmp)
+        if novel.head(1):
+            novel.write.mode("append").parquet(corpus_path)
+        if seen is None:
+            # first batch: nothing live to move aside
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(
+                digests_path
+            )
+            _fs_delete(spark, tmp)
+        else:
+            swap_table(spark, digests_path, tmp)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(P(path), True)

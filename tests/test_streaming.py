@@ -305,3 +305,62 @@ def test_pos_stream_ingest_exactly_once(spark, tmp_path):
     }
     exp_sales = {tuple(r) for r in exp_df.collect()}
     assert got_sales == exp_sales
+
+
+def test_dedup_ingest_stream(spark, tmp_path):
+    """Cross-batch streaming dedup: batch 2 re-sends half of batch 1
+    plus fresh docs; the corpus must hold each distinct content once,
+    and replaying both batches through a FRESH checkpoint against the
+    same output directory must add nothing (exactly-once table state
+    from idempotent batch application)."""
+    import glob as g
+    import shutil as sh
+
+    from pos_data_insertion_etl_spark.streaming.jobs import (
+        dedup_ingest_stream,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = tmp_path / "curated"
+    b1 = [(i, f"doc text number {i}") for i in range(20)]
+    b2 = [(100 + i, f"doc text number {i}") for i in range(10)] + [
+        (200 + i, f"fresh content {i}") for i in range(5)
+    ]
+
+    def write_batch(rows, name):
+        scratch = tmp_path / f"scratch_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").repartition(
+            1
+        ).write.parquet(str(scratch))
+        sh.copy(g.glob(str(scratch / "part-*.parquet"))[0], src / name)
+
+    write_batch(b1, "b1.parquet")
+    write_batch(b2, "b2.parquet")
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = dedup_ingest_stream(
+        stream, str(out), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(180)
+    q.stop()
+
+    corpus = spark.read.parquet(str(out / "corpus"))
+    texts = [r.text for r in corpus.collect()]
+    assert len(texts) == len(set(texts)) == 25  # 20 + 5 fresh
+    digests = spark.read.parquet(str(out / "digests"))
+    assert digests.count() == 25
+
+    # full replay: fresh checkpoint, same output dir -> no growth
+    q2 = dedup_ingest_stream(
+        stream, str(out), str(tmp_path / "ckpt2")
+    ).start()
+    q2.awaitTermination(180)
+    q2.stop()
+    assert spark.read.parquet(str(out / "corpus")).count() == 25
+    assert spark.read.parquet(str(out / "digests")).count() == 25
