@@ -1,0 +1,122 @@
+"""Approximate frequent items (heavy hitters) in ONE pass with bounded
+memory: distributed Misra-Gries summaries.
+
+The exact `groupBy(col).count()` answer shuffles every distinct value;
+when the value space is huge (URLs, shingles, user agents at 100 TB)
+and only the head matters, a Misra-Gries summary of size k per
+partition bounds BOTH memory and shuffle: each partition ships at most
+k (value, count, decrement) triples regardless of row count, and
+summaries merge associatively (counter-wise add, then the standard
+re-decrement to k entries).
+
+Guarantees (the textbook ones, partition-layout-independent even
+though the intermediate summaries are not):
+
+* every value with true frequency > n/(k+1) IS in the result
+  (no false negatives above the threshold);
+* each reported lower-bound count underestimates the true count by at
+  most the summary's total decrement, which the operator REPORTS, so
+  callers can certify `count_lb <= true <= count_lb + max_err`.
+
+The final merge happens on the driver over at most
+(n_partitions x k) triples -- metadata-sized, like the codebook
+collects in operators/similarity. For an exact head afterwards,
+re-count just the candidates with one semi-join (provided here as
+``exact_recount=True``), turning the sketch into a two-pass exact
+top-k whose first pass never shuffles the tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_reduce(pairs, k: int):
+    """Classic Misra-Gries over an iterable of (value, count) pairs.
+    Returns (counters dict, total_decrement)."""
+    counters: dict = {}
+    dec_total = 0
+    for v, c in pairs:
+        if v in counters:
+            counters[v] += c
+        elif len(counters) < k:
+            counters[v] = c
+        else:
+            # decrement all by the min of (c, current min) repeatedly;
+            # batch form: d = min(c, min(counters.values()))
+            d = min(c, min(counters.values()))
+            dec_total += d
+            c2 = c - d
+            for key in list(counters):
+                counters[key] -= d
+                if counters[key] == 0:
+                    del counters[key]
+            if c2 > 0:
+                if v in counters:
+                    counters[v] += c2
+                elif len(counters) < k:
+                    counters[v] = c2
+                # else: value fully decremented away this round
+    return counters, dec_total
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+    exact_recount: bool = False,
+) -> DataFrame:
+    """[value, count_lb, max_err] (plus ``count_exact`` when
+    ``exact_recount``): candidate heavy hitters with certified bounds.
+
+    One `mapInPandas` pass builds a k-entry Misra-Gries summary per
+    partition (Arrow batches, value_counts per batch -- the Python cost
+    is per DISTINCT value per batch, not per row); the driver merges
+    the <= partitions x k triples. With ``exact_recount`` a second
+    scan counts ONLY the candidates (broadcast semi-join) -- exact head
+    counts with the tail never shuffled.
+    """
+
+    def partial(iterator):
+        import pandas as pd
+
+        counters: dict = {}
+        dec = 0
+
+        for pdf in iterator:
+            vc = pdf[value_col].value_counts()
+            counters, d = _mg_reduce(
+                list(counters.items()) + list(zip(vc.index, vc.values)), k
+            )
+            dec += d
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "value": list(counters.keys()),
+                    "c": [int(x) for x in counters.values()],
+                    "dec": [dec] + [0] * (len(counters) - 1),
+                }
+            )
+
+    partials = df.select(F.col(value_col).alias(value_col)).mapInPandas(
+        partial, schema="value string, c long, dec long"
+    )
+    rows = partials.collect()
+    merged, merge_dec = _mg_reduce(((r.value, r.c) for r in rows), k)
+    total_dec = merge_dec + sum(r.dec for r in rows)
+
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(v, int(c), int(total_dec)) for v, c in sorted(merged.items())],
+        "value string, count_lb long, max_err long",
+    )
+    if not exact_recount:
+        return out
+    exact = (
+        df.select(F.col(value_col).cast("string").alias("value"))
+        .join(F.broadcast(out.select("value")), "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("count_exact"))
+    )
+    return out.join(exact, "value")

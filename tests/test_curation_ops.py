@@ -902,3 +902,49 @@ def test_bpe_corpus_compression(spark, sf_dir):
     if exhausted:
         # fully merged vocabulary => exactly one token per word
         assert agg.toks == agg.words, (agg.toks, agg.words)
+
+
+def test_heavy_hitters_guarantees(spark, sf_dir):
+    """Misra-Gries certificates against exact counts, with k chosen
+    SMALLER than the vocabulary so decrements actually occur: every
+    value above n/(k+1) is present; count_lb <= exact <= count_lb +
+    max_err for every reported value; exact_recount returns true
+    counts."""
+    from pos_data_insertion_etl_spark.operators.heavyhitters import (
+        heavy_hitters,
+    )
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "tok"
+            )
+        )
+        .filter(F.col("tok") != "")
+    )
+    exact = {
+        r.tok: r.c
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(exact.values())
+    k = 5
+    assert len(exact) > k, "fixture must exercise decrements"
+
+    got = {r.value: r for r in heavy_hitters(toks, "tok", k=k).collect()}
+    assert got, "summary must not be empty"
+    threshold = n / (k + 1)
+    for v, c in exact.items():
+        if c > threshold:
+            assert v in got, f"{v} (count {c} > {threshold}) missing"
+    for v, r in got.items():
+        assert r.count_lb <= exact[v] <= r.count_lb + r.max_err, (
+            v, r.count_lb, exact[v], r.max_err,
+        )
+
+    recounted = {
+        r.value: r.count_exact
+        for r in heavy_hitters(toks, "tok", k=k, exact_recount=True).collect()
+    }
+    for v, c in recounted.items():
+        assert c == exact[v]
