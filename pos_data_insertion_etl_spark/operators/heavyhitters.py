@@ -120,3 +120,80 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("count_exact"))
     )
     return out.join(exact, "value")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency estimates for EVERY value.
+
+
+def countmin_sketch(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> list[list[int]]:
+    """Build a depth x width Count-Min sketch of the column, fully
+    engine-side: each (row, depth) pair increments one bucket, computed
+    with seeded md5 hashes -- deterministic, so the sketch (integer
+    sums, associative) is bit-identical under any partitioning, unlike
+    the Misra-Gries intermediates above.
+
+    The heavy work is ONE groupBy over (depth, bucket) -- at most
+    depth x width groups regardless of cardinality -- with map-side
+    combine; the depth x width ints (driver-side result) are the whole
+    sketch, mergeable across corpora by element-wise add.
+
+    Estimates: `countmin_estimate(sketch, value)` >= true count always
+    (no under-count), over-count bounded by ~ 2n/width per the standard
+    analysis.
+    """
+    rows = (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .select(
+            *[
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"cm{d}|"), F.col("v"))), 1, 15),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias(f"b{d}")
+                for d in range(depth)
+            ]
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("int").alias("d"),
+                            F.col(f"b{d}").alias("b"),
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("s")
+        )
+        .groupBy("s.d", "s.b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    sketch = [[0] * width for _ in range(depth)]
+    for r in rows:
+        sketch[r.d][r.b] = r.c
+    return sketch
+
+
+def countmin_estimate(sketch: list[list[int]], value: str) -> int:
+    """Point-query the sketch with the same seeded hashes."""
+    import hashlib
+
+    width = len(sketch[0])
+    est = None
+    for d, row in enumerate(sketch):
+        h = int(
+            hashlib.md5(f"cm{d}|{value}".encode()).hexdigest()[:15], 16
+        ) % width
+        est = row[h] if est is None else min(est, row[h])
+    return int(est)

@@ -948,3 +948,49 @@ def test_heavy_hitters_guarantees(spark, sf_dir):
     }
     for v, c in recounted.items():
         assert c == exact[v]
+
+
+def test_countmin_sketch_bounds(spark, sf_dir):
+    """Count-Min certificates against exact token counts: estimates
+    never under-count, over-count stays within the 2n/width analysis
+    bound for every queried value, the sketch is partitioning-
+    independent (bit-identical after repartition), and element-wise
+    addition merges two disjoint halves into the whole."""
+    from pos_data_insertion_etl_spark.operators.heavyhitters import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    exact = {
+        r.tok: r.c
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(exact.values())
+    width, depth = 256, 4
+
+    sk = countmin_sketch(toks, "tok", width=width, depth=depth)
+    assert countmin_sketch(toks.repartition(7), "tok", width=width, depth=depth) == sk
+
+    bound = 2 * n / width
+    for v, c in exact.items():
+        est = countmin_estimate(sk, v)
+        assert est >= c, (v, est, c)
+        assert est - c <= bound, (v, est, c, bound)
+
+    half_a = countmin_sketch(
+        toks.filter(F.col("doc_id") % 2 == 0), "tok", width=width, depth=depth
+    )
+    half_b = countmin_sketch(
+        toks.filter(F.col("doc_id") % 2 == 1), "tok", width=width, depth=depth
+    )
+    merged = [
+        [a + b for a, b in zip(ra, rb)] for ra, rb in zip(half_a, half_b)
+    ]
+    assert merged == sk
