@@ -472,3 +472,85 @@ def incremental_neardup_filter(
         "left_anti",
     )
     return novel, matches
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs AT SCALE: pigeonhole banding.
+
+    Two 16-bit SimHashes within hamming distance ``max_hamming`` <
+    ``n_chunks`` must agree EXACTLY on at least one of the ``n_chunks``
+    equal slices of the hash -- so the candidate source is an equi-join
+    on (chunk_idx, chunk_value), the SimHash analog of MinHash's LSH
+    band join, never an all-pairs comparison. Candidates are then
+    verified with the exact per-position hamming distance (16 character
+    compares on the in-row pair; no re-tokenization).
+
+    Returns [id_a, id_b, hamming] for verified pairs (id_a < id_b).
+    Complements lsh_verified_pairs: SimHash stores 16 bits per doc vs
+    8 x 32-hex MinHash signatures -- the cheaper sketch when only a
+    coarse near-dup gate is needed.
+    """
+    if not 0 <= max_hamming < n_chunks:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < n_chunks, got "
+            f"{max_hamming} >= {n_chunks}"
+        )
+    if 16 % n_chunks:
+        raise ValueError(f"n_chunks must divide 16, got {n_chunks}")
+    width = 16 // n_chunks
+    sh = simhash16(df, text_col, id_col)
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("ci"),
+                        F.substring("simhash", i * width + 1, width).alias(
+                            "cv"
+                        ),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col(id_col), "simhash", "s.ci", "s.cv")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("ha"),
+        "ci",
+        "cv",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("hb"),
+        "ci",
+        "cv",
+    )
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = sum(
+        (
+            (
+                F.substring("ha", j + 1, 1) != F.substring("hb", j + 1, 1)
+            ).cast("int")
+            for j in range(16)
+        ),
+        F.lit(0),
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -994,3 +994,86 @@ def test_countmin_sketch_bounds(spark, sf_dir):
         [a + b for a, b in zip(ra, rb)] for ra, rb in zip(half_a, half_b)
     ]
     assert merged == sk
+
+
+def _simhash_pairs_oracle(max_hamming: int, n_chunks: int) -> str:
+    hexhi = "'8','9','a','b','c','d','e','f'"
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) IN ({hexhi})"
+        f" THEN 1 ELSE -1 END) AS s{j:02d}"
+        for j in range(16)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN s{j:02d} >= 0 THEN '1' ELSE '0' END)" for j in range(16)
+    )
+    width = 16 // n_chunks
+    chunk_match = " OR ".join(
+        f"substr(a.simhash, {i * width + 1}, {width})"
+        f" = substr(b.simhash, {i * width + 1}, {width})"
+        for i in range(n_chunks)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN substr(a.simhash, {j + 1}, 1)"
+        f" != substr(b.simhash, {j + 1}, 1) THEN 1 ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+  FROM documents
+), sums AS (
+  SELECT doc_id, {sums} FROM toks GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, {bits} AS simhash FROM sums
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({ham} AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND ({chunk_match})
+WHERE {ham} <= {max_hamming}
+"""
+
+
+def test_simhash_hamming_pairs_match_oracle(spark, sf_dir, duck):
+    """Pigeonhole-banded SimHash pairs hash-match a DuckDB oracle that
+    computes the same chunk-agreement candidates + exact hamming."""
+    from pos_data_insertion_etl_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = simhash_hamming_pairs(docs, "text", "doc_id", max_hamming=3)
+    ok, msg = compare(got, duck, _simhash_pairs_oracle(3, 4))
+    assert ok, msg
+
+
+def test_simhash_hamming_pigeonhole_complete(spark, sf_dir, duck):
+    """Soundness of the banding itself: the banded pair set must equal
+    the ALL-PAIRS set filtered to hamming <= max_hamming (pigeonhole
+    guarantees no candidate above the chunk count is missed)."""
+    from pos_data_insertion_etl_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(
+            docs, "text", "doc_id", max_hamming=3
+        ).collect()
+    }
+    # brute force over the collected simhashes
+    from pos_data_insertion_etl_spark.operators.dedup import simhash16
+
+    hashes = {
+        r.doc_id: r.simhash
+        for r in simhash16(docs, "text", "doc_id").collect()
+    }
+    ids = sorted(hashes)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(hashes[a], hashes[b]))
+            if h <= 3:
+                brute.add((a, b, h))
+    assert banded == brute
