@@ -85,3 +85,46 @@ def budgeted_mixture_sample(
             "source_budget",
         )
     )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Efraimidis-Spirakis A-ES weighted sampling WITHOUT replacement,
+    one pass, deterministic: item i gets key u_i^(1/w_i) with u_i a
+    hashed-uniform from md5(id) -- no RNG state, so the sample is a
+    pure function of (ids, weights) and reproducible on any cluster --
+    and the k largest keys per stratum are the sample (inclusion
+    probability proportional to weight, the classic A-ES result).
+
+    Plan shape: one window per stratum (global stratum when
+    ``stratum_col`` is None -- then the single-partition window is the
+    bottleneck and callers should stratify, which is also the
+    statistically better design). Keys are log-transformed
+    (ln(u)/w, order-equivalent) for numeric stability and ROUNDED to
+    1e-9 with an id tiebreak so the rank order is engine-portable.
+
+    Returns the sampled rows with [es_key, sample_rank] appended.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    # u in [0, 1): nudge 0 up to avoid ln(0); 1e-13 << 16^-13 grid
+    key = F.round(
+        F.log(u + F.lit(1e-300)) / F.col(weight_col).cast("double"), 9
+    )
+    part = [stratum_col] if stratum_col else []
+    # maximizing u^(1/w) == maximizing ln(u)/w (keys are negative, the
+    # largest sit closest to zero) -> descending order
+    w = W.partitionBy(*part).orderBy(F.desc("es_key"), F.col(id_col))
+    return (
+        df.withColumn("es_key", key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

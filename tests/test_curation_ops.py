@@ -1077,3 +1077,69 @@ def test_simhash_hamming_pigeonhole_complete(spark, sf_dir, duck):
             if h <= 3:
                 brute.add((a, b, h))
     assert banded == brute
+
+
+WSAMPLE_ORACLE = """
+WITH hexed AS (
+  SELECT doc_id, source, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS h
+  FROM documents
+), keyed AS (
+  -- 13 hex digits decode exactly in a double (< 2^52)
+  SELECT doc_id, source, n_chars,
+         ROUND(ln((list_sum(list_transform(range(13),
+                    i -> (strpos('0123456789abcdef', substr(h, i + 1, 1)) - 1)
+                         * power(16, 12 - i)))
+                   / 4503599627370496.0) + 1e-300)
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+  FROM hexed
+)
+SELECT doc_id, source, n_chars, es_key,
+       CAST(rk AS BIGINT) AS sample_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY es_key DESC, doc_id) AS rk
+  FROM keyed
+) t WHERE rk <= 10
+"""
+
+
+def test_weighted_sample_matches_oracle(spark, sf_dir, duck):
+    """A-ES keys and per-stratum ranks hash-match DuckDB (the same
+    hashed-uniform -> ln(u)/w -> round construction both sides)."""
+    from pos_data_insertion_etl_spark.operators.mixture import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    got = weighted_sample_without_replacement(
+        docs, "n_chars", k=10, stratum_col="source"
+    )
+    ok, msg = compare(got, duck, WSAMPLE_ORACLE)
+    assert ok, msg
+
+
+def test_weighted_sample_prefers_heavy_items(spark):
+    """Statistical sanity: across many disjoint strata, items with 10x
+    the weight must win the single sample slot far more often (the A-ES
+    inclusion-probability property, checked deterministically over the
+    fixed hash universe rather than with an RNG)."""
+    from pos_data_insertion_etl_spark.operators.mixture import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = []
+    for s in range(300):
+        rows.append((s * 2, s, 10.0))     # heavy item in stratum s
+        rows.append((s * 2 + 1, s, 1.0))  # light item
+    df = spark.createDataFrame(rows, "doc_id long, stratum long, w double")
+    picked = weighted_sample_without_replacement(
+        df, "w", k=1, stratum_col="stratum"
+    ).collect()
+    assert len(picked) == 300
+    heavy_wins = sum(1 for r in picked if r.doc_id % 2 == 0)
+    # E[heavy win] = 10/11 ~ 0.91; the fixed hash universe should land
+    # well above a coin flip
+    assert heavy_wins >= 240, heavy_wins
