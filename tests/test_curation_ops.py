@@ -1143,3 +1143,75 @@ def test_weighted_sample_prefers_heavy_items(spark):
     # E[heavy win] = 10/11 ~ 0.91; the fixed hash universe should land
     # well above a coin flip
     assert heavy_wins >= 240, heavy_wins
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark, sf_dir):
+    """Every benchmark shingle must hit its own filter (zero false
+    negatives -- the decontamination guarantee); non-member probe
+    strings stay under a loose false-positive ceiling; the filter is
+    deterministic across builds."""
+    from pos_data_insertion_etl_spark.operators.bloom import (
+        bloom_contains,
+        build_bloom,
+    )
+    from pos_data_insertion_etl_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = doc_shingles(docs, "text", "doc_id").select("shingle").distinct()
+    n = sh.count()
+    m = n * 10
+    words = build_bloom(sh, "shingle", m)
+    assert words == build_bloom(sh, "shingle", m)
+
+    hits = sh.withColumn(
+        "h", bloom_contains(words, F.col("shingle"), m)
+    )
+    assert hits.filter(~F.col("h")).count() == 0, "false negative!"
+
+    probes = spark.range(2000).select(
+        F.concat(F.lit("definitely-not-a-shingle-"), F.col("id")).alias("v")
+    )
+    fp = probes.withColumn(
+        "h", bloom_contains(words, F.col("v"), m)
+    ).filter(F.col("h")).count()
+    assert fp / 2000 < 0.05, fp  # designed ~1%, ceiling 5%
+
+
+def test_bloom_contamination_superset_of_exact(spark, sf_dir):
+    """The Bloom hit fraction must dominate the exact overlap fraction
+    for every document (upper bound), match it exactly for a document
+    that IS a benchmark document (hit_frac 1.0), and flag nothing the
+    exact check would flag that the bloom misses."""
+    from pos_data_insertion_etl_spark.operators.bloom import (
+        bloom_contamination_report,
+    )
+    from pos_data_insertion_etl_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 120
+    )
+    benchmark = docs.filter(F.col("doc_id") < 10)
+
+    got = {
+        r.doc_id: r
+        for r in bloom_contamination_report(docs, benchmark).collect()
+    }
+    bench_sh = {
+        r.shingle
+        for r in doc_shingles(benchmark, "text", "doc_id")
+        .select("shingle")
+        .collect()
+    }
+    doc_sh: dict[int, set] = {}
+    for r in doc_shingles(docs, "text", "doc_id").collect():
+        doc_sh.setdefault(r.doc_id, set()).add(r.shingle)
+
+    for doc_id, shs in doc_sh.items():
+        exact_frac = len(shs & bench_sh) / len(shs)
+        r = got[doc_id]
+        assert r.hit_frac >= round(exact_frac, 6) - 1e-9, (
+            doc_id, r.hit_frac, exact_frac,
+        )
+    for doc_id in range(10):
+        if doc_id in got:
+            assert got[doc_id].hit_frac == 1.0
