@@ -170,3 +170,36 @@ def gopher_quality_flags(
     for name in flags:
         gopher_pass = gopher_pass & F.col(name)
     return out.withColumn("gopher_pass", gopher_pass)
+
+
+# Invisible/format characters that break exact dedup and tokenization:
+# zero-width space/joiner/non-joiner, BOM, soft hyphen, word joiner.
+_INVISIBLES = "​‌‍﻿­⁠"
+#: typographic lookalikes normalized to ASCII (the subset that matters
+#: for dedup keys; full NFKC needs ICU, unavailable engine-side).
+_LOOKALIKES = {
+    "‘": "'", "’": "'", "“": '"', "”": '"',
+    "–": "-", "—": "-", " ": " ", "　": " ",
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonicalize text before fingerprinting/dedup: strip invisible
+    format characters, map typographic quotes/dashes/spaces to ASCII,
+    collapse whitespace runs, trim. Two visually identical documents
+    that differ only in these characters would otherwise dedup as
+    distinct -- this is the canonical-form step that runs BEFORE
+    exact_dedup/fingerprint in a curation pipeline.
+
+    Pure JVM expressions (translate + regexp_replace): zero shuffle,
+    scan-bound, and identical semantics in the DuckDB oracle.
+    """
+    # two translate passes: the first DELETES invisibles (translate
+    # drops source chars beyond the target string's length), the second
+    # maps lookalikes one-to-one
+    out = F.translate(col, _INVISIBLES, "")
+    out = F.translate(
+        out, "".join(_LOOKALIKES), "".join(_LOOKALIKES.values())
+    )
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.regexp_replace(out, r"^\s+|\s+$", "")

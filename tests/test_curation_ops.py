@@ -1215,3 +1215,29 @@ def test_bloom_contamination_superset_of_exact(spark, sf_dir):
     for doc_id in range(10):
         if doc_id in got:
             assert got[doc_id].hit_frac == 1.0
+
+
+def test_normalize_text_canonicalizes_for_dedup(spark, duck):
+    """Documents that differ only in zero-width characters, typographic
+    quotes/dashes, NBSP, or whitespace runs must normalize to the SAME
+    string -- so exact dedup then collapses them to one keeper -- while
+    already-clean text passes through untouched."""
+    from pos_data_insertion_etl_spark.operators.dedup import exact_dedup
+    from pos_data_insertion_etl_spark.operators.quality import normalize_text
+
+    clean = 'say "hello" - it\'s fine'
+    variants = [
+        (1, 'say “hello” – it’s fine'),
+        (2, 'say "hello" -  it’s​ fine'),
+        (3, '  say  "hello" - it\'s fine⁠ '),
+        (4, clean),
+        (5, "completely different"),
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, text string")
+    norm = df.withColumn("text", normalize_text(F.col("text")))
+    got = {r.doc_id: r.text for r in norm.collect()}
+    assert all(got[i] == clean for i in (1, 2, 3, 4)), got
+    assert got[5] == "completely different"
+    kept = exact_dedup(norm, "text", "doc_id").collect()
+    assert sorted(r.keeper_id for r in kept) == [1, 5]
+    assert {r.keeper_id: r.n_copies for r in kept}[1] == 4
