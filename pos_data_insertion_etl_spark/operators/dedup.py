@@ -554,3 +554,130 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    boundary_mod: int = 16,
+    min_len: int = 16,
+) -> DataFrame:
+    """Content-defined chunking over TOKENS: chunk boundaries fall where
+    the hash of the trailing ``window``-token shingle satisfies
+    hash % boundary_mod == 0 -- so boundaries move WITH the content.
+
+    Fixed-size chunking (q120) breaks chunk-level dedup the moment one
+    token is inserted upstream: every later chunk shifts. Here an edit
+    only disturbs the chunks overlapping it; everything after the next
+    content-defined boundary realigns, so chunk-digest dedup
+    (exact_dedup on the chunk text) catches shared suffixes/middles
+    across revisions -- the rsync/LBFS argument, applied to documents.
+
+    Expression-only: per-position shingle hashes (the winnowing
+    machinery's shape), boundary flags, a running boundary count via
+    aggregate-HOF prefix sum, then one explode to
+    [id, chunk_idx, chunk_text, n_tokens]. Average chunk length is
+    ~boundary_mod tokens; ``min_len`` suppresses boundaries closer than
+    that to the previous one (applied left-to-right in the fold, the
+    standard CDC minimum-size rule).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # hash of the window ENDING at position i (1-based over tokens);
+    # positions < window never start a boundary
+    hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            i >= window,
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice(toks, i - window + 1, window)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % boundary_mod,
+        ).otherwise(F.lit(-1)),
+    )
+    # Candidate boundaries: zip the hash array with positions and
+    # filter -- `hashes` appears ONCE as a HOF argument, so the window
+    # hashing evaluates a single time per row. (Referencing it via
+    # element_at inside another HOF's lambda would re-evaluate the
+    # whole transform per element: higher-order functions get no
+    # common-subexpression elimination, an O(n^2 * window) md5 blowup
+    # measured at ~1 s/doc on 30-token rows.)
+    cand = F.transform(
+        F.filter(
+            F.zip_with(
+                hashes,
+                F.sequence(F.lit(1), n),
+                lambda h, i: F.struct(
+                    h.alias("h"), i.cast("int").alias("i")
+                ),
+            ),
+            lambda sp: sp["h"] == 0,
+        ),
+        lambda sp: sp["i"],
+    )
+    # min-len rule is inherently sequential -- but only over the SMALL
+    # candidate array (~n_tokens / boundary_mod entries), not every
+    # position
+    bounds = F.aggregate(
+        cand,
+        F.struct(
+            F.lit(0).cast("int").alias("last"),
+            F.array().cast("array<int>").alias("pos"),
+        ),
+        lambda acc, i: F.when(
+            (i - acc["last"]) >= min_len,
+            F.struct(
+                i.alias("last"),
+                F.concat(acc["pos"], F.array(i)).alias("pos"),
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["pos"],
+    )
+    # chunk k spans (prev_boundary, boundary_k]; final partial chunk
+    # runs to the end
+    staged = df.select(
+        F.col(id_col), toks.alias("_t"), bounds.alias("_b")
+    )
+    starts = F.concat(F.array(F.lit(0).cast("int")), F.col("_b"))
+    ends = F.concat(F.col("_b"), F.array(F.size("_t").cast("int")))
+    spans = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ),
+        lambda span: span["e"] > span["s"],
+    )
+    return (
+        staged.select(F.col(id_col), F.col("_t"), spans.alias("_spans"))
+        .select(
+            F.col(id_col),
+            F.posexplode("_spans").alias("chunk_idx", "_sp"),
+            F.col("_t"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_t"),
+                    F.col("_sp.s") + 1,
+                    F.col("_sp.e") - F.col("_sp.s"),
+                ),
+            ).alias("chunk_text"),
+            (F.col("_sp.e") - F.col("_sp.s")).cast("long").alias("n_tokens"),
+        )
+    )

@@ -1241,3 +1241,49 @@ def test_normalize_text_canonicalizes_for_dedup(spark, duck):
     kept = exact_dedup(norm, "text", "doc_id").collect()
     assert sorted(r.keeper_id for r in kept) == [1, 5]
     assert {r.keeper_id: r.n_copies for r in kept}[1] == 4
+
+
+def test_content_defined_chunks_shift_resistant(spark, sf_dir):
+    """The CDC property fixed-size chunking lacks: prepending tokens to
+    a document leaves every chunk after the first content-defined
+    boundary IDENTICAL, chunks reassemble to the exact token stream,
+    boundary spacing respects min_len, and chunking is deterministic."""
+    from pos_data_insertion_etl_spark.operators.dedup import (
+        content_defined_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    )
+    kw = dict(window=4, boundary_mod=8, min_len=4)
+    chunks = content_defined_chunks(docs, "text", "doc_id", **kw).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        rebuilt = " ".join(r.chunk_text for r in rs)
+        assert rebuilt == " ".join(texts[doc_id].split())
+        for r in rs[:-1]:  # all but the final partial chunk
+            assert r.n_tokens >= 4
+
+    # shift resistance: prepend 3 tokens to every doc; chunk multisets
+    # must share most chunks with the originals (fixed-size sharing: 0)
+    shifted = docs.withColumn(
+        "text", F.concat(F.lit("xx yy zz "), F.col("text"))
+    )
+    shifted_chunks = content_defined_chunks(
+        shifted, "text", "doc_id", **kw
+    ).collect()
+    shared = total = 0
+    sh_by_doc: dict[int, set] = {}
+    for r in shifted_chunks:
+        sh_by_doc.setdefault(r.doc_id, set()).add(r.chunk_text)
+    for doc_id, rs in by_doc.items():
+        orig = {r.chunk_text for r in rs}
+        total += len(orig)
+        shared += len(orig & sh_by_doc.get(doc_id, set()))
+    assert shared / total > 0.5, f"only {shared}/{total} chunks survived shift"
