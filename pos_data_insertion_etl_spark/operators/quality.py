@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 
 REPORT_COLS = ("rule", "n_violations", "n_rows")
 
+#: ASCII punctuation as explicit ranges -- identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB), unlike \p{Punct}/[[:punct:]] whose
+#: definitions differ across engines.
+_PUNCT = r"[!-/:-@\[-`{-~]"
+
 
 def quality_report(
     df: DataFrame,
@@ -116,7 +121,17 @@ def gopher_quality_flags(
     n_words = F.when(t == "", F.lit(0)).otherwise(F.size(words))
     # total word characters = text with ALL whitespace removed
     n_word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
-    n_alpha_words = F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
+    # Probe form of each word: lowercased, leading/trailing punctuation
+    # stripped -- so 'The' and 'the,' count as the stopword 'the', and
+    # ALL-CAPS words still count as alphabetic (ADVICE r5). The raw
+    # word array keeps feeding the length/char metrics unchanged.
+    probe_words = F.transform(
+        words,
+        lambda x: F.regexp_replace(
+            F.lower(x), f"^{_PUNCT}+|{_PUNCT}+$", ""
+        ),
+    )
+    n_alpha_words = F.size(F.filter(probe_words, lambda x: x.rlike("[a-z]")))
     lines = F.split(F.col(text_col), "\n")
     n_lines = F.size(lines)
     n_bullet = F.size(
@@ -136,7 +151,7 @@ def gopher_quality_flags(
     # for other languages/domains, and the rule must stay meaningful
     # there (the flag thresholds travel with the list).
     stop_hits = sum(
-        (F.array_contains(words, w).cast("int") for w in stopwords),
+        (F.array_contains(probe_words, w).cast("int") for w in stopwords),
         F.lit(0),
     )
 

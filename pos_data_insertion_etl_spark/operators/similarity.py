@@ -241,13 +241,26 @@ def seeded_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     return [[round(float(x), 6) for x in row] for row in planes]
 
 
+#: fixed-point scale for plane coefficients (planes round to 6dp).
+PLANE_SCALE = 1_000_000
+
+
 def _plane_dot(vc, plane_row: list[float]):
-    """<vec, plane> as a sequential fold: deterministic order, stays in
-    the JVM (no Python in the hot path)."""
-    plane = F.array(*[F.lit(x) for x in plane_row])
+    """<vec, plane> as an exact INTEGER dot product: the vector in its
+    1e-7 fixed-point form, the plane coefficients at 1e-6 (they are
+    generated rounded to 6dp, so no information is lost). Integer sums
+    are associative, so the sign -- hence the bucket bit -- and the
+    |margin| ordering multiprobe uses are identical under any
+    partitioning, summation order, or engine (the DuckDB oracle
+    reproduces them bit-for-bit; a double fold could flip a
+    near-zero sign across engines). Magnitudes stay far inside int64:
+    |component| <= ~2^25, |coef| <= ~2^23, 64 terms => < 2^54."""
+    plane = F.array(
+        *[F.lit(int(round(x * PLANE_SCALE))) for x in plane_row]
+    )
     return F.aggregate(
-        F.zip_with(vc.cast("array<double>"), plane, lambda x, y: x * y),
-        F.lit(0.0),
+        F.zip_with(quantize_vec(vc), plane, lambda x, y: x * y),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
@@ -424,9 +437,12 @@ def pq_encode(
         "code",
         _l2sq(F.col("vsub"), F.col("csub")).alias("dist"),
     )
-    # Single-BIGINT argmin key: distance-major, code tiebreak (codes are
-    # < 2^8; distances are bounded by (2*SCALE)^2 * subdim << 2^55).
-    key = F.col("dist") * F.lit(256) + F.col("code")
+    # Argmin key = struct(dist, code): lexicographic struct ordering is
+    # distance-major with a code tiebreak and -- unlike the previous
+    # packed dist*256+code BIGINT -- correct for ANY code range, so a
+    # caller-supplied n_codes > 256 cannot silently mis-order
+    # (ADVICE r5). min_by stays associative => map-side combine.
+    key = F.struct(F.col("dist"), F.col("code"))
     return (
         scored.groupBy(id_col, "sub_idx")
         .agg(F.min_by("code", key).alias("code"))
@@ -517,14 +533,13 @@ def pq_train(
     their previous value. Means of exact integer sums round identically
     everywhere, so training is deterministic.
 
-    The trained codebook (m x n_codes rows) is pulled to the driver
-    between iterations -- a bounded, metadata-sized collect that
-    truncates the iteration's lineage (the same pattern as
-    operators/graph.py's pointer jumping); at 100 TB you train on a
-    bounded SAMPLE (standard PQ practice: codebooks converge on ~1e5
-    vectors) and only ENCODE the full corpus.
+    The trained codebook (m x n_codes rows) is localCheckpoint-ed
+    between iterations -- lineage truncates each round without any
+    driver data path (the same pattern as operators/graph.py's pointer
+    jumping); at 100 TB you train on a bounded SAMPLE (standard PQ
+    practice: codebooks converge on ~1e5 vectors) and only ENCODE the
+    full corpus.
     """
-    spark = corpus.sparkSession
     cb = pq_codebook(corpus, id_col, vec_col, m, n_codes, dim)
     qv = quantize_unit_vec(F.col(vec_col))
     subs = corpus.select(
@@ -551,18 +566,19 @@ def pq_train(
                 ).alias("csub_new")
             )
         )
-        updated = (
+        # localCheckpoint (not collect + createDataFrame): the m x
+        # n_codes codebook materializes to executor storage, truncating
+        # the iteration's lineage exactly like connected_components
+        # (graph.py) -- no driver round-trip, no plan regrowth across
+        # iterations.
+        cb = (
             cb.join(means, ["sub_idx", "code"], "left")
             .select(
                 "sub_idx",
                 "code",
                 F.coalesce(F.col("csub_new"), F.col("csub")).alias("csub"),
             )
-            .collect()
-        )
-        cb = spark.createDataFrame(
-            [(r.sub_idx, r.code, r.csub) for r in updated],
-            "sub_idx int, code long, csub array<long>",
+            .localCheckpoint(eager=True)
         )
     return cb
 

@@ -46,27 +46,34 @@ WITH base AS (
              regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words,
          string_split(text, chr(10)) AS lines
   FROM documents
+), probed AS (
+  SELECT *,
+         list_transform(words,
+             x -> regexp_replace(lower(x),
+                  '^[!-/:-@\\[-`{-~]+|[!-/:-@\\[-`{-~]+$', '', 'g'))
+             AS pwords
+  FROM base
 ), m AS (
   SELECT doc_id,
          CASE WHEN t = '' THEN 0 ELSE len(words) END AS n_words,
          length(regexp_replace(t, '\\s+', '', 'g')) AS n_word_chars,
-         len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter(pwords, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
          len(lines) AS n_lines,
          len(list_filter(lines,
              x -> substr(trim(x), 1, 2) IN ('- ', '* ', '• '))) AS n_bullet,
          len(list_filter(lines, x -> rtrim(x) LIKE '%...')) AS n_ellipsis,
          (length(t) - length(replace(t, '#', '')))
            + (length(t) - length(replace(t, '…', ''))) AS n_symbols,
-         (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END
+         (CASE WHEN list_contains(pwords, 'the') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'be') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'to') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'of') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'and') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'that') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'have') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'with') THEN 1 ELSE 0 END
          ) AS stop_hits
-  FROM base
+  FROM probed
 ), r AS (
   SELECT doc_id, n_words,
          CASE WHEN n_words > 0
