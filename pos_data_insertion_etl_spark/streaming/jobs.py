@@ -472,32 +472,40 @@ def inactive_user_sessions_v2(
             batch["ts_us"] = pd.to_datetime(batch["ts"]).astype("int64") // 1_000
             batch = batch.sort_values("ts_us", ignore_index=True)
 
-            # Seed the sweep with the carried open session, if any.
+            # Build the batch timeline as intervals and MERGE the
+            # carried open session in as an interval of its own (ADVICE
+            # r5): sweeping it from its proper sorted position means an
+            # in-watermark event OLDER than the carried start correctly
+            # lowers session_start, and an event more than `gap`
+            # BEFORE the open session forms its own session instead of
+            # being folded in.
+            items = [
+                [int(ts_us), int(ts_us), 1, float(val)]
+                for ts_us, val in zip(batch["ts_us"], batch["value"])
+            ]
             if self._sess.exists():
-                cur = list(self._sess.get())
+                items.append(list(self._sess.get()))
                 for t in list(self._handle.listTimers()):
                     self._handle.deleteTimer(t)
-            else:
-                cur = None
+            items.sort(key=lambda it: (it[0], it[1]))
 
-            # Gaps-and-islands sweep over the merged timeline: rows more
-            # than `gap` past the open session CLOSE it here (the input
-            # side of session splitting); the armed timer only covers
-            # the key going quiet entirely.
+            # Gaps-and-islands sweep over start-sorted intervals: gap
+            # separation is evaluated on both sides of every interval.
+            # Sessions closed here are the input side of splitting; the
+            # armed timer only covers the key going quiet entirely.
             closed = []
             gap_us = gap_ms * 1000
-            for ts_us, val in zip(batch["ts_us"], batch["value"]):
-                ts_us = int(ts_us)
-                val = float(val)
+            cur = None
+            for it in items:
                 if cur is None:
-                    cur = [ts_us, ts_us, 1, val]
-                elif ts_us - cur[1] > gap_us:
+                    cur = it
+                elif it[0] - cur[1] > gap_us:
                     closed.append(cur)
-                    cur = [ts_us, ts_us, 1, val]
+                    cur = it
                 else:
-                    cur[1] = max(cur[1], ts_us)
-                    cur[2] += 1
-                    cur[3] += val
+                    cur[1] = max(cur[1], it[1])
+                    cur[2] += it[2]
+                    cur[3] += it[3]
             self._sess.update((cur[0], cur[1], cur[2], round(cur[3], 6)))
             # ceil to ms so the timer never fires a hair early
             self._handle.registerTimer(-(-cur[1] // 1000) + gap_ms)
@@ -569,12 +577,46 @@ def dedup_ingest_stream(
     (crash leaves old or new digest table intact; a crashed swap heals
     at the next batch).
 
-    Exactly-once TABLE STATE from at-least-once foreachBatch: replaying
-    a batch finds its digests already present, so novel is empty and
-    both writes are no-ops -- the same idempotence argument as
-    apply_cdc_stream, pinned by the replay test. State is 32 bytes per
-    distinct document ever kept; the corpus itself is append-only.
+    Exactly-once TABLE STATE from at-least-once foreachBatch: the
+    corpus write is IDEMPOTENT PER BATCH -- novel docs land in a
+    batch-id-keyed partition directory (``corpus/batch=<id>``) with
+    mode('overwrite'), so a replay rewrites the same directory with the
+    same content instead of appending a second copy. This closes the
+    ADVICE-r5 crash window: a crash between the corpus write and the
+    digest swap used to replay the batch against the OLD digests and
+    append the same novel set twice. Now every crash point is safe:
+    before the corpus write nothing happened; between write and swap
+    the replay recomputes the same novel set (old digests) and
+    overwrites the same directory bit-for-bit; after the swap the
+    replay finds novel empty and the directory already holds the
+    batch's docs. Digest state itself swaps via the compaction
+    rename-aside (crash leaves old or new table intact; a crashed swap
+    heals at the next batch). State is 32 bytes per distinct document
+    ever kept; readers load the corpus with one
+    ``spark.read.parquet(corpus)`` (``batch`` becomes a partition
+    column -- ingest provenance for free).
     """
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(batch, batch_id, out_dir, text_col, id_col)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def dedup_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of dedup_ingest_stream, exposed module-level so
+    crash-injection tests can drive individual batches (and re-drive
+    them) without a streaming query wrapper."""
     import os
 
     from pyspark.errors.exceptions.captured import AnalysisException
@@ -584,40 +626,33 @@ def dedup_ingest_stream(
 
     corpus_path = os.path.join(out_dir, "corpus")
     digests_path = os.path.join(out_dir, "digests")
-
-    def apply(batch: DataFrame, batch_id: int) -> None:
-        if not batch.head(1):
-            return
-        spark = batch.sparkSession
-        restore_crashed_swap(spark, digests_path)
-        try:
-            seen = spark.read.parquet(digests_path)
-        except AnalysisException:
-            seen = None
-        novel, updated = incremental_exact_dedup(
-            batch, seen, text_col, id_col
+    if not batch.head(1):
+        return
+    spark = batch.sparkSession
+    restore_crashed_swap(spark, digests_path)
+    try:
+        seen = spark.read.parquet(digests_path)
+    except AnalysisException:
+        seen = None
+    novel, updated = incremental_exact_dedup(batch, seen, text_col, id_col)
+    # Materialize both BEFORE mutating state: `updated` reads the
+    # live digest table, so the overwrite goes aside-then-swap.
+    novel = novel.localCheckpoint(eager=True)
+    tmp = digests_path + f"__new{batch_id}"
+    updated.write.mode("overwrite").parquet(tmp)
+    if novel.head(1):
+        # Idempotent: batch-keyed directory + overwrite (see docstring).
+        novel.write.mode("overwrite").parquet(
+            os.path.join(corpus_path, f"batch={batch_id}")
         )
-        # Materialize both BEFORE mutating state: `updated` reads the
-        # live digest table, so the overwrite goes aside-then-swap.
-        novel = novel.localCheckpoint(eager=True)
-        tmp = digests_path + f"__new{batch_id}"
-        updated.write.mode("overwrite").parquet(tmp)
-        if novel.head(1):
-            novel.write.mode("append").parquet(corpus_path)
-        if seen is None:
-            # first batch: nothing live to move aside
-            spark.read.parquet(tmp).write.mode("overwrite").parquet(
-                digests_path
-            )
-            _fs_delete(spark, tmp)
-        else:
-            swap_table(spark, digests_path, tmp)
-
-    return (
-        docs_stream.writeStream.foreachBatch(apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-    )
+    if seen is None:
+        # first batch: nothing live to move aside
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            digests_path
+        )
+        _fs_delete(spark, tmp)
+    else:
+        swap_table(spark, digests_path, tmp)
 
 
 def _fs_delete(spark: SparkSession, path: str) -> None:

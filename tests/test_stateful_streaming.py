@@ -301,3 +301,95 @@ def test_inactive_sessions_v2_timers(spark, sf_smoke, tmp_path):
             r.n_events,
             round(r.total_value, 2),
         ), key
+
+
+def test_inactive_sessions_v2_late_data_boundaries(spark, tmp_path):
+    """ADVICE r5: in-watermark late events must reshape the carried
+    session correctly. Batch 2 delivers (a) an event 1 minute BEFORE
+    the carried session's start -> session_start must move DOWN, and
+    (b) an event far before the open session (but inside the watermark)
+    that is more than `gap` away on both sides -> it must close as its
+    OWN session, not merge. The old sweep got both wrong (start never
+    lowered; gap-before events folded in)."""
+    import glob as globmod
+    import shutil
+
+    import pytest
+
+    from pos_data_insertion_etl_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("google.protobuf unavailable: v2 state runner cannot start")
+    from pos_data_insertion_etl_spark.streaming.jobs import (
+        inactive_user_sessions_v2,
+    )
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def ts(minute):
+        return f"2024-01-01 {minute // 60:02d}:{minute % 60:02d}:00"
+
+    batches = [
+        # batch 1: open session at minute 100
+        [(1, ts(100), 1.0)],
+        # batch 2: minute 99 (merge, lowers start), minute 50 (own
+        # closed session; > gap before the carried one, inside the
+        # 60-minute watermark: wm after batch 1 = 100 - 60 = 40)
+        [(1, ts(99), 2.0), (1, ts(50), 4.0)],
+        # batch 3: far future event advances the watermark past
+        # 100 + gap so the carried [99,100] session closes via timer
+        [(1, ts(1000), 8.0)],
+    ]
+    d = tmp_path / "late_events"
+    d.mkdir()
+    for i, rows in enumerate(batches, start=1):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double"
+        ).select(
+            "user_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "value",
+        )
+        scratch = tmp_path / f"late_scratch{i}"
+        df.repartition(1).write.parquet(str(scratch))
+        shutil.copy(
+            globmod.glob(str(scratch / "part-*.parquet"))[0],
+            d / f"b{i}.parquet",
+        )
+
+    schema = spark.read.parquet(str(d / "b1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        inactive_user_sessions_v2(
+            stream, gap_minutes=5, watermark="60 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("sessions_v2_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    q.stop()
+    if prior is None:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+    got = {
+        (r.session_start.minute + 60 * r.session_start.hour,
+         r.session_end.minute + 60 * r.session_end.hour): (
+            r.n_events, r.total_value,
+        )
+        for r in spark.sql("SELECT * FROM sessions_v2_late").collect()
+    }
+    assert got[(50, 50)] == (1, 4.0), got      # own session, not merged
+    assert got[(99, 100)] == (2, 3.0), got     # start lowered to 99

@@ -364,3 +364,54 @@ def test_dedup_ingest_stream(spark, tmp_path):
     q2.stop()
     assert spark.read.parquet(str(out / "corpus")).count() == 25
     assert spark.read.parquet(str(out / "digests")).count() == 25
+
+
+def test_dedup_ingest_mid_batch_crash_replay(spark, tmp_path, monkeypatch):
+    """ADVICE r5 crash window: kill the batch BETWEEN the corpus write
+    and the digest swap, then replay it. The batch-id-keyed overwrite
+    must leave the corpus duplicate-free (the old append-mode write
+    doubled the batch's docs on exactly this replay)."""
+    import pos_data_insertion_etl_spark.operators.compaction as compaction
+    from pos_data_insertion_etl_spark.streaming.jobs import (
+        dedup_ingest_batch,
+    )
+
+    out = tmp_path / "curated"
+    b1 = spark.createDataFrame(
+        [(i, f"doc text number {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, f"doc text number {i}") for i in range(5)]
+        + [(200 + i, f"fresh content {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    dedup_ingest_batch(b1, 0, str(out))
+
+    real_swap = compaction.swap_table
+
+    def crashing_swap(spark_, live, tmp):
+        raise RuntimeError("injected crash between corpus write and swap")
+
+    monkeypatch.setattr(compaction, "swap_table", crashing_swap)
+    try:
+        dedup_ingest_batch(b2, 1, str(out))
+        raise AssertionError("crash injection did not fire")
+    except RuntimeError:
+        pass
+    # corpus already holds batch 1's novel docs, digests are still OLD
+    assert spark.read.parquet(str(out / "corpus")).count() == 14
+    assert spark.read.parquet(str(out / "digests")).count() == 10
+
+    # replay the batch with the crash healed
+    monkeypatch.setattr(compaction, "swap_table", real_swap)
+    dedup_ingest_batch(b2, 1, str(out))
+    corpus = spark.read.parquet(str(out / "corpus"))
+    texts = [r.text for r in corpus.collect()]
+    assert len(texts) == len(set(texts)) == 14, "replay duplicated docs"
+    assert spark.read.parquet(str(out / "digests")).count() == 14
+
+    # and a second replay (crash after swap) is a full no-op
+    dedup_ingest_batch(b2, 1, str(out))
+    assert spark.read.parquet(str(out / "corpus")).count() == 14
+    assert spark.read.parquet(str(out / "digests")).count() == 14
