@@ -1,0 +1,431 @@
+"""Round-6 registrations: the library operators that landed in round 5
+with pytest + local-DuckDB-oracle evidence but no driver CORRECTNESS
+row (VERDICT r5 "Next round" item 1). Each becomes a canonical registry
+query here so the driver's 50-entry evidence window certifies it.
+
+Everything in this module is a thin declared-query wrapper over an
+already-tested operator (operators/quality.py, lm_score.py, mixture.py,
+similarity.py, dedup.py, bloom.py, heavyhitters.py, pca.py, graph.py,
+gapfill.py, pipeline/curation.py); the oracle SQL mirrors the operator
+semantics exactly -- md5-seeded hashes, fixed-point integer arithmetic
+and explicit rounding make every query engine-portable bit-for-bit
+(the same portability rules as plans/registry.py's module docstring).
+
+The reference has no analytics of its own to compare against (it
+delegates to stored procedures, /root/reference/main.py:181-211); these
+operators are the engine's LLM-curation north-star surface
+(SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Quality gates + LM scoring (expression-only / broadcast-model stages)
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS t,
+         string_split_regex(
+             regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), probed AS (
+  SELECT *,
+         list_transform(words,
+             x -> regexp_replace(lower(x),
+                  '^[!-/:-@\\[-`{-~]+|[!-/:-@\\[-`{-~]+$', '', 'g'))
+             AS pwords
+  FROM base
+), m AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN 0 ELSE len(words) END AS n_words,
+         length(regexp_replace(t, '\\s+', '', 'g')) AS n_word_chars,
+         len(list_filter(pwords, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             x -> substr(trim(x), 1, 2) IN ('- ', '* ', '• '))) AS n_bullet,
+         len(list_filter(lines, x -> rtrim(x) LIKE '%...')) AS n_ellipsis,
+         (length(t) - length(replace(t, '#', '')))
+           + (length(t) - length(replace(t, '…', ''))) AS n_symbols,
+         (CASE WHEN list_contains(pwords, 'the') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'be') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'to') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'of') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'and') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'that') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'have') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'with') THEN 1 ELSE 0 END
+         ) AS stop_hits
+  FROM probed
+), r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN ROUND(CAST(n_word_chars AS DOUBLE) / n_words, 6) END
+             AS mean_word_len,
+         CASE WHEN n_words > 0
+              THEN ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6) END
+             AS symbol_word_ratio,
+         CASE WHEN n_lines > 0
+              THEN ROUND(CAST(n_bullet AS DOUBLE) / n_lines, 6) END
+             AS bullet_line_frac,
+         CASE WHEN n_lines > 0
+              THEN ROUND(CAST(n_ellipsis AS DOUBLE) / n_lines, 6) END
+             AS ellipsis_line_frac,
+         CASE WHEN n_words > 0
+              THEN ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) END
+             AS alpha_word_frac,
+         CAST(stop_hits AS BIGINT) AS stopword_hits
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       stopword_hits,
+       COALESCE(n_words BETWEEN 50 AND 100000, FALSE) AS flag_word_count,
+       COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE) AS flag_mean_word_len,
+       COALESCE(symbol_word_ratio < 0.1, FALSE) AS flag_symbol_ratio,
+       COALESCE(bullet_line_frac <= 0.9, FALSE) AS flag_bullet_lines,
+       COALESCE(ellipsis_line_frac <= 0.3, FALSE) AS flag_ellipsis_lines,
+       COALESCE(alpha_word_frac >= 0.8, FALSE) AS flag_alpha_words,
+       COALESCE(stopword_hits >= 2, FALSE) AS flag_stopwords,
+       (COALESCE(n_words BETWEEN 50 AND 100000, FALSE)
+        AND COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE)
+        AND COALESCE(symbol_word_ratio < 0.1, FALSE)
+        AND COALESCE(bullet_line_frac <= 0.9, FALSE)
+        AND COALESCE(ellipsis_line_frac <= 0.3, FALSE)
+        AND COALESCE(alpha_word_frac >= 0.8, FALSE)
+        AND COALESCE(stopword_hits >= 2, FALSE)) AS gopher_pass
+FROM r
+"""
+
+
+@query("q128_gopher_quality", oracle=_GOPHER_ORACLE, tags=("curation", "quality"))
+def q128_gopher_quality(spark, sf_dir):
+    """Gopher/C4 heuristic quality metrics + flags per document, ONE
+    expression-only pass (operators/quality.gopher_quality_flags) --
+    the cheap gate a curation pipeline runs before anything shuffles."""
+    from ..operators.quality import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs)
+
+
+_LM_TOPV = 20
+
+_UNIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) != ''
+), vocab AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab
+), topv AS (
+  SELECT tok, c FROM (
+    SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn FROM vocab
+  ) WHERE rn <= {_LM_TOPV}
+), model AS (
+  SELECT tok,
+         CAST(ROUND(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v + 1 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp_fp
+  FROM topv, tot
+), oov AS (
+  SELECT CAST(ROUND(ln(1.0 / CAST(n + v + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             AS oov_fp
+  FROM tot
+), scored AS (
+  SELECT t.doc_id, COALESCE(m.lp_fp, o.oov_fp) AS fp
+  FROM toks t LEFT JOIN model m USING (tok) CROSS JOIN oov o
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(fp) AS sum_fp FROM scored
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(-CAST(sum_fp AS DOUBLE) / 1000000 / n_tokens, 6) AS cross_entropy,
+       ROUND(exp(ROUND(-CAST(sum_fp AS DOUBLE) / 1000000 / n_tokens, 6)), 4)
+           AS ppl_proxy
+FROM agg
+"""
+
+
+@query("q129_unigram_lm_ce", oracle=_UNIGRAM_ORACLE, tags=("curation", "lm"))
+def q129_unigram_lm_ce(spark, sf_dir):
+    """Per-document cross-entropy under a corpus-trained add-one
+    unigram model (operators/lm_score.unigram_lm_scores): the
+    CCNet-style perplexity filter, broadcast model + fixed-point
+    integer log-prob sums so both engines agree bit-for-bit."""
+    from ..operators.lm_score import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, "text", "doc_id", top_v=_LM_TOPV)
+
+
+_LM_TOPB = 40
+
+_BIGRAM_ORACLE = f"""
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+  FROM documents WHERE trim(text) != ''
+), bg AS (
+  SELECT doc_id,
+         unnest(a[1:len(a)-1]) AS prev,
+         unnest(a[2:len(a)]) AS tok
+  FROM arrs WHERE len(a) >= 2
+), counts AS (
+  SELECT prev, tok, COUNT(*) AS c FROM bg GROUP BY prev, tok
+), ctx AS (
+  SELECT prev, SUM(c) AS c_prev FROM counts GROUP BY prev
+), vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(a) AS tok FROM arrs)
+), ctx_fp AS (
+  SELECT prev, c_prev,
+         CAST(ROUND(ln(1.0 / CAST(c_prev + v + 1 AS DOUBLE)) * 1000000)
+              AS BIGINT) AS ctx_oov_fp
+  FROM ctx, vocab
+), model AS (
+  SELECT prev, tok,
+         CAST(ROUND(ln(CAST(c + 1 AS DOUBLE) / CAST(c_prev + v + 1 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp_fp
+  FROM (
+    SELECT prev, tok, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, prev, tok) AS rn
+    FROM counts
+  ) t JOIN ctx USING (prev) CROSS JOIN vocab
+  WHERE rn <= {_LM_TOPB}
+), gfp AS (
+  SELECT CAST(ROUND(ln(1.0 / CAST(v + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             AS global_oov_fp
+  FROM vocab
+), scored AS (
+  SELECT b.doc_id,
+         COALESCE(m.lp_fp, c.ctx_oov_fp, g.global_oov_fp) AS fp
+  FROM bg b
+  LEFT JOIN model m USING (prev, tok)
+  LEFT JOIN ctx_fp c USING (prev)
+  CROSS JOIN gfp g
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(-CAST(SUM(fp) AS DOUBLE) / 1000000 / COUNT(*), 6)
+           AS cross_entropy
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("q130_bigram_lm_ce", oracle=_BIGRAM_ORACLE, tags=("curation", "lm"))
+def q130_bigram_lm_ce(spark, sf_dir):
+    """Per-document cross-entropy under a corpus-trained add-one BIGRAM
+    model (order-sensitive, unlike q129's unigram): top-B conditional
+    probs + per-context and global backoff floors, all broadcast."""
+    from ..operators.lm_score import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "text", "doc_id", top_b=_LM_TOPB)
+
+
+# ---------------------------------------------------------------------------
+# Mixture / sampling
+# ---------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         CASE source WHEN 'src0' THEN 10000
+                     WHEN 'src1' THEN 6000
+                     WHEN 'src2' THEN 4000 END AS source_budget
+  FROM documents
+), ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS sel_rank
+  FROM base WHERE source_budget IS NOT NULL
+), summed AS (
+  SELECT *,
+         SUM(n_tokens) OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM ranked
+)
+SELECT doc_id, source, n_tokens, sel_rank, cum_before, source_budget
+FROM summed WHERE cum_before < source_budget
+"""
+
+
+@query(
+    "q131_mixture_budget_sample",
+    oracle=_MIXTURE_ORACLE,
+    tags=("curation", "sampling", "mixture"),
+)
+def q131_mixture_budget_sample(spark, sf_dir):
+    """Budgeted data mixing: fill 50/30/20 per-source token budgets out
+    of 20k total, selecting documents in deterministic md5 order
+    (operators/mixture.budgeted_mixture_sample) -- the last curation
+    stage before packing."""
+    from ..operators.mixture import budgeted_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return budgeted_mixture_sample(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, total_tokens=20_000
+    )
+
+
+_WSAMPLE_ORACLE = """
+WITH hexed AS (
+  SELECT doc_id, source, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS h
+  FROM documents
+), keyed AS (
+  -- 13 hex digits decode exactly in a double (< 2^52)
+  SELECT doc_id, source, n_chars,
+         ROUND(ln((list_sum(list_transform(range(13),
+                    i -> (strpos('0123456789abcdef', substr(h, i + 1, 1)) - 1)
+                         * power(16, 12 - i)))
+                   / 4503599627370496.0) + 1e-300)
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+  FROM hexed
+)
+SELECT doc_id, source, n_chars, es_key,
+       CAST(rk AS BIGINT) AS sample_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY es_key DESC, doc_id) AS rk
+  FROM keyed
+) t WHERE rk <= 10
+"""
+
+
+@query(
+    "q132_weighted_sample_wor",
+    oracle=_WSAMPLE_ORACLE,
+    tags=("curation", "sampling"),
+)
+def q132_weighted_sample_wor(spark, sf_dir):
+    """Efraimidis-Spirakis A-ES weighted sampling without replacement,
+    stratified by source, weight = n_chars: RNG-free hashed uniforms so
+    the sample is a pure function of (ids, weights) on any cluster
+    (operators/mixture.weighted_sample_without_replacement)."""
+    from ..operators.mixture import weighted_sample_without_replacement
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_without_replacement(
+        docs, "n_chars", k=10, stratum_col="source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_CODES = 16
+_PQ_DIM = 64
+
+_PQ_ENCODE_ORACLE = f"""
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+), q AS (
+  SELECT vec_id,
+         list_transform(
+             vd,
+             x -> CAST(ROUND(x / sqrt(list_sum(
+                      list_transform(vd, y -> y * y))) * 10000000)
+                  AS BIGINT)) AS v
+  FROM raw
+), subs AS (
+  SELECT vec_id, s.i AS sub_idx,
+         v[(s.i * ({_PQ_DIM} // {_PQ_M}) + 1)
+           :((s.i + 1) * ({_PQ_DIM} // {_PQ_M}))] AS vsub
+  FROM q CROSS JOIN (SELECT unnest(range({_PQ_M})) AS i) s
+), cb AS (
+  SELECT sub_idx, vec_id AS code, vsub AS csub FROM subs
+  WHERE vec_id < {_PQ_CODES}
+), dists AS (
+  SELECT s.vec_id, s.sub_idx, c.code,
+         list_sum(list_transform(
+             list_zip(s.vsub, c.csub),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM subs s JOIN cb c ON s.sub_idx = c.sub_idx
+)
+SELECT vec_id, CAST(sub_idx AS INTEGER) AS sub_idx,
+       arg_min(code, dist * 256 + code) AS code
+FROM dists GROUP BY vec_id, sub_idx
+"""
+
+
+@query(
+    "q133_pq_encode",
+    oracle=_PQ_ENCODE_ORACLE,
+    tags=("similarity", "pq", "quantization"),
+)
+def q133_pq_encode(spark, sf_dir):
+    """PQ encoding: every embedding compressed to 8 one-byte codes
+    (nearest codeword per subspace, exact integer L2 + struct argmin,
+    operators/similarity.pq_encode). The (id, sub_idx, code) relation
+    is what ANN search shuffles at 100 TB, never the vectors."""
+    from ..operators.similarity import pq_codebook, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "vec_id", "embedding", _PQ_M, _PQ_CODES, _PQ_DIM)
+    return pq_encode(emb, "vec_id", "embedding", cb, _PQ_M, _PQ_DIM)
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH obs AS (
+  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders WHERE o_custkey < 40 GROUP BY 1, 2
+), bounds AS (
+  SELECT k, MIN(d) AS lo, MAX(d) AS hi FROM obs GROUP BY k
+), spine AS (
+  SELECT k, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                        CAST(hi AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), dense AS (
+  SELECT s.k, s.day, o.v, o.v IS NOT NULL AS observed
+  FROM spine s LEFT JOIN obs o ON o.k = s.k AND o.d = s.day
+)
+SELECT k AS o_custkey, day,
+       last_value(v IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o_totalprice,
+       observed
+FROM dense
+"""
+
+
+@query("q142_gapfill_ffill", oracle=_GAPFILL_ORACLE, tags=("timeseries",))
+def q142_gapfill_ffill(spark, sf_dir):
+    """Keyed daily densify + forward fill (operators/gapfill): the
+    TimescaleDB time_bucket_gapfill shape -- per-key spine explode,
+    left join back, one shared (key x day) window partitioning."""
+    from ..operators.gapfill import gapfill_daily
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 40
+    )
+    daily = orders.groupBy(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("o_totalprice")
+    )
+    return gapfill_daily(daily, "o_custkey", "day", "o_totalprice", "ffill")

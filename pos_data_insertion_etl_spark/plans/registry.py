@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops3,
         llm_ops4,
         llm_ops5,
+        llm_ops6,
         media_ops,
         pos_ops,
         relational,
