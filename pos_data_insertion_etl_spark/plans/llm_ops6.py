@@ -20,6 +20,7 @@ operators are the engine's LLM-curation north-star surface
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 from .registry import query
@@ -429,3 +430,427 @@ def q142_gapfill_ffill(spark, sf_dir):
         .alias("o_totalprice")
     )
     return gapfill_daily(daily, "o_custkey", "day", "o_totalprice", "ffill")
+
+
+# ---------------------------------------------------------------------------
+# PQ ADC search (full oracle: untrained id-sampled codebook is
+# deterministic, so the ENTIRE approximate search pipeline -- encode,
+# per-query distance table, code-lookup sum, rank -- is reproducible in
+# SQL; the Lloyd-trained variant stays invariant-tested in pytest)
+# ---------------------------------------------------------------------------
+
+_PQ_ADC_ORACLE = f"""
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+), q AS (
+  SELECT vec_id,
+         list_transform(
+             vd,
+             x -> CAST(ROUND(x / sqrt(list_sum(
+                      list_transform(vd, y -> y * y))) * 10000000)
+                  AS BIGINT)) AS v
+  FROM raw
+), subs AS (
+  SELECT vec_id, s.i AS sub_idx,
+         v[(s.i * ({_PQ_DIM} // {_PQ_M}) + 1)
+           :((s.i + 1) * ({_PQ_DIM} // {_PQ_M}))] AS vsub
+  FROM q CROSS JOIN (SELECT unnest(range({_PQ_M})) AS i) s
+), cb AS (
+  SELECT sub_idx, vec_id AS code, vsub AS csub FROM subs
+  WHERE vec_id < {_PQ_CODES}
+), dists AS (
+  SELECT s.vec_id, s.sub_idx, c.code,
+         CAST(list_sum(list_transform(
+             list_zip(s.vsub, c.csub),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+  FROM subs s JOIN cb c ON s.sub_idx = c.sub_idx
+), codes AS (
+  SELECT vec_id, sub_idx, arg_min(code, dist * 256 + code) AS code
+  FROM dists GROUP BY vec_id, sub_idx
+), dtab AS (
+  SELECT vec_id AS query_id, sub_idx, code, dist AS qdist
+  FROM dists WHERE vec_id BETWEEN 100 AND 109
+), pairs AS (
+  SELECT d.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(d.qdist) AS BIGINT) AS adc_dist
+  FROM codes c JOIN dtab d
+    ON c.sub_idx = d.sub_idx AND c.code = d.code
+  WHERE c.vec_id != d.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, rn FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS BIGINT)
+             AS rn
+  FROM pairs) t
+WHERE rn <= 3
+"""
+
+
+@query("q134_pq_adc_topk", oracle=_PQ_ADC_ORACLE, tags=("similarity", "pq", "ann"))
+def q134_pq_adc_topk(spark, sf_dir):
+    """ADC top-k over PQ codes (operators/similarity.pq_topk with the
+    deterministic id-sampled codebook): queries keep exact subvectors,
+    corpus vectors participate only as byte codes, distance = sum of
+    per-subspace table lookups via a (sub_idx, code) equi-join."""
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        lambda c: c.between(100, 109),
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        k=3,
+        dim=_PQ_DIM,
+        train_iters=0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-ingest) dedup
+# ---------------------------------------------------------------------------
+
+_INCR_SPLIT = 250  # batch 1 = doc_id < _INCR_SPLIT, batch 2 = the rest
+
+_INCR_EXACT_ORACLE = f"""
+WITH b1 AS (
+  SELECT DISTINCT sha256(text) AS fp FROM documents
+  WHERE doc_id < {_INCR_SPLIT}
+), b2 AS (
+  SELECT doc_id, source, n_chars, sha256(text) AS fp FROM documents
+  WHERE doc_id >= {_INCR_SPLIT}
+), keep AS (
+  SELECT fp, MIN(doc_id) AS keep_id FROM b2 GROUP BY fp
+)
+SELECT b2.doc_id, b2.source, b2.n_chars
+FROM b2 JOIN keep ON b2.fp = keep.fp AND b2.doc_id = keep.keep_id
+WHERE b2.fp NOT IN (SELECT fp FROM b1)
+"""
+
+
+@query(
+    "q135_incremental_exact_dedup",
+    oracle=_INCR_EXACT_ORACLE,
+    tags=("dedup", "incremental"),
+)
+def q135_incremental_exact_dedup(spark, sf_dir):
+    """Continuous-ingestion exact dedup (operators/dedup.
+    incremental_exact_dedup): batch 2's novel documents after anti-
+    joining batch 1's digest table -- the digest state is 32 bytes per
+    kept doc, so at 100 TB the anti-join ships digests, never text."""
+    from ..operators.dedup import incremental_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    b2 = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    _, seen = incremental_exact_dedup(b1, None, "text", "doc_id")
+    novel, _ = incremental_exact_dedup(b2, seen, "text", "doc_id")
+    return novel.select("doc_id", "source", "n_chars")
+
+
+_NEARDUP_CORPUS = 100  # corpus = doc_id < 100, new batch = 100..199
+
+
+def _incr_neardup_oracle() -> str:
+    hashes = ",\n         ".join(
+        f"MIN(md5('mh{i:02d}|' || shingle)) AS h{i:02d}" for i in range(8)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx,"
+        f" md5(h{2*b:02d} || '|' || h{2*b+1:02d}) AS band_key FROM sig"
+        for b in range(4)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '\s+')) AS tok,
+         unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS i
+  FROM documents WHERE doc_id < 200
+),
+sh0 AS (
+  SELECT doc_id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+sig AS (
+  SELECT doc_id,
+         {hashes}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.band_idx = b.band_idx
+  WHERE a.doc_id >= {_NEARDUP_CORPUS} AND b.doc_id < {_NEARDUP_CORPUS}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.corpus_id, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.new_id
+  JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id,
+       ROUND(CAST(n_common AS DOUBLE) / (sn.n_sh + sc.n_sh - n_common), 6)
+           AS jaccard
+FROM inter
+JOIN sizes sn ON sn.doc_id = new_id
+JOIN sizes sc ON sc.doc_id = corpus_id
+WHERE n_common * 2 >= (sn.n_sh + sc.n_sh - n_common)
+"""
+
+
+@query(
+    "q136_incremental_neardup",
+    oracle=_incr_neardup_oracle(),
+    tags=("dedup", "incremental", "lsh"),
+)
+def q136_incremental_neardup(spark, sf_dir):
+    """Asymmetric new-batch x corpus near-dup matches with verified
+    exact Jaccard >= 1/2 (operators/dedup.incremental_neardup_filter):
+    LSH band keys of the two sides equi-join for candidates (never
+    all-pairs), candidates verify against exact shingle overlap -- the
+    provenance relation a continuous-ingest curation audit keeps."""
+    from ..operators.dedup import incremental_neardup_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < _NEARDUP_CORPUS)
+    new = docs.filter(
+        (F.col("doc_id") >= _NEARDUP_CORPUS) & (F.col("doc_id") < 200)
+    )
+    _, matches = incremental_neardup_filter(
+        new, corpus, "text", "doc_id", threshold_num=1, threshold_den=2
+    )
+    return matches
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (full oracle: seeded-md5 bit positions
+# are engine-portable, so DuckDB rebuilds the SAME filter from the
+# benchmark side and re-probes every corpus shingle)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BENCH = 10       # benchmark = doc_id < 10
+_BLOOM_K = 7
+_BLOOM_BPS = 10         # bits per benchmark shingle
+
+#: md5-hex prefix (15 digits) -> BIGINT, exactly: every 16^k is a power
+#: of two, so the per-digit scale factors are exact doubles cast to
+#: BIGINT and the integer sum stays < 16^15 < 2^63.
+_HEX15 = (
+    "CAST(list_sum(list_transform(range(15), "
+    "i -> CAST(strpos('0123456789abcdef', substr({h}, i + 1, 1)) - 1 AS BIGINT)"
+    " * CAST(power(16, 14 - i) AS BIGINT))) AS BIGINT)"
+)
+
+
+def _bloom_oracle() -> str:
+    h = _HEX15.format(h="md5('bf' || k.i || '|' || {v})")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '\s+')) AS tok,
+         unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS i
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BLOOM_BENCH}
+),
+mb AS (SELECT GREATEST(COUNT(*) * {_BLOOM_BPS}, 64) AS m FROM bench),
+bpos AS (
+  SELECT DISTINCT {h.format(v="b.shingle")} % mb.m AS p
+  FROM bench b CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i) k
+  CROSS JOIN mb
+),
+probes AS (
+  SELECT s.doc_id, s.shingle, {h.format(v="s.shingle")} % mb.m AS p
+  FROM sh s CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i) k
+  CROSS JOIN mb
+),
+shingle_hits AS (
+  SELECT pr.doc_id, pr.shingle,
+         CASE WHEN COUNT(bp.p) = {_BLOOM_K} THEN 1 ELSE 0 END AS hit
+  FROM probes pr LEFT JOIN bpos bp ON pr.p = bp.p
+  GROUP BY 1, 2
+)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS hit_frac
+FROM shingle_hits GROUP BY doc_id
+"""
+
+
+@query(
+    "q137_bloom_decontaminate",
+    oracle=_bloom_oracle(),
+    tags=("curation", "decontamination", "bloom"),
+)
+def q137_bloom_decontaminate(spark, sf_dir):
+    """Benchmark-contamination screen via a Bloom filter of the
+    benchmark's shingles (operators/bloom.bloom_contamination_report):
+    membership is a pure k-probe expression over each corpus shingle
+    (no join), hit_frac is an upper bound on true contamination (the
+    filter has no false negatives). The oracle rebuilds the identical
+    filter from the same seeded-md5 positions and re-probes."""
+    from ..operators.bloom import bloom_contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < _BLOOM_BENCH)
+    return bloom_contamination_report(
+        docs,
+        benchmark,
+        bits_per_shingle=_BLOOM_BPS,
+        k_hashes=_BLOOM_K,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketches: Misra-Gries guaranteed heavy hitters, Count-Min estimates
+# ---------------------------------------------------------------------------
+
+_HH_K = 29
+
+_HH_ORACLE = rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), t AS (SELECT tok FROM toks WHERE tok != '')
+SELECT tok AS value, COUNT(*) AS count_exact
+FROM t GROUP BY tok
+HAVING COUNT(*) * {_HH_K + 1} > (SELECT COUNT(*) FROM t)
+"""
+
+
+@query(
+    "q138_heavy_hitters",
+    oracle=_HH_ORACLE,
+    tags=("sketch", "heavy_hitters"),
+)
+def q138_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters with the textbook guarantee made into
+    the checkable output: every token with true frequency > n/(k+1)
+    MUST be in the k-entry summary (operators/heavyhitters), so the
+    query emits the summary's exact-recounted entries filtered to that
+    threshold -- if the sketch ever dropped a guaranteed value, the
+    row would be missing and the oracle comparison fails."""
+    from ..operators.heavyhitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        )
+    ).filter(F.col("tok") != "")
+    hh = heavy_hitters(toks, "tok", k=_HH_K, exact_recount=True)
+    tot = toks.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        hh.crossJoin(F.broadcast(tot))
+        .filter(F.col("count_exact") * (_HH_K + 1) > F.col("_n"))
+        .select("value", "count_exact")
+    )
+
+
+_CM_WIDTH = 256
+_CM_DEPTH = 4
+_CM_TOP = 20
+
+
+def _cm_oracle() -> str:
+    h = _HEX15.format(h="md5('cm' || d.i || '|' || {v})")
+    return rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), t AS (SELECT tok FROM toks WHERE tok != ''),
+sketch AS (
+  SELECT d.i AS d, {h.format(v="tok")} % {_CM_WIDTH} AS b, COUNT(*) AS c
+  FROM t CROSS JOIN (SELECT unnest(range({_CM_DEPTH})) AS i) d
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, c FROM (
+    SELECT tok, COUNT(*) AS c,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+    FROM t GROUP BY tok
+  ) WHERE rn <= {_CM_TOP}
+),
+est AS (
+  SELECT tp.tok, tp.c, MIN(sk.c) AS est
+  FROM top tp
+  CROSS JOIN (SELECT unnest(range({_CM_DEPTH})) AS i) d
+  JOIN sketch sk
+    ON sk.d = d.i AND sk.b = {h.format(v="tp.tok")} % {_CM_WIDTH}
+  GROUP BY 1, 2
+)
+SELECT tok AS value, c AS count_exact, CAST(est AS BIGINT) AS cm_estimate
+FROM est
+"""
+
+
+@query("q139_countmin_estimates", oracle=_cm_oracle(), tags=("sketch", "countmin"))
+def q139_countmin_estimates(spark, sf_dir):
+    """Count-Min point estimates for the corpus's top tokens: the
+    sketch (depth x width integer sums, partitioning-independent,
+    operators/heavyhitters.countmin_sketch) rides the plan as literal
+    arrays; the estimate is the LEAST of the depth probe buckets.
+    Deterministic end to end, so the oracle rebuilds the same sketch
+    relationally and must agree exactly -- including the never-
+    undercount property (est >= exact by construction)."""
+    from ..operators.heavyhitters import countmin_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        )
+    ).filter(F.col("tok") != "")
+    sketch = countmin_sketch(toks, "tok", width=_CM_WIDTH, depth=_CM_DEPTH)
+    probes = [
+        F.element_at(
+            F.array(*[F.lit(c) for c in sketch[d]]),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"cm{d}|"), F.col("value"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CM_WIDTH
+            ).cast("int")
+            + 1,
+        )
+        for d in range(_CM_DEPTH)
+    ]
+    top = (
+        toks.groupBy(F.col("tok").alias("value"))
+        .agg(F.count(F.lit(1)).alias("count_exact"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.orderBy(F.desc("count_exact"), "value")),
+        )
+        .filter(F.col("_rn") <= _CM_TOP)
+        .drop("_rn")
+    )
+    return top.select(
+        "value", "count_exact", F.least(*probes).cast("long").alias("cm_estimate")
+    )
