@@ -31,12 +31,17 @@ def archive_path(source_file: Column | str, prefix: str = "Daily") -> Column:
     )
 
 
-def target_business_date() -> Column:
+def target_business_date(now: Column | str | None = None) -> Column:
     """The reference's "today": utcnow + 5h30m, i.e. IST civil date
-    (main.py:444)."""
-    return F.to_date(
-        F.from_utc_timestamp(F.current_timestamp(), "Asia/Kolkata")
+    (main.py:444). ``now`` parameterizes the clock (a UTC timestamp
+    column) so the logic is oracle-testable on pinned timestamps
+    (q145); None keeps the reference's wall-clock behavior."""
+    c = (
+        F.current_timestamp()
+        if now is None
+        else (F.col(now) if isinstance(now, str) else now)
     )
+    return F.to_date(F.from_utc_timestamp(c, "Asia/Kolkata"))
 
 
 def jst_timestamp(ts: Column | str = None) -> Column:
