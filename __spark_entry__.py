@@ -13,15 +13,24 @@ alias-prefix rotation both missed that rule and -- per ADVICE r4 --
 broke the canonical-name API contract, so it is gone: every key below
 is the canonical registry name, always.
 
-What remains is pure dict ordering: names that have never appeared in
-any committed driver CORRECTNESS artifact are inserted FIRST (in
-canonical sort order among themselves), followed by the already
-certified names (also sorted). The never-certified set is derived at
-call time from the CORRECTNESS_r*.json files in the repo root, so the
-ordering self-rotates as rounds accumulate evidence and new operators
-join the registry with automatic priority. Consumers keyed on
-canonical names (``queries()["q54_ngram_jaccard"]``) are unaffected --
-dict membership and values are identical under any ordering.
+What remains is pure dict ordering: names that have never earned a
+fully GREEN driver row (``hash_match`` true) in any committed
+CORRECTNESS artifact are inserted FIRST (in canonical sort order among
+themselves), followed by the already hash-certified names (also
+sorted). Round 6 tightened "certified" from "has any row" to "has a
+green row": the four r5 entries whose only rows were `err: no_oracle`
+(q58/q63/q64/q124) gained real oracles this round and must re-enter
+the window to convert those err rows to green ones -- presence of a
+failed check is not evidence. Queries that are rows-only BY DESIGN
+(oracle=None, e.g. the q144 curation funnel) therefore re-certify
+every round; that keeps their weaker evidence fresh and is harmless
+while the never-green set stays far under the 50-slot window. The set
+is derived at call time from the CORRECTNESS_r*.json files in the repo
+root, so the ordering self-rotates as rounds accumulate evidence and
+new operators join the registry with automatic priority. Consumers
+keyed on canonical names (``queries()["q54_ngram_jaccard"]``) are
+unaffected -- dict membership and values are identical under any
+ordering.
 """
 
 from __future__ import annotations
@@ -63,14 +72,34 @@ def driver_certified_names() -> frozenset[str]:
     return frozenset(names)
 
 
+def driver_green_names() -> frozenset[str]:
+    """Canonical names with >=1 fully GREEN driver row (hash_match
+    true) in any committed CORRECTNESS artifact. Rows recording an err
+    (e.g. `no_oracle`) or a failed compare do not count -- evidence of
+    an attempted check is not evidence of correctness."""
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        names.update(
+            _ALIAS_PREFIX.sub("", k)
+            for k, rec in rows.items()
+            if isinstance(rec, dict) and rec.get("hash_match") is True
+        )
+    return frozenset(names)
+
+
 def _ordered_names() -> list[str]:
-    """Registry names, never-driver-certified first (sorted), then the
-    rest (sorted): the first-50 insertion-order window the driver
-    certifies is exactly the names that still need official evidence."""
+    """Registry names, never-hash-green first (sorted), then the rest
+    (sorted): the first-50 insertion-order window the driver certifies
+    is exactly the names that still need green official evidence."""
     registry = sorted(all_queries())
-    certified = driver_certified_names()
-    pending = [n for n in registry if n not in certified]
-    return pending + [n for n in registry if n in certified]
+    green = driver_green_names()
+    pending = [n for n in registry if n not in green]
+    return pending + [n for n in registry if n in green]
 
 
 def entry(spark: SparkSession) -> DataFrame:

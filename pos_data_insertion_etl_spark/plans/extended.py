@@ -301,26 +301,121 @@ def q66_salted_agg(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("q63_approx_distinct", oracle=None, tags=("agg", "approx"))
+#: HLL++ default rsd is 0.05; 3 sigma plus slack -> 0.15 relative bound.
+_HLL_TOL = 0.15
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+       COUNT(*) AS n_rows,
+       TRUE AS parts_within_bound,
+       TRUE AS suppliers_within_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query(
+    "q63_approx_distinct",
+    oracle=_APPROX_DISTINCT_ORACLE,
+    tags=("agg", "approx"),
+)
 def q63_approx_distinct(spark, sf_dir):
-    """HyperLogLog++ distinct sketch (approximate -> no value oracle;
-    driver records the rows-only check). The scale story: one pass, fixed
-    memory, mergeable across partitions."""
+    """HyperLogLog++ distinct sketch (one pass, fixed memory, mergeable
+    across partitions) certified through its ERROR BOUND: the query
+    computes the approx AND exact distinct counts per group and emits
+    `|approx - exact| <= 0.15 * exact` booleans alongside the exact
+    values; the oracle computes the exact side and pins the booleans
+    TRUE, so a sketch drifting outside its 3-sigma envelope
+    hash-mismatches (closes the r5 `no_oracle` row; VERDICT r5 item 2)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+
+    def within(approx, exact):
+        return (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(_HLL_TOL) * exact.cast("double")
+        )
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_suppkey").alias("_as"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_suppliers",
+        "n_rows",
+        within(F.col("_ap"), F.col("exact_parts")).alias(
+            "parts_within_bound"
+        ),
+        within(F.col("_as"), F.col("exact_suppliers")).alias(
+            "suppliers_within_bound"
+        ),
     )
 
 
-@query("q64_percentile_approx", oracle=None, tags=("agg", "approx"))
+#: GK sketch accuracy parameter: rank error <= n / _GK_ACC. The check
+#: uses 10x slack plus a constant to stay robustly inside the bound.
+_GK_ACC = 1000
+
+_PCTL_APPROX_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       TRUE AS median_rank_ok, TRUE AS p99_rank_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query(
+    "q64_percentile_approx",
+    oracle=_PCTL_APPROX_ORACLE,
+    tags=("agg", "approx"),
+)
 def q64_percentile_approx(spark, sf_dir):
-    """t-digest-style approximate percentile (GK sketch in Spark):
-    mergeable, bounded-memory -- the 100 TB path when exact sort-based
-    percentiles are too expensive."""
+    """GK-sketch approximate percentiles (mergeable, bounded memory --
+    the 100 TB path when exact sort-based percentiles are too dear)
+    certified through the sketch's RANK guarantee: the returned value's
+    rank interval [count(x < v), count(x <= v)] must intersect
+    `p*n +- (n/100 + 2)` (the documented n/1000 error with 10x slack).
+    The booleans are the query output; the oracle pins them TRUE over
+    the exact per-group row counts (closes the r5 `no_oracle` row)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price_approx"),
-        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_price_approx"),
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, _GK_ACC).alias("_m"),
+        F.percentile_approx("l_extendedprice", 0.99, _GK_ACC).alias("_p99"),
+    )
+    joined = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(approx), "l_returnflag"
+    )
+    ranks = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_extendedprice") < F.col("_m")).cast("long")).alias(
+            "_m_lo"
+        ),
+        F.sum((F.col("l_extendedprice") <= F.col("_m")).cast("long")).alias(
+            "_m_hi"
+        ),
+        F.sum((F.col("l_extendedprice") < F.col("_p99")).cast("long")).alias(
+            "_p_lo"
+        ),
+        F.sum((F.col("l_extendedprice") <= F.col("_p99")).cast("long")).alias(
+            "_p_hi"
+        ),
+    )
+
+    def rank_ok(lo, hi, p):
+        n = F.col("n_rows").cast("double")
+        tol = n / 100 + 2
+        target = n * p
+        return (lo.cast("double") <= target + tol) & (
+            hi.cast("double") >= target - tol
+        )
+
+    return ranks.select(
+        "l_returnflag",
+        "n_rows",
+        rank_ok(F.col("_m_lo"), F.col("_m_hi"), 0.5).alias("median_rank_ok"),
+        rank_ok(F.col("_p_lo"), F.col("_p_hi"), 0.99).alias("p99_rank_ok"),
     )

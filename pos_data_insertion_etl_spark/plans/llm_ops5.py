@@ -46,11 +46,67 @@ _SOURCE_CAP = 10    # q126: keep at most N docs per source
 _INT8_MAX = 127     # q127: symmetric int8 code range
 
 
-@query("q124_ann_lsh_seeded", oracle=None, tags=("similarity", "ann", "lsh"))
+def _seeded_lsh_oracle() -> str:
+    from ..operators.similarity import PLANE_SCALE, seeded_planes
+
+    planes = seeded_planes(_LSH_PLANES, _EMB_DIM, _LSH_SEED)
+    plane_lits = [
+        "[" + ", ".join(str(int(round(x * PLANE_SCALE))) for x in row) + "]"
+        for row in planes
+    ]
+    bits = " || ".join(
+        f"(CASE WHEN CAST(list_sum(list_transform(list_zip(v, {lit}),"
+        f" p -> p[1] * p[2])) AS BIGINT) >= 0 THEN '1' ELSE '0' END)"
+        for lit in plane_lits
+    )
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 10000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+bk AS (SELECT vec_id, v, {bits} AS bucket FROM qv),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bk q JOIN bk c ON c.bucket = q.bucket
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+pc AS (SELECT p.query_id, p.neighbor_id, unnest(a.v) AS qx, unnest(b.v) AS nx
+       FROM pairs p JOIN qv a ON a.vec_id = p.query_id
+                    JOIN qv b ON b.vec_id = p.neighbor_id),
+pd AS (SELECT query_id, neighbor_id,
+              CAST(SUM(qx * nx) AS BIGINT) AS dot,
+              CAST(SUM(qx * qx) AS BIGINT) AS qq,
+              CAST(SUM(nx * nx) AS BIGINT) AS nn
+       FROM pc GROUP BY 1, 2),
+psim AS (SELECT query_id, neighbor_id,
+                ROUND(CAST(dot AS DOUBLE)
+                      / (SQRT(CAST(qq AS DOUBLE)) * SQRT(CAST(nn AS DOUBLE))), 6)
+                    AS cos_sim
+         FROM pd)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS BIGINT)
+             AS rn
+  FROM psim) t
+WHERE rn <= 5
+"""
+
+
+@query(
+    "q124_ann_lsh_seeded",
+    oracle=_seeded_lsh_oracle(),
+    tags=("similarity", "ann", "lsh"),
+)
 def q124_ann_lsh_seeded(spark, sf_dir):
-    """Sign-LSH bucketed ANN with seeded Gaussian projection planes
-    (approximate -> rows-only check; invariants in test_similarity_lsh).
-    """
+    """Sign-LSH bucketed ANN with seeded Gaussian projection planes.
+    Approximate vs exact top-k but DETERMINISTIC: plane dots are exact
+    integer fixed-point (operators/similarity._plane_dot), so the
+    bucket bits -- hence candidates and ranks -- replay bit-for-bit in
+    the oracle (closes the r5 `no_oracle` row; recall-floor invariants
+    stay in test_similarity_ann)."""
     from ..operators.similarity import lsh_bucket_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1294,3 +1294,48 @@ def test_content_defined_chunks_shift_resistant(spark, sf_dir):
         total += len(orig)
         shared += len(orig & sh_by_doc.get(doc_id, set()))
     assert shared / total > 0.5, f"only {shared}/{total} chunks survived shift"
+
+
+def test_gopher_sentence_case_and_allcaps_probes(spark):
+    """ADVICE r5: sentence-case stopwords ('The', 'the,') must count as
+    stopword hits and ALL-CAPS words as alphabetic. Doc 1 is ordinary
+    sentence-case English with trailing punctuation; doc 2 is all-caps."""
+    rows = [
+        (1, "The dog ran to the house, and that was that."),
+        (2, "WARNING: THE SYSTEM IS DOWN AND THAT IS BAD."),
+        (3, "1234 5678 9012"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    # 'The'/'the' + 'to' + 'and' + 'that' all probe through case/punct
+    assert got[1].stopword_hits >= 4, got[1]
+    assert got[1].alpha_word_frac == 1.0
+    assert got[2].stopword_hits >= 3, got[2]  # THE, AND, THAT
+    assert got[2].alpha_word_frac == 1.0
+    assert got[3].alpha_word_frac == 0.0  # digits stay non-alphabetic
+
+
+def test_pq_train_deterministic_and_localcheckpoint(spark, sf_dir):
+    """Lloyd training must be run-to-run deterministic after the switch
+    to localCheckpoint lineage cuts (no driver round-trip), and a
+    codeword-source vector must still encode to itself after training
+    init (distance 0 at iteration start keeps its cluster populated)."""
+    from pos_data_insertion_etl_spark.operators.similarity import pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    cb1 = {
+        (r.sub_idx, r.code): tuple(r.csub)
+        for r in pq_train(
+            emb, "vec_id", "embedding", m=4, n_codes=8, dim=64, iters=3
+        ).collect()
+    }
+    cb2 = {
+        (r.sub_idx, r.code): tuple(r.csub)
+        for r in pq_train(
+            emb, "vec_id", "embedding", m=4, n_codes=8, dim=64, iters=3
+        ).collect()
+    }
+    assert cb1 == cb2
+    assert len(cb1) == 4 * 8

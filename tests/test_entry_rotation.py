@@ -42,6 +42,30 @@ _NEW_SINCE_R4: frozenset[str] = frozenset(
     }
 )
 
+#: Registry names introduced in round 6 (can't appear in the r5 dict).
+_NEW_SINCE_R5: frozenset[str] = frozenset(
+    {
+        "q128_gopher_quality",
+        "q129_unigram_lm_ce",
+        "q130_bigram_lm_ce",
+        "q131_mixture_budget_sample",
+        "q132_weighted_sample_wor",
+        "q133_pq_encode",
+        "q134_pq_adc_topk",
+        "q135_incremental_exact_dedup",
+        "q136_incremental_neardup",
+        "q137_bloom_decontaminate",
+        "q138_heavy_hitters",
+        "q139_countmin_estimates",
+        "q140_pca_invariants",
+        "q141_pagerank",
+        "q142_gapfill_ffill",
+        "q143_lsh_multiprobe",
+        "q144_curation_funnel",
+        "q145_ist_jst_dates",
+    }
+)
+
 
 def _entry_module():
     spec = importlib.util.spec_from_file_location("_entry_under_test", _ENTRY)
@@ -68,23 +92,59 @@ def test_r4_artifact_confirms_insertion_order_selection():
         f"00r4_{n}" if n in rotated else n for n in sorted(all_queries())
     ]
     # Names added after round 4 (if any) can't appear in the r4 dict.
-    r4_exports = [k for k in r4_exports if _ALIAS.sub("", k) not in _NEW_SINCE_R4]
+    r4_exports = [
+        k
+        for k in r4_exports
+        if _ALIAS.sub("", k) not in (_NEW_SINCE_R4 | _NEW_SINCE_R5)
+    ]
     assert len(observed) == 50
     assert observed == r4_exports[:50]
 
 
-def test_insertion_prefix_covers_never_certified_names():
+def test_r5_artifact_confirms_pending_first_selection():
+    """The r5 driver window == the predicted first-50: every name the
+    r1-r4 artifacts had never certified (within the r5 registry),
+    sorted, padded from the sorted certified names. This pins the
+    round-5 ordering mechanism against the newest committed artifact,
+    exactly as test_r4_... pins the round-4 one (VERDICT r5 item 8)."""
+    observed = list(_artifact(5))
+    r5_registry = sorted(
+        n for n in all_queries() if n not in _NEW_SINCE_R5
+    )
+    certified_pre_r5: set[str] = set()
+    for rnd in range(1, 5):
+        certified_pre_r5 |= {_ALIAS.sub("", k) for k in _artifact(rnd)}
+    pending = [n for n in r5_registry if n not in certified_pre_r5]
+    predicted = (
+        pending + [n for n in r5_registry if n in certified_pre_r5]
+    )[:50]
+    assert len(observed) == 50
+    assert observed == predicted
+
+
+def test_insertion_prefix_covers_never_green_names():
+    """Round 6 orders by GREEN evidence (hash_match rows), not mere row
+    presence: `err: no_oracle` rows must not retire a name from the
+    window -- that is how q58/q63/q64/q124 re-enter to convert their
+    r5 err rows after gaining oracles."""
     mod = _entry_module()
     exported = list(mod.queries())
-    certified = mod.driver_certified_names()
-    never = sorted(n for n in all_queries() if n not in certified)
-    # The never-certified block leads the dict, in canonical order.
+    green = mod.driver_green_names()
+    never = sorted(n for n in all_queries() if n not in green)
+    # The never-green block leads the dict, in canonical order.
     assert exported[: len(never)] == never
     # And (while it fits) the whole gap sits inside the 50-entry window.
     if len(never) <= 50:
         assert set(never) <= set(exported[:50])
-    # Remaining entries are the certified names, canonical order.
-    assert exported[len(never):] == sorted(certified & set(all_queries()))
+    # Remaining entries are the green names, canonical order.
+    assert exported[len(never):] == sorted(green & set(all_queries()))
+    # The r5 err-row names are pending again (they have no green row
+    # yet), alongside every round-6 registration.
+    for name in ("q58_ann_lsh_bucket", "q63_approx_distinct",
+                 "q64_percentile_approx", "q124_ann_lsh_seeded"):
+        assert name in never
+    # green is a strict subset of "has any row".
+    assert green <= mod.driver_certified_names()
 
 
 def test_exports_are_canonical_and_identity():
