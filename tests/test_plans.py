@@ -49,6 +49,15 @@ ALLOWED_BNLJ = {
     "q102_value_concentration": "1-row global-total scalar broadcast",
     # referential rule row: 1-row total-count scalar broadcast
     "q109_quality_report": "1-row total-count scalar broadcast",
+    # unigram LM: 1-row (N, V) totals + OOV log-prob scalar broadcasts
+    "q129_unigram_lm_ce": "1-row model-totals scalar broadcasts",
+    # bigram LM: vocab-size + global-OOV scalar broadcasts (4 sites:
+    # context floor, model, global floor, scoring)
+    "q130_bigram_lm_ce": "1-row vocab/global-floor scalar broadcasts",
+    # 1-row corpus-total scalar broadcast into the n/(k+1) threshold
+    "q138_heavy_hitters": "1-row total-count scalar broadcast",
+    # two 1-row captured-energy scalars x 1-row total-energy scalar
+    "q140_pca_invariants": "1-row energy scalar broadcasts",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at

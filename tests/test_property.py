@@ -250,11 +250,18 @@ def test_upsert_matches_dict_update(spark, target, updates):
 def _gopher_reference(text: str) -> dict:
     """Independent reimplementation of the Gopher-rule metrics with
     plain Python string ops (no regex engine shared with the operator)."""
+    import string
+
     t = text.strip()
     words = t.split() if t else []
     n_words = len(words)
     n_word_chars = sum(len(w) for w in words)
-    n_alpha = sum(1 for w in words if any("a" <= ch <= "z" for ch in w))
+    # probe form (round 6): lowercase + ASCII punctuation stripped from
+    # both ends, matching the operator's sentence-case/all-caps fix
+    probe_words = [w.lower().strip(string.punctuation) for w in words]
+    n_alpha = sum(
+        1 for w in probe_words if any("a" <= ch <= "z" for ch in w)
+    )
     lines = text.split("\n")
     n_lines = len(lines)
     n_bullet = sum(
@@ -263,7 +270,7 @@ def _gopher_reference(text: str) -> dict:
     n_ellipsis = sum(1 for x in lines if x.rstrip().endswith("..."))
     n_symbols = t.count("#") + t.count("…")
     stops = ("the", "be", "to", "of", "and", "that", "have", "with")
-    stop_hits = sum(1 for w in stops if w in words)
+    stop_hits = sum(1 for w in stops if w in probe_words)
 
     def ratio(n, d):
         return round(n / d, 6) if d else None
