@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops4,
         llm_ops5,
         llm_ops6,
+        llm_ops7,
         media_ops,
         pos_ops,
         relational,

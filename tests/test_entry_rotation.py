@@ -63,6 +63,8 @@ _NEW_SINCE_R5: frozenset[str] = frozenset(
         "q143_lsh_multiprobe",
         "q144_curation_funnel",
         "q145_ist_jst_dates",
+        "q146_cdc_chunks",
+        "q147_simhash_hamming_pairs",
     }
 )
 
