@@ -128,3 +128,160 @@ def weighted_sample_without_replacement(
         .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def temperature_mixture_weights(
+    docs: DataFrame,
+    budget_tokens: int,
+    sqrt_passes: int = 1,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-flattened mixture weights per source (the XLM-R /
+    mC4 sampling rule): upweight small sources, downweight the head,
+    with sampling probability proportional to share^alpha.
+
+    ``alpha = 0.5 ** sqrt_passes`` -- alpha is restricted to powers of
+    1/2 so the shaping is repeated IEEE sqrt (correctly rounded,
+    engine-portable); an arbitrary pow() differs in the last ulp across
+    libm implementations and would break exact cross-engine checks.
+
+    Per source: token share (exact integer token counts), the shaped
+    weight (1e-9 fixed point, normalized against the exact integer sum
+    of shaped weights), and the per-source token budget
+    round(budget_tokens * weight).
+
+    One groupBy(source) -- sources are few by construction, so the agg
+    output is tiny; the shaping math runs on that tiny frame against a
+    broadcast scalar total. Scan-bound at any corpus size.
+
+    Returns [source, n_docs, n_tokens, token_share, q_fp, weight,
+    budget] sorted by source.
+    """
+    if sqrt_passes < 1:
+        raise ValueError("sqrt_passes must be >= 1 (alpha < 1)")
+    per_src = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("_tot_tokens")
+    )
+    shaped = F.col("n_tokens").cast("double") / F.col("_tot_tokens").cast(
+        "double"
+    )
+    for _ in range(sqrt_passes):
+        shaped = F.sqrt(shaped)
+    staged = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "q_fp", F.round(shaped * 1_000_000_000).cast("long")
+        )
+    )
+    qtot = staged.agg(F.sum("q_fp").cast("long").alias("_qtot"))
+    return (
+        staged.crossJoin(F.broadcast(qtot))
+        .select(
+            F.col(source_col).alias("source"),
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("_tot_tokens"), 6
+            ).alias("token_share"),
+            "q_fp",
+            F.round(
+                F.col("q_fp").cast("double") / F.col("_qtot"), 6
+            ).alias("weight"),
+            F.round(
+                F.lit(budget_tokens)
+                * F.col("q_fp").cast("double")
+                / F.col("_qtot")
+            )
+            .cast("long")
+            .alias("budget"),
+        )
+        .orderBy("source")
+    )
+
+
+def epoch_shard_shuffle(
+    df: DataFrame,
+    n_epochs: int = 2,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch reshuffle + shard assignment -- the training
+    dataloader contract: each epoch is an independent reproducible
+    pseudo-random permutation of the corpus, split into n_shards
+    contiguous per-worker streams.
+
+    shard = md5(epoch:id) mod n_shards (a hash partition, NOT a global
+    row_number -- so assignment is shuffle-free), and the position
+    within a shard is a window ordered by the same md5 key: per-shard
+    windows, parallel in n_epochs * n_shards, never a single-partition
+    global sort. Epochs are generated by an explode, so one scan
+    produces every epoch's assignment.
+
+    Returns [id, epoch, shard, pos] -- pos is the 0-based position of
+    the document in its (epoch, shard) stream.
+    """
+    keyed = df.select(F.col(id_col)).select(
+        id_col,
+        F.explode(
+            F.array(*[F.lit(e) for e in range(n_epochs)])
+        ).alias("epoch"),
+    )
+    h = F.md5(
+        F.concat_ws(":", F.col("epoch").cast("string"), F.col(id_col))
+    )
+    w = W.partitionBy("epoch", "shard").orderBy("_h", id_col)
+    return (
+        keyed.withColumn("_h", h)
+        .withColumn(
+            "shard",
+            (F.conv(F.substring("_h", 1, 8), 16, 10).cast("long")
+             % n_shards).cast("long"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            id_col,
+            F.col("epoch").cast("long").alias("epoch"),
+            "shard",
+            "pos",
+        )
+    )
+
+
+def ntile_bins(
+    df: DataFrame,
+    order_by: list[str | Column],
+    k: int,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Exact NTILE(k) over a GLOBAL order without a single-partition
+    window: global rank via the two-phase range-partition sequence
+    (operators/combine.with_global_sequence), then the SQL-standard
+    tile arithmetic (first n%k tiles get one extra row) as pure integer
+    expressions against a broadcast scalar count.
+
+    Matches NTILE(k) OVER (ORDER BY ...) row-for-row -- the scale-safe
+    form of quantile binning (curriculum buckets, difficulty tiers)
+    when the order must be exact rather than approximate.
+    """
+    from .combine import with_global_sequence
+
+    seq = with_global_sequence(df, order_by, seq_col="_seq")
+    n = seq.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    rank = F.col("_seq") + 1
+    base = F.floor(F.col("_n") / k).cast("long")          # rows per small tile
+    extra = (F.col("_n") - base * k).cast("long")          # tiles with +1 row
+    cut = extra * (base + 1)                               # rows in big tiles
+    in_big = rank <= cut
+    tile = F.when(
+        in_big, F.ceil(rank / (base + 1))
+    ).otherwise(extra + F.ceil((rank - cut) / F.when(base > 0, base)))
+    return (
+        seq.crossJoin(F.broadcast(n))
+        .withColumn(bin_col, tile.cast("long"))
+        .drop("_seq", "_n")
+    )

@@ -218,3 +218,76 @@ def normalize_text(col: Column) -> Column:
     )
     out = F.regexp_replace(out, r"\s+", " ")
     return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
+#: HTML entity decode map, applied in order; `&amp;` LAST so an
+#: escaped ampersand never re-decodes what it produced.
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_text_extract(col: Column) -> Column:
+    """Extract readable text from raw HTML: drop script/style blocks
+    and comments, strip tags, decode the common entities, collapse
+    whitespace -- the first transform a web-crawl curation pipeline
+    applies to fetched pages before any quality gate or dedup.
+
+    Pure JVM regex/replace expressions (zero shuffle, scan-bound), and
+    every pattern is portable between Java regex and RE2: inline
+    (?is) flags and lazy `.*?` only -- NO backreferences (RE2 has
+    none), so script and style get one pass each.
+    """
+    x = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    x = F.regexp_replace(x, r"\s+", " ")
+    return F.regexp_replace(x, r"^\s+|\s+$", "")
+
+
+def badword_filter(
+    df: DataFrame,
+    blocklist: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style blocklist gate: probe each document's words (lowercased,
+    end-punctuation stripped -- the gopher_quality_flags probe form)
+    against a small blocklist; report occurrence and distinct counts,
+    the first hit, and the keep/drop decision.
+
+    The blocklist rides as a literal array (blocklists are a few
+    thousand entries at most), so the whole gate is expression-only --
+    zero shuffle, scan-bound, the cheap filter that runs before
+    anything expensive.
+
+    Returns [id, n_bad_tokens, n_bad_distinct, first_bad, clean].
+    """
+    if not blocklist:
+        raise ValueError("blocklist must name at least one word")
+    t = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    probe = F.transform(
+        F.split(t, r"\s+"),
+        lambda x: F.regexp_replace(F.lower(x), f"^{_PUNCT}+|{_PUNCT}+$", ""),
+    )
+    blocked = F.array(*[F.lit(w.lower()) for w in blocklist])
+    hits = F.filter(probe, lambda x: F.array_contains(blocked, x))
+    return df.select(
+        F.col(id_col),
+        F.size(hits).cast("long").alias("n_bad_tokens"),
+        F.size(F.array_intersect(blocked, probe))
+        .cast("long")
+        .alias("n_bad_distinct"),
+        # try_ form: ANSI mode makes plain element_at THROW on an empty
+        # array, and clean documents are the common case
+        F.try_element_at(hits, F.lit(1)).alias("first_bad"),
+        (F.size(hits) == 0).alias("clean"),
+    )

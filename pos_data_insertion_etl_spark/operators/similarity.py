@@ -694,3 +694,166 @@ def lsh_multiprobe_topk(
         sims.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    pool: int = 10,
+    rel_weight: int = 7,
+    div_weight: int = 3,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k retrieval.
+
+    Plain top-k returns near-duplicate neighbors when the corpus has
+    clusters; MMR (Carbonell & Goldstein '98) greedily picks the
+    candidate maximizing ``rel_weight*sim(q,c) - div_weight*max_{s in
+    selected} sim(c,s)`` so results trade relevance against redundancy.
+
+    Stages, all bounded by the candidate pool:
+    1. candidate pool = exact cosine top-``pool`` per query (broadcast
+       queries, one corpus scan -- swap in lsh_bucket_topk/ivf_topk for
+       candidate generation when the query set is large);
+    2. pairwise candidate sims per query: an equi-join of the
+       pool-sized candidate set with itself on query_id (pool^2 rows
+       per query, never corpus-sized);
+    3. greedy selection per query in one Arrow-batched applyInPandas
+       (group = one query's pairwise block; the loop is k steps over
+       <= pool candidates).
+
+    Determinism: similarities are 1e-6 fixed-point BIGINTs and the MMR
+    score is the INTEGER ``rel_weight*rel_fp - div_weight*maxsim_fp``
+    (lambda = rel_weight/(rel_weight+div_weight)), id tiebreak -- so
+    selection is engine- and partitioning-exact.
+
+    Returns [query_id, neighbor_id, mmr_rank, rel_fp, mmr_fp].
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    qv = quantize_vec(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        norm_fixed_point(qv).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        qv.alias("cv"),
+        norm_fixed_point(qv).alias("cn"),
+    )
+    rel = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cv",
+            "cn",
+            F.round(
+                cosine_precomputed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("rel_fp"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rel_fp"), "neighbor_id")
+    cand = rel.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= pool
+    )
+    a = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("a"),
+        F.col("rel_fp").alias("rel_a"),
+        F.col("cv").alias("va"),
+        F.col("cn").alias("na"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("b"),
+        F.col("cv").alias("vb"),
+        F.col("cn").alias("nb"),
+    )
+    # pool^2 rows per query; self-pairs kept so single-candidate pools
+    # survive the grouping (their diversity term is never consulted).
+    pairs = a.join(b, "query_id").select(
+        "query_id",
+        "a",
+        "b",
+        "rel_a",
+        F.round(
+            cosine_precomputed(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("sim_fp"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("mmr_rank", LongType()),
+            StructField("rel_fp", LongType()),
+            StructField("mmr_fp", LongType()),
+        ]
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rels = {
+            int(r.a): int(r.rel_a)
+            for r in pdf[["a", "rel_a"]].drop_duplicates().itertuples()
+        }
+        sim = {
+            (int(r.a), int(r.b)): int(r.sim_fp)
+            for r in pdf[["a", "b", "sim_fp"]].itertuples()
+        }
+        remaining = set(rels)
+        selected: list[int] = []
+        rows = []
+        while remaining and len(selected) < k:
+            if not selected:
+                scored = [(rels[c_], rels[c_], c_) for c_ in remaining]
+            else:
+                scored = [
+                    (
+                        rel_weight * rels[c_]
+                        - div_weight
+                        * max(sim[(c_, s)] for s in selected),
+                        rels[c_],
+                        c_,
+                    )
+                    for c_ in remaining
+                ]
+            score, rel_c, best = max(
+                scored, key=lambda t: (t[0], -t[2])
+            )
+            selected.append(best)
+            remaining.discard(best)
+            rows.append((qid, best, len(selected), rel_c, score))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "query_id",
+                "neighbor_id",
+                "mmr_rank",
+                "rel_fp",
+                "mmr_fp",
+            ],
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(greedy, out_schema)

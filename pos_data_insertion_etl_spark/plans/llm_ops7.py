@@ -155,3 +155,422 @@ def q147_simhash_hamming_pairs(spark, sf_dir):
     return simhash_hamming_pairs(
         docs, "text", "doc_id", max_hamming=_SH_MAXHAM, n_chunks=_SH_CHUNKS
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (operators/similarity.mmr_topk): greedy
+# maximal-marginal-relevance over a bounded candidate pool. The greedy
+# selection is inherently sequential in k, so the oracle UNROLLS it:
+# one CTE block per rank, each an argmax of the integer MMR score
+# (rel_weight*rel_fp - div_weight*max sim to already-selected) with id
+# tiebreak -- the exact integer recurrence the operator's
+# applyInPandas loop computes.
+# ---------------------------------------------------------------------------
+
+_MMR_K, _MMR_POOL, _MMR_NQ = 4, 10, 8
+_MMR_RELW, _MMR_DIVW = 7, 3
+
+
+def _mmr_oracle(k: int, pool: int, nq: int, relw: int, divw: int) -> str:
+    sql = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 10000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         unnest(q.v) AS qx, unnest(c.v) AS cx
+  FROM qv q JOIN qv c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {nq}
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(qx * cx) AS BIGINT) AS dot,
+         CAST(SUM(qx * qx) AS BIGINT) AS qq,
+         CAST(SUM(cx * cx) AS BIGINT) AS cc
+  FROM comp GROUP BY 1, 2
+),
+rel AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROUND(CAST(dot AS DOUBLE)
+               / (SQRT(CAST(qq AS DOUBLE)) * SQRT(CAST(cc AS DOUBLE)))
+               * 1000000) AS BIGINT) AS rel_fp
+  FROM dots
+),
+cand AS (
+  SELECT query_id, neighbor_id AS nid, rel_fp FROM (
+    SELECT query_id, neighbor_id, rel_fp,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel_fp DESC, neighbor_id) AS rn
+    FROM rel) t
+  WHERE rn <= {pool}
+),
+pcomp AS (
+  SELECT a.query_id, a.nid AS pa, b.nid AS pb,
+         unnest(va.v) AS ax, unnest(vb.v) AS bx
+  FROM cand a
+  JOIN cand b ON b.query_id = a.query_id
+  JOIN qv va ON va.vec_id = a.nid
+  JOIN qv vb ON vb.vec_id = b.nid
+),
+pw AS (
+  SELECT query_id, pa, pb,
+         CAST(ROUND(CAST(SUM(ax * bx) AS BIGINT)
+               / (SQRT(CAST(SUM(ax * ax) AS BIGINT))
+                  * SQRT(CAST(SUM(bx * bx) AS BIGINT)))
+               * 1000000) AS BIGINT) AS sim_fp
+  FROM pcomp GROUP BY 1, 2, 3
+),
+sel1 AS (
+  SELECT query_id, nid, rel_fp, rel_fp AS mmr_fp, 1 AS mmr_rank FROM (
+    SELECT query_id, nid, rel_fp,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel_fp DESC, nid) AS rn
+    FROM cand) t
+  WHERE rn = 1
+),
+selu1 AS (SELECT * FROM sel1)"""
+    for t in range(2, k + 1):
+        sql += f""",
+ms{t} AS (
+  SELECT c.query_id, c.nid, c.rel_fp, MAX(p.sim_fp) AS ms
+  FROM cand c
+  JOIN selu{t - 1} s ON s.query_id = c.query_id
+  JOIN pw p ON p.query_id = c.query_id AND p.pa = c.nid AND p.pb = s.nid
+  LEFT JOIN selu{t - 1} x ON x.query_id = c.query_id AND x.nid = c.nid
+  WHERE x.nid IS NULL
+  GROUP BY 1, 2, 3
+),
+sel{t} AS (
+  SELECT query_id, nid, rel_fp, mmr_fp, {t} AS mmr_rank FROM (
+    SELECT query_id, nid, rel_fp,
+           {relw} * rel_fp - {divw} * ms AS mmr_fp,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {relw} * rel_fp - {divw} * ms DESC,
+                                       nid) AS rn
+    FROM ms{t}) t
+  WHERE rn = 1
+),
+selu{t} AS (SELECT * FROM selu{t - 1} UNION ALL SELECT * FROM sel{t})"""
+    sql += f"""
+SELECT query_id, nid AS neighbor_id,
+       CAST(mmr_rank AS BIGINT) AS mmr_rank, rel_fp, mmr_fp
+FROM selu{k}
+"""
+    return sql
+
+
+@query(
+    "q148_mmr_diversified_topk",
+    oracle=_mmr_oracle(_MMR_K, _MMR_POOL, _MMR_NQ, _MMR_RELW, _MMR_DIVW),
+    tags=("similarity", "ann", "mmr"),
+)
+def q148_mmr_diversified_topk(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-k: candidate pool by
+    exact cosine (broadcast queries, one corpus scan), pairwise sims by
+    pool-bounded equi-join, greedy integer-MMR selection per query in
+    one Arrow-batched applyInPandas group."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _MMR_NQ),
+        "vec_id",
+        "embedding",
+        k=_MMR_K,
+        pool=_MMR_POOL,
+        rel_weight=_MMR_RELW,
+        div_weight=_MMR_DIVW,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-flattened mixture weights (operators/mixture.
+# temperature_mixture_weights): share^alpha source reweighting with
+# alpha = 1/2 so the shaping is one IEEE sqrt (engine-portable; an
+# arbitrary pow() differs across libm implementations in the last ulp).
+# ---------------------------------------------------------------------------
+
+_TEMP_BUDGET = 100_000
+
+_TEMP_ORACLE = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+             AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM per
+), q AS (
+  SELECT source, n_docs, n_tokens,
+         ROUND(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
+         CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE) / tt) * 1000000000)
+              AS BIGINT) AS q_fp
+  FROM per, tot
+), qt AS (
+  SELECT CAST(SUM(q_fp) AS BIGINT) AS qq FROM q
+)
+SELECT source, n_docs, n_tokens, token_share, q_fp,
+       ROUND(CAST(q_fp AS DOUBLE) / qq, 6) AS weight,
+       CAST(ROUND({_TEMP_BUDGET} * CAST(q_fp AS DOUBLE) / qq) AS BIGINT)
+           AS budget
+FROM q, qt
+"""
+
+
+@query(
+    "q149_temperature_mixture",
+    oracle=_TEMP_ORACLE,
+    tags=("curation", "mixture"),
+)
+def q149_temperature_mixture(spark, sf_dir):
+    """Per-source temperature (alpha=1/2) mixture weights + token
+    budgets: one groupBy over the corpus, shaping math on the tiny
+    per-source frame against broadcast scalar totals."""
+    from ..operators.mixture import temperature_mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_weights(
+        docs, budget_tokens=_TEMP_BUDGET, sqrt_passes=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction (operators/quality.html_text_extract). The
+# documents table is plain text, so the query wraps each document in a
+# deterministic HTML page (tags, a script block with comparison
+# operators, a style block, entities, a comment) and extracts -- both
+# engines build and strip the identical page, exercising every rule:
+# script/style/comment removal, tag strip, entity decode order
+# (&amp; last), whitespace collapse.
+# ---------------------------------------------------------------------------
+
+_HTML_ORACLE = r"""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>' || source || '</title>'
+         || '<style type="text/css">body { color: red; }</style></head>'
+         || '<body><h1>' || source || '</h1>' || chr(10)
+         || '<script type="text/javascript">var i = 1 < 2 && 3 > 2;</script>'
+         || '<p>' || text || '</p>' || chr(10)
+         || '<p>A &amp;&amp; B &lt;tag&gt; &quot;q&quot;'
+         || ' &#39;s&#39;&nbsp;end</p>'
+         || '<!-- build 42 --></body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html,
+                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '<[^>]+>', ' ', 'g') AS t
+  FROM page
+), decoded AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(t,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM stripped
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '\s+', ' ', 'g'),
+                      '^\s+|\s+$', '', 'g') AS clean_text,
+       CAST(length(regexp_replace(regexp_replace(t, '\s+', ' ', 'g'),
+                      '^\s+|\s+$', '', 'g')) AS BIGINT) AS n_chars
+FROM decoded
+"""
+
+
+@query(
+    "q150_html_text_extract",
+    oracle=_HTML_ORACLE,
+    tags=("curation", "text"),
+)
+def q150_html_text_extract(spark, sf_dir):
+    """Web-crawl text extraction: wrap each document in a deterministic
+    HTML page, then strip script/style/comments/tags, decode entities,
+    collapse whitespace -- all JVM regex/replace expressions, zero
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import html_text_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>"),
+            F.col("source"),
+            F.lit('</title><style type="text/css">body { color: red; }'
+                  "</style></head><body><h1>"),
+            F.col("source"),
+            F.lit("</h1>\n<script type=\"text/javascript\">"
+                  "var i = 1 < 2 && 3 > 2;</script><p>"),
+            F.col("text"),
+            F.lit("</p>\n<p>A &amp;&amp; B &lt;tag&gt; &quot;q&quot;"
+                  " &#39;s&#39;&nbsp;end</p><!-- build 42 -->"
+                  "</body></html>"),
+        ).alias("html"),
+    )
+    clean = html_text_extract(F.col("html"))
+    return page.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum deciles over LM cross-entropy (operators/mixture.
+# ntile_bins): exact NTILE(10) without a single-partition window --
+# global rank via the two-phase range-partition sequence, then the
+# SQL-standard tile arithmetic. The oracle IS NTILE(10) over the q129
+# scoring CTE, proving the distributed form matches the SQL builtin
+# row-for-row.
+# ---------------------------------------------------------------------------
+
+from .llm_ops6 import _UNIGRAM_ORACLE  # noqa: E402  (shared scoring CTE)
+
+_DECILE_ORACLE = f"""
+WITH u AS ({_UNIGRAM_ORACLE})
+SELECT bin, COUNT(*) AS n_docs,
+       MIN(cross_entropy) AS min_ce, MAX(cross_entropy) AS max_ce,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM (
+  SELECT *,
+         CAST(NTILE(10) OVER (ORDER BY cross_entropy, doc_id) AS BIGINT)
+             AS bin
+  FROM u) t
+GROUP BY bin
+"""
+
+
+@query(
+    "q151_ce_decile_bins",
+    oracle=_DECILE_ORACLE,
+    tags=("curation", "curriculum"),
+)
+def q151_ce_decile_bins(spark, sf_dir):
+    """Curriculum buckets: exact cross-entropy deciles (scale-safe
+    NTILE via the parallel global sequence) with per-bin document and
+    token rollups."""
+    from pyspark.sql import functions as F
+
+    from ..operators.lm_score import unigram_lm_scores
+    from ..operators.mixture import ntile_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_lm_scores(docs, "text", "doc_id", top_v=20)
+    binned = ntile_bins(
+        scores, [F.col("cross_entropy"), F.col("doc_id")], 10
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("cross_entropy").alias("min_ce"),
+        F.max("cross_entropy").alias("max_ce"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch reshuffle + shard assignment (operators/mixture.
+# epoch_shard_shuffle): md5-keyed deterministic permutation per epoch,
+# hash-assigned shards, per-shard position windows -- never a global
+# single-partition sort.
+# ---------------------------------------------------------------------------
+
+_EPOCHS, _SHARDS = 2, 8
+
+_SHUFFLE_ORACLE = f"""
+WITH e AS (
+  SELECT doc_id, ep.epoch
+  FROM documents, (VALUES (0), (1)) AS ep(epoch)
+), h AS (
+  SELECT doc_id, epoch,
+         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM e
+), s AS (
+  SELECT doc_id, epoch, hh,
+         CAST(list_sum(list_transform(range(8),
+             j -> (strpos('0123456789abcdef', substr(hh, j + 1, 1)) - 1)
+                  * power(16, 7 - j))) AS BIGINT) % {_SHARDS} AS shard
+  FROM h
+)
+SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                               ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+FROM s
+"""
+
+
+@query(
+    "q152_epoch_shard_shuffle",
+    oracle=_SHUFFLE_ORACLE,
+    tags=("curation", "dataloader"),
+)
+def q152_epoch_shard_shuffle(spark, sf_dir):
+    """Training dataloader assignment: reproducible per-epoch
+    pseudo-random permutation into n_shards worker streams, one scan,
+    per-shard windows."""
+    from ..operators.mixture import epoch_shard_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shard_shuffle(docs, n_epochs=_EPOCHS, n_shards=_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# Blocklist gate (operators/quality.badword_filter): C4-style badword
+# filter in probe form (lowercase + end-punctuation strip), blocklist
+# as a literal array -- expression-only.
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("slow", "crash", "corrupt", "forbidden")
+
+_BADWORD_ORACLE = """
+WITH probed AS (
+  SELECT doc_id,
+         list_transform(
+           string_split_regex(
+             regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+           x -> regexp_replace(lower(x),
+                '^[!-/:-@\\[-`{-~]+|[!-/:-@\\[-`{-~]+$', '', 'g'))
+             AS pw
+  FROM documents
+), hits AS (
+  SELECT doc_id, pw,
+         list_filter(pw,
+           x -> list_contains(['slow', 'crash', 'corrupt', 'forbidden'], x))
+             AS bad
+  FROM probed
+)
+SELECT doc_id,
+       CAST(len(bad) AS BIGINT) AS n_bad_tokens,
+       CAST(len(list_filter(['slow', 'crash', 'corrupt', 'forbidden'],
+                            x -> list_contains(pw, x))) AS BIGINT)
+           AS n_bad_distinct,
+       bad[1] AS first_bad,
+       len(bad) = 0 AS clean
+FROM hits
+"""
+
+
+@query(
+    "q153_badword_filter",
+    oracle=_BADWORD_ORACLE,
+    tags=("curation", "quality"),
+)
+def q153_badword_filter(spark, sf_dir):
+    """Blocklist gate: per-document badword occurrences, distinct hits,
+    first offending token, and the keep decision -- zero shuffle."""
+    from ..operators.quality import badword_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return badword_filter(docs, _BLOCKLIST)

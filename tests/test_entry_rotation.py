@@ -65,6 +65,12 @@ _NEW_SINCE_R5: frozenset[str] = frozenset(
         "q145_ist_jst_dates",
         "q146_cdc_chunks",
         "q147_simhash_hamming_pairs",
+        "q148_mmr_diversified_topk",
+        "q149_temperature_mixture",
+        "q150_html_text_extract",
+        "q151_ce_decile_bins",
+        "q152_epoch_shard_shuffle",
+        "q153_badword_filter",
     }
 )
 

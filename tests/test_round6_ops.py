@@ -1,0 +1,198 @@
+"""Structural/invariant tests for the round-6 curation operators
+(MMR diversified retrieval, temperature mixture, HTML extraction,
+exact distributed NTILE, epoch shard shuffle, badword gate). Value
+correctness is pinned by the DuckDB oracles in test_oracle_queries;
+these tests pin the contracts the oracles cannot see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pos_data_insertion_etl_spark.catalog import load_table
+from pos_data_insertion_etl_spark.operators.mixture import (
+    epoch_shard_shuffle,
+    ntile_bins,
+    temperature_mixture_weights,
+)
+from pos_data_insertion_etl_spark.operators.quality import (
+    badword_filter,
+    html_text_extract,
+)
+from pos_data_insertion_etl_spark.operators.similarity import (
+    cosine_topk,
+    mmr_topk,
+)
+
+
+# ---------------------------------------------------------------- MMR
+
+
+def test_mmr_rank1_is_relevance_argmax_and_pool_subset(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    mmr = mmr_topk(
+        emb, queries, "vec_id", "embedding", k=4, pool=10
+    ).collect()
+    brute = cosine_topk(emb, queries, "vec_id", "embedding", k=10).collect()
+    pool = {}
+    top1 = {}
+    for r in brute:
+        pool.setdefault(r.query_id, set()).add(r.neighbor_id)
+        if r.rn == 1:
+            top1[r.query_id] = r.neighbor_id
+    by_q: dict = {}
+    for r in mmr:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(top1)
+    for qid, rows in by_q.items():
+        ranks = sorted(r.mmr_rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        ids = [r.neighbor_id for r in rows]
+        assert len(set(ids)) == len(ids)  # no repeats
+        assert set(ids) <= pool[qid]  # selected from the candidate pool
+        first = next(r for r in rows if r.mmr_rank == 1)
+        assert first.neighbor_id == top1[qid]  # rank 1 = pure relevance
+
+
+def test_mmr_diverges_from_pure_relevance_somewhere(spark, sf_dir):
+    """With a diversity weight, SOME query must reorder vs plain top-k
+    (otherwise the diversity term is vacuous on this corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    mmr = mmr_topk(emb, queries, "vec_id", "embedding", k=4, pool=10)
+    brute = cosine_topk(emb, queries, "vec_id", "embedding", k=4)
+    m = {(r.query_id, r.mmr_rank): r.neighbor_id for r in mmr.collect()}
+    b = {(r.query_id, r.rn): r.neighbor_id for r in brute.collect()}
+    assert any(m[k] != b[k] for k in m if k in b)
+
+
+# ------------------------------------------------- temperature mixture
+
+
+def test_temperature_weights_flatten_the_mixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = temperature_mixture_weights(docs, budget_tokens=100_000).collect()
+    assert len(rows) > 1
+    # weights normalize (up to 1e-6 rounding per source)
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4 * len(rows)
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4 * len(rows)
+    # alpha < 1 flattens: the smallest source gains weight vs its raw
+    # share, the largest loses
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    largest = max(rows, key=lambda r: r.n_tokens)
+    assert smallest.weight > smallest.token_share
+    assert largest.weight < largest.token_share
+    # budgets track weights
+    for r in rows:
+        assert abs(r.budget - 100_000 * r.weight) <= 60
+
+
+def test_temperature_weights_rejects_alpha_one(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        temperature_mixture_weights(docs, 1000, sqrt_passes=0)
+    except ValueError:
+        return
+    raise AssertionError("sqrt_passes=0 must be rejected")
+
+
+# ------------------------------------------------------- NTILE binning
+
+
+def test_ntile_bins_match_sql_ntile(spark, sf_dir):
+    """The distributed two-phase NTILE equals the single-partition SQL
+    builtin row-for-row, including the uneven-remainder tiles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    for k in (7, 10):
+        got = {
+            r.doc_id: r.bin
+            for r in ntile_bins(
+                docs, [F.col("n_chars"), F.col("doc_id")], k
+            ).collect()
+        }
+        w = W.orderBy("n_chars", "doc_id")
+        want = {
+            r.doc_id: r.nt
+            for r in docs.withColumn("nt", F.ntile(k).over(w)).collect()
+        }
+        assert got == want
+
+
+# -------------------------------------------------- epoch shard shuffle
+
+
+def test_epoch_shard_shuffle_contracts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    out = epoch_shard_shuffle(docs, n_epochs=2, n_shards=8).collect()
+    assert len(out) == 2 * n_docs
+    by_es: dict = {}
+    seen: dict = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_es.setdefault((r.epoch, r.shard), []).append(r.pos)
+        seen.setdefault(r.epoch, set()).add(r.doc_id)
+    # every doc exactly once per epoch
+    assert all(len(s) == n_docs for s in seen.values())
+    # dense 0-based positions inside each (epoch, shard) stream
+    for positions in by_es.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # epochs genuinely reshuffle: some doc changes shard between epochs
+    shard_of = {(r.epoch, r.doc_id): r.shard for r in out}
+    assert any(
+        shard_of[(0, d)] != shard_of[(1, d)] for d in seen[0]
+    )
+
+
+# ----------------------------------------------------- HTML extraction
+
+
+def test_html_text_extract_hand_page(spark):
+    page = (
+        '<html><head><style>p { x: y; }</style>'
+        "<script>if (1 < 2) { alert('&amp;'); }</script></head>"
+        "<body><p>Hello &amp; welcome</p><!-- hidden -->"
+        "<div>A &lt;b&gt;&nbsp;C</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "id long, html string")
+    got = df.select(
+        html_text_extract(F.col("html")).alias("t")
+    ).collect()[0].t
+    assert got == "Hello & welcome A <b> C"
+
+
+def test_html_text_extract_plain_text_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, "  just   words\nhere  ")], "id long, html string"
+    )
+    got = df.select(
+        html_text_extract(F.col("html")).alias("t")
+    ).collect()[0].t
+    assert got == "just words here"
+
+
+# -------------------------------------------------------- badword gate
+
+
+def test_badword_filter_hand_rows(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a Slow, slow crash here"),
+            (2, "all clean text"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in badword_filter(df, ("slow", "crash")).collect()
+    }
+    assert rows[1].n_bad_tokens == 3  # Slow, slow, crash (probe form)
+    assert rows[1].n_bad_distinct == 2
+    assert rows[1].first_bad == "slow"
+    assert not rows[1].clean
+    assert rows[2].n_bad_tokens == 0
+    assert rows[2].first_bad is None
+    assert rows[2].clean
+    assert rows[3].clean
