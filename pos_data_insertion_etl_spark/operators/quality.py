@@ -291,3 +291,66 @@ def badword_filter(
         F.try_element_at(hits, F.lit(1)).alias("first_bad"),
         (F.size(hits) == 0).alias("clean"),
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate n-gram fraction per document -- the
+    RefinedWeb/Gopher-style "how much of this document also exists
+    elsewhere" metric that drives dedup threshold tuning: for each
+    document, the fraction of its n-gram OCCURRENCES whose n-gram also
+    appears in at least one OTHER document.
+
+    Scale shape: n-grams are md5-hashed per position (map-side HOF over
+    the token array), the per-gram distinct-document count is one
+    shuffle keyed on the 128-bit digest (never on text), and the
+    verdict joins back on the same key. Documents shorter than ``n``
+    tokens have no n-grams and drop out.
+
+    Returns [id, n_grams, n_dup_grams, dup_frac].
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(text_col)
+    grams = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("_t"), i, n))
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    gram_docs = (
+        grams.distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    return (
+        grams.join(gram_docs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_nd") >= 2).cast("int"))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -574,3 +574,168 @@ def q153_badword_filter(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return badword_filter(docs, _BLOCKLIST)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate n-gram fraction (operators/quality.
+# dup_ngram_stats): the RefinedWeb-style dedup-pressure metric. One
+# digest-keyed shuffle; text itself never shuffles.
+# ---------------------------------------------------------------------------
+
+_DUPG_N = 5
+
+_DUPG_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, p.i, p.i + {_DUPG_N - 1}), ' '))
+             AS gram
+  FROM tokd, unnest(range(1, len(t) - {_DUPG_N - 2})) AS p(i)
+  WHERE len(t) >= {_DUPG_N}
+), gd AS (
+  SELECT gram, COUNT(*) AS nd
+  FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_grams,
+       ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac
+FROM g JOIN gd USING (gram)
+GROUP BY doc_id
+"""
+
+
+@query(
+    "q154_dup_ngram_fraction",
+    oracle=_DUPG_ORACLE,
+    tags=("dedup", "quality"),
+)
+def q154_dup_ngram_fraction(spark, sf_dir):
+    """Per-document fraction of 5-gram occurrences that also exist in
+    another document -- the corpus-redundancy signal that tunes dedup
+    thresholds."""
+    from ..operators.quality import dup_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs, n=_DUPG_N)
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the q53 stopword-overlap predictor
+# evaluated against the labeled `lang` column -- per (actual,
+# predicted) cell counts and within-actual shares.
+# ---------------------------------------------------------------------------
+
+from .llm_ops import _langid_oracle, q53_langid  # noqa: E402
+
+_CONFUSION_ORACLE = f"""
+WITH p AS ({_langid_oracle()})
+SELECT actual_lang, pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY actual_lang), 6) AS share,
+       actual_lang = pred_lang AS correct
+FROM p GROUP BY actual_lang, pred_lang
+"""
+
+
+@query(
+    "q155_langid_confusion",
+    oracle=_CONFUSION_ORACLE,
+    tags=("text", "langid", "eval"),
+)
+def q155_langid_confusion(spark, sf_dir):
+    """Confusion matrix of the heuristic language identifier against
+    the labeled language column: cell counts + per-actual-language
+    shares (the operator-evaluation pattern: every classifier in the
+    engine should be measurable in the engine)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    pred = q53_langid(spark, sf_dir)
+    cells = pred.groupBy("actual_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = W.partitionBy("actual_lang")
+    return cells.select(
+        "actual_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("share"),
+        (F.col("actual_lang") == F.col("pred_lang")).alias("correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate threshold sweep: pass rates of the stopword rule (and
+# the full Gopher gate under that rule) across candidate thresholds --
+# the tuning table a curation run consults before fixing its gate.
+# ---------------------------------------------------------------------------
+
+from .llm_ops6 import _GOPHER_ORACLE  # noqa: E402
+
+_SWEEP_MAX_T = 5
+
+_SWEEP_ORACLE = f"""
+WITH g AS ({_GOPHER_ORACLE}),
+th AS (SELECT unnest(range(0, {_SWEEP_MAX_T + 1})) AS threshold)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN stopword_hits >= threshold THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass_stopword,
+       CAST(SUM(CASE WHEN flag_word_count AND flag_mean_word_len
+                      AND flag_symbol_ratio AND flag_bullet_lines
+                      AND flag_ellipsis_lines AND flag_alpha_words
+                      AND stopword_hits >= threshold THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass_full
+FROM g, th GROUP BY threshold
+"""
+
+
+@query(
+    "q156_gate_threshold_sweep",
+    oracle=_SWEEP_ORACLE,
+    tags=("curation", "quality", "eval"),
+)
+def q156_gate_threshold_sweep(spark, sf_dir):
+    """Sweep the stopword-hits threshold 0..5: per threshold, how many
+    documents pass the stopword rule alone and the full Gopher gate
+    with the threshold substituted -- one flags pass, one tiny
+    explode."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs)
+    other = (
+        F.col("flag_word_count")
+        & F.col("flag_mean_word_len")
+        & F.col("flag_symbol_ratio")
+        & F.col("flag_bullet_lines")
+        & F.col("flag_ellipsis_lines")
+        & F.col("flag_alpha_words")
+    )
+    swept = flags.select(
+        F.col("stopword_hits"),
+        other.alias("_other"),
+        F.explode(
+            F.array(*[F.lit(t) for t in range(_SWEEP_MAX_T + 1)])
+        ).alias("threshold"),
+    )
+    return swept.groupBy(F.col("threshold").cast("long").alias("threshold")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("stopword_hits") >= F.col("threshold")).cast("int"))
+        .cast("long")
+        .alias("n_pass_stopword"),
+        F.sum(
+            (F.col("_other") & (F.col("stopword_hits") >= F.col("threshold")))
+            .cast("int")
+        )
+        .cast("long")
+        .alias("n_pass_full"),
+    )

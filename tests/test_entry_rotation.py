@@ -71,6 +71,9 @@ _NEW_SINCE_R5: frozenset[str] = frozenset(
         "q151_ce_decile_bins",
         "q152_epoch_shard_shuffle",
         "q153_badword_filter",
+        "q154_dup_ngram_fraction",
+        "q155_langid_confusion",
+        "q156_gate_threshold_sweep",
     }
 )
 

@@ -196,3 +196,62 @@ def test_badword_filter_hand_rows(spark):
     assert rows[2].first_bad is None
     assert rows[2].clean
     assert rows[3].clean
+
+
+# -------------------------------------------- duplicate n-gram fraction
+
+
+def test_dup_ngram_stats_hand_rows(spark):
+    from pos_data_insertion_etl_spark.operators.quality import (
+        dup_ngram_stats,
+    )
+
+    base = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "p q r s t u v w"), (4, "x y")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dup_ngram_stats(df, n=5).collect()}
+    # identical docs: every gram exists in the twin -> frac 1.0
+    assert rows[1].dup_frac == 1.0 and rows[2].dup_frac == 1.0
+    assert rows[1].n_grams == 4  # 8 tokens -> 4 5-grams
+    # unique doc: nothing shared
+    assert rows[3].dup_frac == 0.0
+    # too short for a 5-gram: absent
+    assert 4 not in rows
+
+
+def test_langid_confusion_shares_partition(spark, sf_dir):
+    from pos_data_insertion_etl_spark.plans import all_queries
+
+    rows = (
+        all_queries()["q155_langid_confusion"].spark(spark, sf_dir).collect()
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    by_actual: dict = {}
+    for r in rows:
+        by_actual.setdefault(r.actual_lang, []).append(r)
+        assert r.correct == (r.actual_lang == r.pred_lang)
+    for cells in by_actual.values():
+        assert abs(sum(c.share for c in cells) - 1.0) < 1e-4
+
+
+def test_gate_threshold_sweep_monotone(spark, sf_dir):
+    from pos_data_insertion_etl_spark.plans import all_queries
+
+    rows = sorted(
+        all_queries()["q156_gate_threshold_sweep"]
+        .spark(spark, sf_dir)
+        .collect(),
+        key=lambda r: r.threshold,
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert rows[0].threshold == 0
+    assert rows[0].n_pass_stopword == n_docs  # hits >= 0 always
+    stop = [r.n_pass_stopword for r in rows]
+    full = [r.n_pass_full for r in rows]
+    assert stop == sorted(stop, reverse=True)
+    assert full == sorted(full, reverse=True)
+    for r in rows:
+        assert r.n_pass_full <= r.n_pass_stopword
