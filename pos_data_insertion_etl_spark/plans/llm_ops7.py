@@ -739,3 +739,67 @@ def q156_gate_threshold_sweep(spark, sf_dir):
         .cast("long")
         .alias("n_pass_full"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text canonicalization (operators/quality.normalize_text): the
+# documents fixture is ASCII-clean, so the query DECORATES each text
+# with the exact artifacts the normalizer exists to kill (typographic
+# quotes/dash, zero-width space, word joiner, NBSP, whitespace runs)
+# and proves both engines canonicalize the decorated form to the same
+# string + digest. translate() has PostgreSQL semantics in both
+# engines (chars beyond the target string are deleted). Prefix/suffix
+# and the oracle SQL are derived from the same escape constants below,
+# so the Spark literal and the SQL literal are byte-identical.
+# ---------------------------------------------------------------------------
+
+#: left double quote / right double quote, zero-width space, double
+#: space, en dash, NBSP, word joiner.
+_CANON_PREFIX = "\u201c"
+_CANON_SUFFIX = "\u201d\u200b  \u2013\u00a0fin\u2060"
+
+_CANON_ORACLE = """
+WITH deco AS (
+  SELECT doc_id, '“' || text || '”​  – fin⁠' AS raw
+  FROM documents
+), dropped AS (
+  SELECT doc_id, translate(raw, '​‌‍﻿­⁠', '') AS t
+  FROM deco
+), mapped AS (
+  SELECT doc_id,
+         translate(t, '‘’“”–— 　', '''''""--  ') AS t
+  FROM dropped
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '\\s+', ' ', 'g'),
+                      '^\\s+|\\s+$', '', 'g') AS canon_text,
+       md5(regexp_replace(regexp_replace(t, '\\s+', ' ', 'g'),
+                      '^\\s+|\\s+$', '', 'g')) AS canon_digest
+FROM mapped
+"""
+
+
+@query(
+    "q157_canonical_text",
+    oracle=_CANON_ORACLE,
+    tags=("dedup", "canonicalization"),
+)
+def q157_canonical_text(spark, sf_dir):
+    """Canonical dedup keys: decorate each document with typographic
+    quotes/dashes, zero-width characters and NBSP, then normalize --
+    the canonical form and md5 fingerprint must be identical in both
+    engines. Pure translate/regex expressions, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    deco = F.concat(
+        F.lit(_CANON_PREFIX), F.col("text"), F.lit(_CANON_SUFFIX)
+    )
+    canon = normalize_text(deco)
+    return docs.select(
+        "doc_id",
+        canon.alias("canon_text"),
+        F.md5(canon).alias("canon_digest"),
+    )

@@ -74,6 +74,7 @@ _NEW_SINCE_R5: frozenset[str] = frozenset(
         "q154_dup_ngram_fraction",
         "q155_langid_confusion",
         "q156_gate_threshold_sweep",
+        "q157_canonical_text",
     }
 )
 
