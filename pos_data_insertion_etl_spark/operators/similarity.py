@@ -769,8 +769,13 @@ def mmr_topk(
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("rel_fp"), "neighbor_id")
-    cand = rel.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= pool
+    # localCheckpoint: the candidate pool feeds BOTH sides of the
+    # pairwise self-join; without the cut each side re-runs the
+    # corpus x broadcast(queries) scan (3 corpus scans instead of 1).
+    cand = (
+        rel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .localCheckpoint(eager=False)
     )
     a = cand.select(
         "query_id",

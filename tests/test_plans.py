@@ -58,9 +58,8 @@ ALLOWED_BNLJ = {
     "q138_heavy_hitters": "1-row total-count scalar broadcast",
     # two 1-row captured-energy scalars x 1-row total-energy scalar
     "q140_pca_invariants": "1-row energy scalar broadcasts",
-    # tiny query set (8 vectors) broadcast against one corpus scan for
-    # the MMR candidate pool (q57's shape)
-    "q148_mmr_diversified_topk": "broadcast query set x corpus scan",
+    # (q148's broadcast-query BNLJ sits behind the candidate-pool
+    # localCheckpoint, so it no longer appears in the outer plan)
     # 1-row corpus-token-total and shaped-weight-total scalar broadcasts
     # against the tiny per-source aggregate
     "q149_temperature_mixture": "1-row mixture-total scalar broadcasts",
