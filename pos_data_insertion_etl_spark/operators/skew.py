@@ -44,3 +44,60 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[c.alias(name) for name, c in merges.items()]
     )
+
+
+def join_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """EXACT join-key skew diagnosis: the table an engineer consults
+    before choosing broadcast/salting/AQE settings for a join on
+    ``key_col``. Complements the Misra-Gries sketch
+    (operators/heavyhitters.py): the sketch is the streaming-scale
+    estimate; this is the exact report when one aggregation pass is
+    affordable.
+
+    Per heavy key (top ``top_k`` by count, key tiebreak): its count,
+    share of all rows, and cumulative share -- plus the global key
+    count and row total on every row so the report is self-contained.
+
+    Shape: one groupBy(key) shuffle (map-side combine absorbs the hot
+    keys), then windows over the TINY top-k frame against broadcast
+    scalar totals. Key cardinality never lands on the driver.
+    """
+    from pyspark.sql.window import Window as W
+
+    counts = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+    )
+    # orderBy+limit plans TakeOrderedAndProject (per-partition top-k,
+    # merged on the driver) -- never a single-partition window over the
+    # full key cardinality; the rank window then runs on <= top_k rows.
+    top_small = counts.orderBy(F.desc("cnt"), key_col).limit(top_k)
+    w_rank = W.orderBy(F.desc("cnt"), key_col)
+    top = top_small.withColumn(
+        "rank", F.row_number().over(w_rank).cast("long")
+    )
+    w_cum = W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            F.col(key_col),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt").cast("double") / F.col("total_rows"), 6)
+            .alias("share"),
+            F.round(
+                F.sum("cnt").over(w_cum).cast("double")
+                / F.col("total_rows"),
+                6,
+            ).alias("cum_share"),
+            "n_keys",
+            "total_rows",
+        )
+    )

@@ -803,3 +803,109 @@ def q157_canonical_text(spark, sf_dir):
         canon.alias("canon_text"),
         F.md5(canon).alias("canon_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (operators/zorder): exact Morton interleave of
+# min/max-scaled bucket ids -- the data-skipping layout key. The oracle
+# rebuilds the identical integer bit arithmetic.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10
+
+
+def _zorder_oracle(bits: int) -> str:
+    top = (1 << bits) - 1
+    inter = " + ".join(
+        f"(((xb >> {i}) & 1) << {2 * i + 1}) + (((yb >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    )
+    return f"""
+WITH b AS (
+  SELECT CAST(MIN(o_custkey) AS BIGINT) AS xmin,
+         CAST(MAX(o_custkey) AS BIGINT) AS xmax,
+         CAST(MIN(o_orderkey) AS BIGINT) AS ymin,
+         CAST(MAX(o_orderkey) AS BIGINT) AS ymax
+  FROM orders
+), k AS (
+  SELECT o_orderkey,
+         CASE WHEN xmax > xmin
+              THEN CAST(FLOOR((o_custkey - xmin) * {top}.0 / (xmax - xmin))
+                        AS BIGINT)
+              ELSE 0 END AS xb,
+         CASE WHEN ymax > ymin
+              THEN CAST(FLOOR((o_orderkey - ymin) * {top}.0 / (ymax - ymin))
+                        AS BIGINT)
+              ELSE 0 END AS yb
+  FROM orders, b
+)
+SELECT o_orderkey, xb, yb, CAST({inter} AS BIGINT) AS zkey
+FROM k
+"""
+
+
+@query(
+    "q158_zorder_key",
+    oracle=_zorder_oracle(_Z_BITS),
+    tags=("layout", "zorder"),
+)
+def q158_zorder_key(spark, sf_dir):
+    """Morton clustering key over (o_custkey, o_orderkey): global
+    min/max as broadcast scalars, bucket scaling + bit interleave as
+    pure integer expressions -- the key zorder_cluster range-partitions
+    and sorts by at write time so file stats prune on both columns."""
+    from pyspark.sql import functions as F
+
+    from ..operators.zorder import with_zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    return with_zorder_key(
+        orders, "o_custkey", "o_orderkey", bits=_Z_BITS
+    ).select("o_orderkey", "xb", "yb", "zkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact join-key skew diagnosis (operators/skew.join_skew_report):
+# the pre-join planning table. TakeOrderedAndProject for the top-k,
+# scalar-broadcast totals; key cardinality never hits the driver.
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPK = 10
+
+_SKEW_ORACLE = f"""
+WITH c AS (
+  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS total_rows
+  FROM c
+), ranked AS (
+  SELECT l_suppkey, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey) AS BIGINT)
+             AS rank
+  FROM c
+)
+SELECT rank, l_suppkey, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+       ROUND(CAST(SUM(cnt) OVER (ORDER BY rank
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / total_rows, 6) AS cum_share,
+       n_keys, total_rows
+FROM ranked, t
+WHERE rank <= {_SKEW_TOPK}
+"""
+
+
+@query(
+    "q159_join_skew_report",
+    oracle=_SKEW_ORACLE,
+    tags=("diagnostics", "skew"),
+)
+def q159_join_skew_report(spark, sf_dir):
+    """Exact top-10 heavy-key report for lineitem.l_suppkey: counts,
+    shares, cumulative shares + global key/row totals -- the evidence a
+    broadcast/salting/AQE decision reads."""
+    from ..operators.skew import join_skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_skew_report(li, "l_suppkey", top_k=_SKEW_TOPK)

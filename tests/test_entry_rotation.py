@@ -75,6 +75,8 @@ _NEW_SINCE_R5: frozenset[str] = frozenset(
         "q155_langid_confusion",
         "q156_gate_threshold_sweep",
         "q157_canonical_text",
+        "q158_zorder_key",
+        "q159_join_skew_report",
     }
 )
 

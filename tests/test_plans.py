@@ -65,6 +65,10 @@ ALLOWED_BNLJ = {
     "q149_temperature_mixture": "1-row mixture-total scalar broadcasts",
     # 1-row global-count scalar broadcast feeding the NTILE arithmetic
     "q151_ce_decile_bins": "1-row count scalar broadcast (+LM totals)",
+    # 1-row global min/max bounds scalar broadcast for bucket scaling
+    "q158_zorder_key": "1-row min/max bounds scalar broadcast",
+    # 1-row key/row-total scalar broadcast under the top-k report
+    "q159_join_skew_report": "1-row totals scalar broadcast",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at

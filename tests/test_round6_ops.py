@@ -255,3 +255,74 @@ def test_gate_threshold_sweep_monotone(spark, sf_dir):
     assert full == sorted(full, reverse=True)
     for r in rows:
         assert r.n_pass_full <= r.n_pass_stopword
+
+
+# ------------------------------------------------------------ Z-order
+
+
+def test_morton_interleave_hand_values(spark):
+    from pos_data_insertion_etl_spark.operators.zorder import (
+        morton_interleave,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 3), (5, 2)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", morton_interleave(F.col("x"), F.col("y"), 4).alias("z")
+        ).collect()
+    }
+    # x bits land at odd positions, y bits at even
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 2
+    assert got[(0, 1)] == 1
+    assert got[(3, 3)] == 15
+    # x=5 (101): bits 0,2 set -> positions 1,5 -> 2+32=34;
+    # y=2 (010): bit 1 set -> position 2 -> 4
+    assert got[(5, 2)] == 38
+
+
+def test_zorder_cluster_partitions_are_disjoint_tiles(spark, sf_dir):
+    """Range partitioning by zkey must yield non-overlapping per-file
+    key ranges -- the property file-level stats pruning relies on."""
+    from pos_data_insertion_etl_spark.operators.zorder import (
+        zorder_cluster,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    clustered = zorder_cluster(
+        orders, "o_custkey", "o_orderkey", bits=10, num_partitions=8
+    )
+    ranges = (
+        clustered.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) > 1
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans  # tiles don't overlap
+
+
+def test_join_skew_report_totals(spark, sf_dir):
+    from pos_data_insertion_etl_spark.operators.skew import (
+        join_skew_report,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = sorted(join_skew_report(li, "l_suppkey").collect(),
+                  key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    total = li.count()
+    n_keys = li.select("l_suppkey").distinct().count()
+    assert rows[0].total_rows == total
+    assert rows[0].n_keys == n_keys
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    # cumulative share is the running sum of shares (rounding aside)
+    running = 0
+    for r in rows:
+        running += r.cnt
+        assert abs(r.cum_share - running / total) < 1e-5
