@@ -76,6 +76,13 @@ HEADLINE = [
     "q124_ann_lsh_seeded",
     "q126_source_cap_sample",
     "q127_int8_quantize_error",
+    # round 6 additions: HOF-heavy content-defined chunking, the
+    # Arrow-batched MMR custom op, the two-phase global-sequence NTILE,
+    # and the digest-keyed duplicate-n-gram shuffle
+    "q146_cdc_chunks",
+    "q148_mmr_diversified_topk",
+    "q151_ce_decile_bins",
+    "q154_dup_ngram_fraction",
 ]
 
 
