@@ -583,7 +583,15 @@ def content_defined_chunks(
     that to the previous one (applied left-to-right in the fold, the
     standard CDC minimum-size rule).
     """
-    toks = tokens(text_col)
+    # Materialize the token array FIRST: every expression below sits
+    # inside a HOF lambda, and a lambda body re-evaluates any captured
+    # non-attribute subexpression PER ELEMENT -- referencing the raw
+    # split() expression from the window-slice lambda re-tokenized the
+    # whole document once per position, an O(n^2) blowup measured at
+    # ~9 s for 5,000 docs / 270k tokens at sf0.1 (vs ~1 s with the
+    # array bound as a column attribute, which the lambda just reads).
+    staged0 = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    toks = F.col("_t")
     n = F.size(toks)
     # hash of the window ENDING at position i (1-based over tokens);
     # positions < window never start a boundary
@@ -647,8 +655,8 @@ def content_defined_chunks(
     )
     # chunk k spans (prev_boundary, boundary_k]; final partial chunk
     # runs to the end
-    staged = df.select(
-        F.col(id_col), toks.alias("_t"), bounds.alias("_b")
+    staged = staged0.select(
+        F.col(id_col), F.col("_t"), bounds.alias("_b")
     )
     starts = F.concat(F.array(F.lit(0).cast("int")), F.col("_b"))
     ends = F.concat(F.col("_b"), F.array(F.size("_t").cast("int")))
@@ -660,11 +668,20 @@ def content_defined_chunks(
         ),
         lambda span: span["e"] > span["s"],
     )
+    # posexplode_OUTER, deliberately: for a non-outer Generate, the
+    # InferFiltersFromGenerate rule synthesizes `size(_spans) > 0` and
+    # predicate pushdown clones the ENTIRE spans expression chain
+    # (hash transform + fold, with the tokenizer re-inlined) into a
+    # Filter at the scan -- the whole CDC computation ran twice per
+    # row, measured at ~6 of the ~9 s/5k docs at sf0.1. Outer
+    # generators get no inferred filter, and `_spans` is never empty
+    # here (every document yields >= 1 span), so the semantics are
+    # identical and the chain evaluates once.
     return (
         staged.select(F.col(id_col), F.col("_t"), spans.alias("_spans"))
         .select(
             F.col(id_col),
-            F.posexplode("_spans").alias("chunk_idx", "_sp"),
+            F.posexplode_outer("_spans").alias("chunk_idx", "_sp"),
             F.col("_t"),
         )
         .select(

@@ -909,3 +909,100 @@ def q159_join_skew_report(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return join_skew_report(li, "l_suppkey", top_k=_SKEW_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Greedy NO-SPLIT sequence packing (operators/packing): documents never
+# straddle packs, so packs carry real padding waste -- the other
+# standard dataloader layout next to q91's concat-then-chunk. The fold
+# is sequential per shard (shard = parallel unit); the oracle walks the
+# identical recurrence as a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_PACK_NS_BUDGET, _PACK_NS_SHARDS = 256, 8
+
+
+def _nosplit_walk_sql(budget: int, shards: int) -> str:
+    close = f"w.cur > 0 AND w.cur + o.n_tokens > {budget}"
+    return f"""
+WITH RECURSIVE sized AS (
+  SELECT doc_id, doc_id % {shards} AS shard,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), ordered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM sized
+), walk AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pos_in_pack,
+         n_tokens AS cur
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+         CASE WHEN {close} THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN {close} THEN CAST(0 AS BIGINT)
+              ELSE w.pos_in_pack + 1 END,
+         CASE WHEN {close} THEN o.n_tokens ELSE w.cur + o.n_tokens END
+  FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+)"""
+
+
+_PACK_NS_ORACLE = (
+    _nosplit_walk_sql(_PACK_NS_BUDGET, _PACK_NS_SHARDS)
+    + """
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, pack_id,
+       pos_in_pack
+FROM walk
+"""
+)
+
+
+@query(
+    "q160_pack_nosplit",
+    oracle=_PACK_NS_ORACLE,
+    tags=("llm", "packing"),
+)
+def q160_pack_nosplit(spark, sf_dir):
+    """Greedy no-split packing assignment: per document the (shard,
+    pack, position) under the close-on-overflow rule, one Arrow
+    applyInPandas group per shard."""
+    from ..operators.packing import greedy_pack_no_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return greedy_pack_no_split(
+        docs, pack_budget=_PACK_NS_BUDGET, n_shards=_PACK_NS_SHARDS
+    )
+
+
+_PACK_EFF_ORACLE = (
+    _nosplit_walk_sql(_PACK_NS_BUDGET, _PACK_NS_SHARDS)
+    + f"""
+SELECT CAST(shard AS BIGINT) AS shard, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_NS_BUDGET}, 6)
+           AS fill_rate
+FROM walk GROUP BY shard, pack_id
+"""
+)
+
+
+@query(
+    "q161_pack_efficiency",
+    oracle=_PACK_EFF_ORACLE,
+    tags=("llm", "packing", "eval"),
+)
+def q161_pack_efficiency(spark, sf_dir):
+    """Packing tuning table: per (shard, pack) document count, token
+    fill and fill rate against the budget -- the report that decides
+    budget/shard settings for a training run."""
+    from ..operators.packing import (
+        greedy_pack_no_split,
+        pack_efficiency_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = greedy_pack_no_split(
+        docs, pack_budget=_PACK_NS_BUDGET, n_shards=_PACK_NS_SHARDS
+    )
+    return pack_efficiency_report(packed, pack_budget=_PACK_NS_BUDGET)

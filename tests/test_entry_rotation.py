@@ -77,6 +77,8 @@ _NEW_SINCE_R5: frozenset[str] = frozenset(
         "q157_canonical_text",
         "q158_zorder_key",
         "q159_join_skew_report",
+        "q160_pack_nosplit",
+        "q161_pack_efficiency",
     }
 )
 

@@ -326,3 +326,60 @@ def test_join_skew_report_totals(spark, sf_dir):
     for r in rows:
         running += r.cnt
         assert abs(r.cum_share - running / total) < 1e-5
+
+
+# ------------------------------------------------- no-split packing
+
+
+def test_greedy_pack_no_split_contracts(spark):
+    from pos_data_insertion_etl_spark.operators.packing import (
+        greedy_pack_no_split,
+        pack_efficiency_report,
+    )
+
+    # one shard (ids all even), budget 10: sizes 4,5,3,12,2 ->
+    # pack0=[4,5] (9), pack1=[3] (3: 12 won't fit), pack2=[12] alone,
+    # pack3=[2]
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (2, "a b c d e"),
+            (4, "a b c"),
+            (6, " ".join(["t"] * 12)),
+            (8, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    packed = greedy_pack_no_split(df, pack_budget=10, n_shards=2)
+    rows = {r.doc_id: r for r in packed.collect()}
+    assert (rows[0].pack_id, rows[0].pos_in_pack) == (0, 0)
+    assert (rows[2].pack_id, rows[2].pos_in_pack) == (0, 1)
+    assert (rows[4].pack_id, rows[4].pos_in_pack) == (1, 0)
+    assert (rows[6].pack_id, rows[6].pos_in_pack) == (2, 0)  # oversize alone
+    assert (rows[8].pack_id, rows[8].pos_in_pack) == (3, 0)
+    eff = {
+        (r.shard, r.pack_id): r
+        for r in pack_efficiency_report(packed, pack_budget=10).collect()
+    }
+    assert eff[(0, 0)].pack_tokens == 9 and eff[(0, 0)].n_docs == 2
+    assert eff[(0, 2)].fill_rate == 1.2  # oversize pack visible, not clipped
+
+
+def test_pack_no_split_never_overflows_except_oversize(spark, sf_dir):
+    from pos_data_insertion_etl_spark.operators.packing import (
+        greedy_pack_no_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = greedy_pack_no_split(docs, pack_budget=256, n_shards=8)
+    per_pack = (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.sum("n_tokens").alias("tok"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .collect()
+    )
+    for r in per_pack:
+        # a pack over budget can only be a single oversized document
+        assert r.tok <= 256 or r.nd == 1, r
