@@ -74,8 +74,14 @@ def doc_shingles(
     already unique across docs because ids differ.
     """
     sh = F.array_distinct(shingles(tokens(text_col), n=n))
-    return _widen(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(sh).alias("shingle")
+    # explode_OUTER + notNull, not plain explode: a non-outer Generate
+    # gets an inferred `size(sh) > 0` filter that re-evaluates the
+    # whole shingle expression a second time per row (the q146 lesson);
+    # the null-row filter above the Generate is per-output-row cheap.
+    return (
+        _widen(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode_outer(sh).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
