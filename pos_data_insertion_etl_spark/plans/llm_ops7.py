@@ -1006,3 +1006,99 @@ def q161_pack_efficiency(spark, sf_dir):
         docs, pack_budget=_PACK_NS_BUDGET, n_shards=_PACK_NS_SHARDS
     )
     return pack_efficiency_report(packed, pack_budget=_PACK_NS_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster-size histogram: the dedup-aggressiveness tuning
+# table over the FULL q90 pipeline output. The oracle nests q90's
+# recursive-CTE replica as a subquery.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_hist_oracle() -> str:
+    from .llm_ops2 import _neardup_pipeline_oracle
+
+    return f"""
+WITH pipe AS ({_neardup_pipeline_oracle()}),
+csize AS (
+  SELECT keeper_id, COUNT(*) AS cluster_size FROM pipe GROUP BY keeper_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM csize GROUP BY cluster_size
+"""
+
+
+@query(
+    "q162_neardup_cluster_sizes",
+    oracle=_cluster_hist_oracle(),
+    tags=("dedup", "eval"),
+)
+def q162_neardup_cluster_sizes(spark, sf_dir):
+    """Histogram of near-dup cluster sizes from the end-to-end LSH
+    pipeline: how many singletons vs multi-document clusters the
+    threshold produces -- the table that tunes band count and Jaccard
+    threshold."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import neardup_keepers
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = neardup_keepers(
+        docs, "text", "doc_id", threshold_num=1, threshold_den=2
+    )
+    csize = keepers.groupBy("keeper_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return csize.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Balanced per-label sampling over embeddings: class rebalancing for
+# training -- q126's per-source cap, applied to labels, deterministic
+# md5 order. One per-label window.
+# ---------------------------------------------------------------------------
+
+_LABEL_CAP = 25
+
+_BALANCED_ORACLE = f"""
+SELECT vec_id, label, sel_rank FROM (
+  SELECT vec_id, label,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY label
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
+             AS sel_rank
+  FROM embeddings) t
+WHERE sel_rank <= {_LABEL_CAP}
+"""
+
+
+@query(
+    "q163_balanced_label_sample",
+    oracle=_BALANCED_ORACLE,
+    tags=("curation", "sampling"),
+)
+def q163_balanced_label_sample(spark, sf_dir):
+    """Per-class balanced downsample: at most N vectors per label in
+    deterministic md5 order (unbiased, reproducible on any cluster) --
+    one per-label window, WindowGroupLimit pushes the cap below the
+    shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = W.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.row_number().over(w).cast("long").alias("sel_rank"),
+        )
+        .filter(F.col("sel_rank") <= _LABEL_CAP)
+    )

@@ -79,6 +79,8 @@ _NEW_SINCE_R5: frozenset[str] = frozenset(
         "q159_join_skew_report",
         "q160_pack_nosplit",
         "q161_pack_efficiency",
+        "q162_neardup_cluster_sizes",
+        "q163_balanced_label_sample",
     }
 )
 
