@@ -240,3 +240,162 @@ def bigram_lm_scores(
             F.round(ce, 6).alias("cross_entropy"),
         )
     )
+
+
+def trigram_lm_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_t: int = 200,
+    top_b: int = 200,
+    top_v: int = 200,
+    lambdas: tuple[int, int, int] = (5, 3, 2),
+) -> DataFrame:
+    """Per-document cross-entropy under a Jelinek-Mercer INTERPOLATED
+    trigram model: for each trigram position,
+
+        P(tok | p2, p1) = (l3*P3 + l2*P2 + l1*P1) / (l3+l2+l1)
+
+    with P3/P2/P1 the add-one trigram/bigram/unigram estimates from
+    exact integer corpus counts, and the lambda weights given as
+    INTEGERS (the division by their sum happens once, inside the same
+    expression in both engines). Interpolation -- rather than the
+    bigram scorer's backoff -- is the standard fix for the trigram
+    sparsity cliff: every position blends all three orders instead of
+    falling off a per-context floor.
+
+    Scale shape mirrors the other scorers: three count shuffles build
+    three CAPPED broadcast tables (top_t trigrams, top_b bigrams,
+    top_v unigrams -- the Zipf head carries the mass); scoring is
+    three map-side broadcast joins over the trigram stream; the
+    per-document reduce sums 1e-6 fixed-point log-probs (each rounded
+    ONCE per position from identically-derived doubles, so the
+    integer sums are associative and engine-portable).
+
+    Returns [id, n_trigrams, cross_entropy].
+    """
+    l3, l2, l1 = lambdas
+    lsum = l3 + l2 + l1
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), arr.alias("_a"))
+        .filter(F.size("_a") >= 3)
+    )
+    tri = base.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.zip_with(
+                F.slice(F.col("_a"), 1, F.size("_a") - 2),
+                F.zip_with(
+                    F.slice(F.col("_a"), 2, F.size("_a") - 2),
+                    F.slice(F.col("_a"), 3, F.size("_a") - 2),
+                    lambda b, c: F.struct(b.alias("p1"), c.alias("tok")),
+                ),
+                lambda a, bc: F.struct(
+                    a.alias("p2"), bc["p1"].alias("p1"), bc["tok"].alias("tok")
+                ),
+            )
+        ).alias("_t"),
+    ).select(
+        F.col(id_col), F.col("_t.p2"), F.col("_t.p1"), F.col("_t.tok")
+    )
+
+    toks = base.select(F.explode_outer(F.col("_a")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    uni_tot = uni.agg(
+        F.sum("c1").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    w1 = W.orderBy(F.desc("c1"), "tok")
+    uni_top = (
+        uni.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= top_v)
+        .drop("rn")
+    )
+
+    # P2's counts come from REAL adjacent pairs (the trigram stream
+    # would double-count interior positions)
+    pairs = base.select(
+        F.explode_outer(
+            F.zip_with(
+                F.slice(F.col("_a"), 1, F.size("_a") - 1),
+                F.slice(F.col("_a"), 2, F.size("_a") - 1),
+                lambda a, b: F.struct(a.alias("p1"), b.alias("tok")),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.p1"), F.col("_p.tok"))
+    bi = pairs.groupBy("p1", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    bctx = bi.groupBy("p1").agg(F.sum("c2").cast("long").alias("c2ctx"))
+    w2 = W.orderBy(F.desc("c2"), "p1", "tok")
+    bi_top = (
+        bi.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= top_b)
+        .drop("rn")
+    )
+
+    tcnt = tri.groupBy("p2", "p1", "tok").agg(F.count(F.lit(1)).alias("c3"))
+    tctx = tcnt.groupBy("p2", "p1").agg(
+        F.sum("c3").cast("long").alias("c3ctx")
+    )
+    w3 = W.orderBy(F.desc("c3"), "p2", "p1", "tok")
+    tri_top = (
+        tcnt.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= top_t)
+        .drop("rn")
+    )
+
+    # P components per position, all from exact integer counts; a
+    # missing head entry contributes its add-one floor with count 0.
+    scored = (
+        tri.join(F.broadcast(tri_top), ["p2", "p1", "tok"], "left")
+        .join(F.broadcast(tctx), ["p2", "p1"], "left")
+        .join(F.broadcast(bi_top), ["p1", "tok"], "left")
+        .join(F.broadcast(bctx), "p1", "left")
+        .join(F.broadcast(uni_top), "tok", "left")
+        .crossJoin(F.broadcast(uni_tot))
+    )
+    p3 = (
+        (F.coalesce(F.col("c3"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c3ctx"), F.lit(0)) + F.col("v") + 1).cast(
+            "double"
+        )
+    )
+    p2 = (
+        (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c2ctx"), F.lit(0)) + F.col("v") + 1).cast(
+            "double"
+        )
+    )
+    p1 = (
+        (F.coalesce(F.col("c1"), F.lit(0)) + 1).cast("double")
+        / (F.col("n") + F.col("v") + 1).cast("double")
+    )
+    mix = (
+        F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1
+    ) / F.lit(lsum)
+    # 1e-9 per-position fixed point (finer than the 1e-6 scorers): the
+    # mix double is bit-identical across engines (exact-integer ratios
+    # through IEEE ops) but ln() is only 1-ulp-accurate in any libm, so
+    # a 1e-6 per-position round can flip at a half boundary. At 1e-9 a
+    # single-ulp ln flip shifts the DOCUMENT sum by ~1e-9/n -- invisible
+    # in the final 1e-6 rounding.
+    fp = F.round(F.log(mix) * F.lit(1_000_000_000)).cast("long")
+    ce = (
+        -F.col("sum_fp").cast("double")
+        / F.lit(1_000_000_000)
+        / F.col("n_trigrams").cast("double")
+    )
+    return (
+        scored.select(F.col(id_col), fp.alias("fp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("fp").alias("sum_fp"),
+        )
+        .select(
+            F.col(id_col),
+            "n_trigrams",
+            F.round(ce, 6).alias("cross_entropy"),
+        )
+    )
