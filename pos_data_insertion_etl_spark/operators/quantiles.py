@@ -1,0 +1,177 @@
+"""Deterministic mergeable quantile summaries with CERTIFIED rank
+error -- the third sketch in the family next to Misra-Gries heavy
+hitters and Count-Min (operators/heavyhitters.py).
+
+Design (stratified sorted-stride sampling, the Munro-Paterson idea in
+its simplest mergeable form): each Arrow batch sorts its values and
+keeps every ``stride``-th element (stride = ceil(len/k)); a kept
+element carries the WEIGHT of the block it stands for. For a query
+value v, only the single block that STRADDLES v can be miscounted --
+every other block lies entirely on one side -- so one batch
+contributes at most (stride - 1) rank error, and the total bound is
+the sum of per-batch errors. That per-batch error rides IN the
+summary (`err` column), so the bound is computed from the summary
+itself (``rank_error_bound``): callers don't trust the sketch, they
+check it, exactly like the heavy-hitter summary's certified
+(count_min, count_max) envelope.
+
+Mergeability: summaries UNION (bounds add; no raw data touched), and
+``compress`` re-compresses a grown summary back to ~k weighted
+elements, folding the union's accumulated error into the new batch's
+`err`. Persist-summary / merge / compress is the cross-ingest shape
+Spark's built-in percentile_approx (q64) cannot serve.
+
+Scale: one pass, no shuffle to build (mapInPandas); summary size is
+<= k per Arrow batch; merge is a union; compress and estimation touch
+only summary-sized data (driver guards trip on anything larger).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SUMMARY_SCHEMA = "value double, weight long, err long, batch_id long"
+
+#: refuse driver-side work on anything bigger than this many summary
+#: rows -- a summary this large means the caller skipped compression.
+_DRIVER_GUARD = 1_000_000
+
+
+def quantile_summary(
+    df: DataFrame, value_col: str, k: int = 256
+) -> DataFrame:
+    """One-pass summary [value, weight, err, batch_id]: per Arrow
+    batch, sorted stride sampling keeping the LAST element of each
+    block of ``stride`` values (weight = block size; the final partial
+    block keeps its own smaller weight). `err` = stride - 1, the
+    batch's certified rank-error contribution. Deterministic given the
+    batching; nulls are dropped."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        seq = 0
+        for pdf in batches:
+            vals = pdf[pdf.columns[0]].dropna().sort_values().to_numpy()
+            n = len(vals)
+            if n == 0:
+                continue
+            stride = -(-n // k)  # ceil
+            rows = []
+            pos = stride - 1
+            while pos < n:
+                rows.append((float(vals[pos]), stride))
+                pos += stride
+            tail = n - len(rows) * stride
+            if tail > 0:  # final partial block, represented by its max
+                rows.append((float(vals[n - 1]), tail))
+            yield pd.DataFrame(
+                {
+                    "value": [r[0] for r in rows],
+                    "weight": [r[1] for r in rows],
+                    "err": stride - 1,
+                    "batch_id": pid * 1_000_000 + seq,
+                }
+            )
+            seq += 1
+
+    return df.select(F.col(value_col).cast("double")).mapInPandas(
+        summarize, SUMMARY_SCHEMA
+    )
+
+
+def merge_summaries(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge = UNION: valid immediately (bounds add via the err
+    column), size grows additively. Run ``compress`` when the union
+    outgrows its purpose."""
+    return a.unionByName(b)
+
+
+def rank_error_bound(summary: DataFrame) -> int:
+    """Certified worst-case |estimated rank - true rank|: the sum of
+    per-batch err contributions. One tiny distinct+aggregate."""
+    row = (
+        summary.select("batch_id", "err")
+        .distinct()
+        .agg(F.sum("err").alias("b"))
+        .collect()[0]
+    )
+    return int(row.b or 0)
+
+
+def _collect_summary(summary: DataFrame) -> list[tuple[float, int]]:
+    rows = summary.select("value", "weight").collect()
+    if len(rows) > _DRIVER_GUARD:
+        raise ValueError(
+            "summary too large for driver-side work -- compress() it, "
+            "or this is not a summary"
+        )
+    return sorted((r.value, r.weight) for r in rows)
+
+
+def compress(summary: DataFrame, k: int = 256) -> DataFrame:
+    """Re-compress a (merged) summary to <= k weighted elements: sort
+    by value, cut into blocks of ~equal WEIGHT, keep each block's max
+    with the block's total weight. Only the straddling block can err,
+    so the new batch's contribution is (max block weight - 1); the
+    incoming summary's own certified error is folded in, keeping
+    ``rank_error_bound`` exact bookkeeping across any merge/compress
+    chain. Summary-sized work; returns a single-batch summary."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    spark = summary.sparkSession
+    prior = rank_error_bound(summary)
+    pairs = _collect_summary(summary)
+    total = sum(w for _, w in pairs)
+    target = -(-total // k)  # ceil: block weight target
+    rows = []
+    acc = 0
+    block_max = 0
+    cur_val = None
+    for v, w in pairs:
+        acc += w
+        cur_val = v
+        if acc >= target:
+            rows.append((cur_val, acc))
+            block_max = max(block_max, acc)
+            acc = 0
+    if acc > 0:
+        rows.append((cur_val, acc))
+        block_max = max(block_max, acc)
+    err = prior + max(0, block_max - 1)
+    out = [(v, w, err, 0) for v, w in rows]
+    return spark.createDataFrame(out, SUMMARY_SCHEMA)
+
+
+def estimate_quantiles(
+    summary: DataFrame, qs: Sequence[float]
+) -> list[tuple[float, float]]:
+    """[(q, value)]: sort the summary by value, walk cumulative
+    weights, return the first value whose cumulative weight reaches
+    q * N. Driver-side over the SUMMARY, never the data."""
+    pairs = _collect_summary(summary)
+    if not pairs:
+        raise ValueError("empty summary")
+    total = sum(w for _, w in pairs)
+    out: list[tuple[float, float]] = []
+    for q in qs:
+        if not 0 <= q <= 1:
+            raise ValueError(f"quantile out of range: {q}")
+        target = q * total
+        cum = 0
+        val = pairs[-1][0]
+        for v, w in pairs:
+            cum += w
+            if cum >= target:
+                val = v
+                break
+        out.append((q, val))
+    return out

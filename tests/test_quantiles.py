@@ -1,0 +1,106 @@
+"""Certified-bound tests for the mergeable quantile summary
+(operators/quantiles.py): every estimate's EXACT rank must sit inside
+the bound the summary itself certifies, through build, merge, and
+compress."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_data_insertion_etl_spark.catalog import load_table
+from pos_data_insertion_etl_spark.operators.quantiles import (
+    compress,
+    estimate_quantiles,
+    merge_summaries,
+    quantile_summary,
+    rank_error_bound,
+)
+
+QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def _rank_interval(df, col, v) -> tuple[int, int]:
+    """[count(< v), count(<= v)] -- a tied value occupies a rank
+    INTERVAL, and the epsilon-quantile contract is interval-based."""
+    lo = df.filter(F.col(col) < v).count()
+    hi = df.filter(F.col(col) <= v).count()
+    return lo, hi
+
+
+def _assert_within_bound(df, col, summary, qs=QS):
+    n = df.filter(F.col(col).isNotNull()).count()
+    bound = rank_error_bound(summary)
+    assert bound < n / 10, f"bound {bound} uselessly large for n={n}"
+    for q, est in estimate_quantiles(summary, qs):
+        lo, hi = _rank_interval(df, col, est)
+        target = q * n
+        # standard tie-aware contract: the target rank must fall inside
+        # the value's rank interval widened by the certified bound
+        assert lo - bound <= target <= hi + bound + 1, (
+            q, est, lo, hi, target, bound,
+        )
+
+
+def test_summary_bound_holds_on_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    s = quantile_summary(li, "l_extendedprice", k=256)
+    _assert_within_bound(li, "l_extendedprice", s)
+    # summary is genuinely small: <= k rows per Arrow batch
+    n_batches = s.select("batch_id").distinct().count()
+    assert s.count() <= 256 * n_batches + n_batches
+
+
+def test_merge_is_union_and_bounds_add(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    sa = quantile_summary(a, "l_quantity", k=128)
+    sb = quantile_summary(b, "l_quantity", k=128)
+    merged = merge_summaries(sa, sb)
+    assert rank_error_bound(merged) == (
+        rank_error_bound(sa) + rank_error_bound(sb)
+    )
+    _assert_within_bound(li, "l_quantity", merged)
+
+
+def test_compress_folds_error_and_stays_valid(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    s = quantile_summary(li, "l_extendedprice", k=512)
+    c = compress(s, k=64)
+    assert c.count() <= 65
+    assert rank_error_bound(c) >= rank_error_bound(s)  # error only grows
+    _assert_within_bound(li, "l_extendedprice", c)
+    # chain: merge two compressed summaries and compress again
+    c2 = compress(merge_summaries(c, c), k=64)
+    assert c2.count() <= 65
+    # doubled data (self-merge) => bound still certified vs the
+    # doubled multiset: ranks scale by 2
+    n = li.count()
+    bound = rank_error_bound(c2)
+    for q, est in estimate_quantiles(c2, QS):
+        lo, hi = _rank_interval(li, "l_extendedprice", est)
+        target = q * 2 * n
+        assert 2 * lo - bound <= target <= 2 * hi + bound + 2
+
+
+def test_exact_on_tiny_input(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    s = quantile_summary(df.coalesce(1), "v", k=200)
+    # k >= n: stride 1, zero certified error, exact quantiles
+    assert rank_error_bound(s) == 0
+    got = dict(estimate_quantiles(s, (0.25, 0.5, 1.0)))
+    assert got[0.25] == 25.0
+    assert got[0.5] == 50.0
+    assert got[1.0] == 100.0
+
+
+def test_guards(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        quantile_summary(df, "v", k=1)
+    s = quantile_summary(df, "v", k=4)
+    with pytest.raises(ValueError):
+        estimate_quantiles(s, (1.5,))
+    with pytest.raises(ValueError):
+        compress(s, k=1)
