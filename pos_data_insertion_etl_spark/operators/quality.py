@@ -354,3 +354,70 @@ def dup_ngram_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonicalize a URL for dedup/blocklist keys: lowercase the
+    scheme+host, strip a default port, drop the fragment, strip
+    tracking parameters (utm_*, fbclid, gclid), sort the surviving
+    query parameters, and trim a trailing slash from the path. Two
+    crawl records of the same page with different tracking decorations
+    then share one key -- the URL analog of normalize_text.
+
+    Pure JVM expressions: regex splits + array ops, RE2-compatible
+    patterns (no backreferences, no lookarounds), zero shuffle.
+    """
+    # scheme://host[:port] is case-insensitive; path/query are not
+    head = F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(col, F.length(head) + 1, F.lit(1 << 30))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(https://[^/?#]*):443$", "$1")
+    head = F.regexp_replace(head, r"^(http://[^/?#]*):80$", "$1")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"(.)/$", "$1")  # trailing slash (not root)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid)(=|$)"),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        head,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def html_page_metadata(col: Column) -> Column:
+    """Extract crawl-control metadata from raw HTML as a struct:
+    [title, meta_robots, canonical_url, noindex] -- the fields a
+    curation pipeline consults BEFORE extracting text (a noindex or
+    canonical-elsewhere page is usually dropped or re-keyed).
+
+    Case-insensitive RE2-compatible regexes only; absent fields are
+    empty strings (noindex false)."""
+    title = F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    robots = F.regexp_extract(
+        col,
+        r"""(?is)<meta[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*["']([^"']*)["']""",
+        1,
+    )
+    canonical = F.regexp_extract(
+        col,
+        r"""(?is)<link[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*["']([^"']*)["']""",
+        1,
+    )
+    noindex = F.lower(robots).contains("noindex")
+    clean_title = F.regexp_replace(
+        F.regexp_replace(title, r"\s+", " "), r"^\s+|\s+$", ""
+    )
+    return F.struct(
+        clean_title.alias("title"),
+        F.lower(robots).alias("meta_robots"),
+        canonical.alias("canonical_url"),
+        noindex.alias("noindex"),
+    )

@@ -383,3 +383,63 @@ def test_pack_no_split_never_overflows_except_oversize(spark, sf_dir):
     for r in per_pack:
         # a pack over budget can only be a single oversized document
         assert r.tok <= 256 or r.nd == 1, r
+
+
+# ----------------------------------------------- URL canonicalization
+
+
+def test_normalize_url_hand_cases(spark):
+    from pos_data_insertion_etl_spark.operators.quality import (
+        normalize_url,
+    )
+
+    cases = [
+        # tracking params stripped, survivors sorted, fragment dropped
+        ("HTTPS://Example.COM:443/Path/?b=2&utm_source=x&a=1#frag",
+         "https://example.com/Path?a=1&b=2"),
+        ("http://Site.org:80/a/b/", "http://site.org/a/b"),
+        ("http://site.org/", "http://site.org/"),  # root slash kept
+        ("https://h.io/p?fbclid=abc&gclid=1", "https://h.io/p"),
+        ("https://h.io/p?z=9&y=8", "https://h.io/p?y=8&z=9"),
+        ("https://h.io", "https://h.io"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", normalize_url(F.col("u")).alias("n")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_html_page_metadata_hand_page(spark):
+    from pos_data_insertion_etl_spark.operators.quality import (
+        html_page_metadata,
+    )
+
+    page = (
+        "<html><head><TITLE>  A   Page\nTitle </TITLE>"
+        '<meta name="robots" content="NOINDEX, nofollow">'
+        '<link rel="canonical" href="https://example.com/real">'
+        "</head><body>x</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, "<html><body>plain</body></html>")],
+        "i long, h string",
+    )
+    rows = {
+        r.i: r.m
+        for r in df.select(
+            "i", html_page_metadata(F.col("h")).alias("m")
+        ).collect()
+    }
+    assert rows[1].title == "A Page Title"
+    assert rows[1].meta_robots == "noindex, nofollow"
+    assert rows[1].canonical_url == "https://example.com/real"
+    assert rows[1].noindex is True
+    assert rows[2].title == ""
+    assert rows[2].noindex is False
