@@ -91,8 +91,19 @@ def quantile_summary(
 def merge_summaries(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge = UNION: valid immediately (bounds add via the err
     column), size grows additively. Run ``compress`` when the union
-    outgrows its purpose."""
-    return a.unionByName(b)
+    outgrows its purpose.
+
+    The two sides' batch ids are remapped into disjoint spaces
+    (2i / 2i+1): independently built summaries reuse the same
+    (partition, seq)-derived ids, and a collision would make
+    ``rank_error_bound``'s distinct-batch sum UNDERCOUNT. Shallow
+    merge trees stay well inside the long range."""
+    return (
+        a.withColumn("batch_id", F.col("batch_id") * 2)
+        .unionByName(
+            b.withColumn("batch_id", F.col("batch_id") * 2 + 1)
+        )
+    )
 
 
 def rank_error_bound(summary: DataFrame) -> int:

@@ -661,3 +661,70 @@ def _fs_delete(spark: SparkSession, path: str) -> None:
     P = jvm.org.apache.hadoop.fs.Path
     fs = P(path).getFileSystem(jsc.hadoopConfiguration())
     fs.delete(P(path), True)
+
+
+def quantile_monitor_stream(
+    values_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    k: int = 256,
+):
+    """Maintain a MERGEABLE quantile summary over a stream
+    (operators/quantiles): each micro-batch writes its own certified
+    summary to ``out_dir``/batch=<id> -- idempotent under foreachBatch
+    replay (overwrite of the same directory, never a merge into shared
+    state, so a crash-replay cannot double-count the batch's weight).
+    The live estimate is `load_quantile_summary(spark, out_dir)`:
+    summaries union by construction, bounds add, and a reader can
+    `compress` the union whenever it grows past taste.
+
+    This is the monitoring shape the built-in percentile_approx cannot
+    serve: per-ingest summaries persist, merge across days/streams
+    without raw data, and carry an auditable error bound.
+    """
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        quantile_monitor_batch(batch, batch_id, out_dir, value_col, k)
+
+    return (
+        values_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def quantile_monitor_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    value_col: str,
+    k: int = 256,
+) -> None:
+    """One monitor micro-batch, module-level for replay tests."""
+    import os
+
+    from ..operators.quantiles import quantile_summary
+
+    if not batch.head(1):
+        return
+    summary = quantile_summary(batch, value_col, k=k)
+    # shift batch ids into a per-micro-batch space: summaries from
+    # different micro-batches are later UNIONED by the loader, and id
+    # collisions would undercount rank_error_bound's distinct sum
+    from pyspark.sql import functions as F  # local: jobs.py uses F too
+
+    summary = summary.withColumn(
+        "batch_id",
+        F.lit(int(batch_id)) * 1_000_000_000_000 + F.col("batch_id"),
+    )
+    summary.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch={batch_id}")
+    )
+
+
+def load_quantile_summary(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The union of every persisted batch summary; `batch` rides as a
+    partition column (ingest provenance). Feed it straight to
+    estimate_quantiles / rank_error_bound / compress."""
+    return spark.read.parquet(out_dir).drop("batch")

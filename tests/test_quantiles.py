@@ -104,3 +104,50 @@ def test_guards(spark):
         estimate_quantiles(s, (1.5,))
     with pytest.raises(ValueError):
         compress(s, k=1)
+
+
+def test_streaming_monitor_batches_and_replay(spark, sf_dir, tmp_path):
+    """The per-batch summary store: three micro-batches cover the
+    table, the loaded union estimates within its certified bound, and
+    REPLAYING a batch (foreachBatch at-least-once) changes nothing --
+    idempotent overwrite, no double-counted weight."""
+    from pos_data_insertion_etl_spark.operators.quantiles import (
+        rank_error_bound,
+    )
+    from pos_data_insertion_etl_spark.streaming.jobs import (
+        load_quantile_summary,
+        quantile_monitor_batch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "qmon")
+    for bid in range(3):
+        quantile_monitor_batch(
+            li.filter(F.col("l_orderkey") % 3 == bid),
+            bid,
+            out,
+            "l_extendedprice",
+            k=128,
+        )
+    s = load_quantile_summary(spark, out)
+    total_weight = s.agg(F.sum("weight")).collect()[0][0]
+    assert total_weight == li.count()
+    _assert_within_bound(li, "l_extendedprice", s)
+    before = sorted(
+        (r.value, r.weight, r.err, r.batch_id) for r in s.collect()
+    )
+    bound_before = rank_error_bound(s)
+    # replay batch 1 with identical content: bit-for-bit no-op
+    quantile_monitor_batch(
+        li.filter(F.col("l_orderkey") % 3 == 1),
+        1,
+        out,
+        "l_extendedprice",
+        k=128,
+    )
+    s2 = load_quantile_summary(spark, out)
+    after = sorted(
+        (r.value, r.weight, r.err, r.batch_id) for r in s2.collect()
+    )
+    assert after == before
+    assert rank_error_bound(s2) == bound_before
