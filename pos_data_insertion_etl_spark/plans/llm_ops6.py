@@ -1147,13 +1147,173 @@ def q143_lsh_multiprobe(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("q144_curation_funnel", oracle=None, tags=("curation", "e2e"))
+# Round-6 (late): the funnel gained a FULL oracle -- every stage is
+# SQL-expressible from already-proven patterns (the gopher pass with
+# q144's parameters, the q129 LM CTE trained on the survivors with
+# top_v=1000, COUNT(DISTINCT text) for the sha2-keyed exact dedup --
+# same grouping, collision-free assumption shared -- and q90's
+# minhash/band/verify/transitive-closure replica run over the
+# stage-3 survivors). The registry therefore has ZERO rows-only
+# entries: 163/163 oracle-checked.
+_FUNNEL_ORACLE = """
+WITH RECURSIVE gbase AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '^\s+|\s+$', '', 'g') AS t,
+         string_split_regex(
+             regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), gprobe AS (
+  SELECT *,
+         list_transform(words,
+             x -> regexp_replace(lower(x),
+                  '^[!-/:-@\[-`{-~]+|[!-/:-@\[-`{-~]+$', '', 'g')) AS pwords
+  FROM gbase
+), gm AS (
+  SELECT doc_id, text,
+         CASE WHEN t = '' THEN 0 ELSE len(words) END AS n_words,
+         length(regexp_replace(t, '\s+', '', 'g')) AS n_word_chars,
+         len(list_filter(pwords, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             x -> substr(trim(x), 1, 2) IN ('- ', '* ', '• '))) AS n_bullet,
+         len(list_filter(lines, x -> rtrim(x) LIKE '%...')) AS n_ellipsis,
+         (length(t) - length(replace(t, '#', '')))
+           + (length(t) - length(replace(t, '…', ''))) AS n_symbols,
+         (CASE WHEN list_contains(pwords, 'the') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(pwords, 'a') THEN 1 ELSE 0 END)
+             AS stop_hits
+  FROM gprobe
+), s1 AS (
+  SELECT doc_id, text FROM gm
+  WHERE COALESCE(n_words BETWEEN 10 AND 100000, FALSE)
+    AND COALESCE(CASE WHEN n_words > 0 THEN
+          ROUND(CAST(n_word_chars AS DOUBLE) / n_words, 6) END
+          BETWEEN 3.0 AND 10.0, FALSE)
+    AND COALESCE(CASE WHEN n_words > 0 THEN
+          ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6) END < 0.1, FALSE)
+    AND COALESCE(CASE WHEN n_lines > 0 THEN
+          ROUND(CAST(n_bullet AS DOUBLE) / n_lines, 6) END <= 0.9, FALSE)
+    AND COALESCE(CASE WHEN n_lines > 0 THEN
+          ROUND(CAST(n_ellipsis AS DOUBLE) / n_lines, 6) END <= 0.3, FALSE)
+    AND COALESCE(CASE WHEN n_words > 0 THEN
+          ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) END >= 0.8, FALSE)
+    AND COALESCE(stop_hits >= 1, FALSE)
+), ltoks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM s1 WHERE trim(text) != ''
+), lvocab AS (
+  SELECT tok, COUNT(*) AS c FROM ltoks GROUP BY tok
+), ltot AS (
+  SELECT SUM(c) AS n, COUNT(*) AS v FROM lvocab
+), ltopv AS (
+  SELECT tok, c FROM (
+    SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn
+    FROM lvocab) WHERE rn <= 1000
+), lmodel AS (
+  SELECT tok,
+         CAST(ROUND(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v + 1 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp_fp
+  FROM ltopv, ltot
+), loov AS (
+  SELECT CAST(ROUND(ln(1.0 / CAST(n + v + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             AS oov_fp
+  FROM ltot
+), lscored AS (
+  SELECT t.doc_id, COALESCE(m.lp_fp, o.oov_fp) AS fp
+  FROM ltoks t LEFT JOIN lmodel m USING (tok) CROSS JOIN loov o
+), lagg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(fp) AS sum_fp FROM lscored
+  GROUP BY doc_id
+), s2 AS (
+  SELECT s1.doc_id, s1.text
+  FROM s1 JOIN lagg USING (doc_id)
+  WHERE ROUND(-CAST(sum_fp AS DOUBLE) / 1000000 / n_tokens, 6) <= 4.0
+), s3 AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM s2 GROUP BY text
+), ntoks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '\s+')) AS tok,
+         unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS i
+  FROM s3
+), nsh0 AS (
+  SELECT doc_id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+             AS shingle
+  FROM ntoks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), nsh AS (
+  SELECT DISTINCT doc_id, shingle FROM nsh0 WHERE shingle IS NOT NULL
+), nsig AS (SELECT doc_id, MIN(md5('mh00|' || shingle)) AS h00,
+         MIN(md5('mh01|' || shingle)) AS h01,
+         MIN(md5('mh02|' || shingle)) AS h02,
+         MIN(md5('mh03|' || shingle)) AS h03,
+         MIN(md5('mh04|' || shingle)) AS h04,
+         MIN(md5('mh05|' || shingle)) AS h05,
+         MIN(md5('mh06|' || shingle)) AS h06,
+         MIN(md5('mh07|' || shingle)) AS h07 FROM nsh GROUP BY doc_id),
+nbands AS (
+  SELECT doc_id, 0 AS band_idx, md5(h00 || '|' || h01) AS band_key FROM nsig
+  UNION ALL SELECT doc_id, 1 AS band_idx, md5(h02 || '|' || h03) AS band_key FROM nsig
+  UNION ALL SELECT doc_id, 2 AS band_idx, md5(h04 || '|' || h05) AS band_key FROM nsig
+  UNION ALL SELECT doc_id, 3 AS band_idx, md5(h06 || '|' || h07) AS band_key FROM nsig
+), ncand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nbands a JOIN nbands b
+    ON a.band_key = b.band_key AND a.band_idx = b.band_idx
+   AND a.doc_id < b.doc_id
+), nsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM nsh GROUP BY doc_id),
+ninter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM ncand c
+  JOIN nsh a ON a.doc_id = c.id_a
+  JOIN nsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), nedges AS (
+  SELECT i.id_a, i.id_b
+  FROM ninter i
+  JOIN nsizes sa ON sa.doc_id = i.id_a
+  JOIN nsizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_common * 2 >= 1 * (sa.n_sh + sb.n_sh - i.n_common)
+), ne AS (
+  SELECT id_a AS a, id_b AS b FROM nedges
+  UNION
+  SELECT id_b AS a, id_a AS b FROM nedges
+), nnodes AS (SELECT DISTINCT a AS node FROM ne),
+nreach AS (
+  SELECT node AS a, node AS b FROM nnodes
+  UNION
+  SELECT r.a, e.b FROM nreach r JOIN ne e ON r.b = e.a
+), nlabels AS (SELECT a AS node, MIN(b) AS component FROM nreach GROUP BY a),
+s4 AS (
+  SELECT s3.doc_id
+  FROM s3 LEFT JOIN nlabels l ON l.node = s3.doc_id
+  WHERE COALESCE(l.component, s3.doc_id) = s3.doc_id
+)
+SELECT '00_raw' AS stage, CAST(0 AS BIGINT) AS stage_order,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+UNION ALL
+SELECT '01_gopher', 1, (SELECT COUNT(*) FROM s1)
+UNION ALL
+SELECT '02_lm', 2, (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT '03_exact_dedup', 3, (SELECT COUNT(*) FROM s3)
+UNION ALL
+SELECT '04_neardup', 4, (SELECT COUNT(*) FROM s4)
+"""
+
+
+@query(
+    "q144_curation_funnel",
+    oracle=_FUNNEL_ORACLE,
+    tags=("curation", "e2e"),
+)
 def q144_curation_funnel(spark, sf_dir):
     """The per-stage funnel report of the full curation pipeline
     (pipeline/curation.curate_corpus): raw -> Gopher gate -> unigram-LM
     gate -> exact dedup -> LSH near-dup, [stage, stage_order, n_docs].
-    Composition-deterministic (pinned by test_curation_ops); stage
-    counts are monotone non-increasing by construction."""
+    Composition-deterministic; every stage count is verified exactly
+    by the composed DuckDB oracle."""
     from ..pipeline.curation import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")

@@ -33,9 +33,10 @@ def test_oracle_match(name, spark, sf_dir, duck):
 def test_rows_only_inventory_is_known():
     """Every oracle-less query must have a structural test below -- a new
     rows-only query without one fails here instead of passing vacuously.
-    (Round 6 gave q58/q63/q64/q124 real oracles; the only rows-only
-    entry left is the e2e curation funnel composition.)"""
-    assert set(ROWS_ONLY) == {"q144_curation_funnel"}
+    (Round 6 gave q58/q63/q64/q124 real oracles, then late in the round
+    composed a full oracle for the q144 funnel too: the registry has
+    ZERO rows-only entries.)"""
+    assert set(ROWS_ONLY) == set()
 
 
 def test_q144_funnel_monotone(spark, sf_dir):
