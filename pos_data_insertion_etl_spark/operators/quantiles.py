@@ -186,3 +186,62 @@ def estimate_quantiles(
                 break
         out.append((q, val))
     return out
+
+
+def quantile_drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    qs: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> list[dict]:
+    """Distribution drift between two corpus versions from their
+    SUMMARIES alone (raw data untouched): per quantile, both values,
+    the delta, and both certified rank bounds -- the audit line a
+    data-drift monitor logs per ingest.
+
+    The bounds make the report honest: a delta smaller than what the
+    bounds can explain (rank uncertainty translated through the value
+    scale) is flagged inconclusive rather than reported as drift.
+    """
+    old_est = dict(estimate_quantiles(old, qs))
+    new_est = dict(estimate_quantiles(new, qs))
+    b_old, b_new = rank_error_bound(old), rank_error_bound(new)
+    n_old = old.agg(F.sum("weight")).collect()[0][0] or 0
+    n_new = new.agg(F.sum("weight")).collect()[0][0] or 0
+    out = []
+    for q in qs:
+        ov, nv = old_est[q], new_est[q]
+        # rank uncertainty as a quantile-fraction: if the two rank
+        # windows [q*n +- bound] overlap after mapping to fractions,
+        # the summaries cannot certify a direction of drift
+        eps = (b_old / n_old if n_old else 0.0) + (
+            b_new / n_new if n_new else 0.0
+        )
+        out.append(
+            {
+                "q": q,
+                "old_value": ov,
+                "new_value": nv,
+                "delta": nv - ov,
+                "rank_eps": eps,
+                "conclusive": abs(q_frac_shift(old, nv) - q) > eps
+                if n_old
+                else False,
+            }
+        )
+    return out
+
+
+def q_frac_shift(summary: DataFrame, value: float) -> float:
+    """The quantile fraction a VALUE occupies in a summary: estimated
+    rank(value) / N -- the inverse lookup drift conclusiveness uses."""
+    pairs = _collect_summary(summary)
+    total = sum(w for _, w in pairs)
+    if total == 0:
+        return 0.0
+    cum = 0
+    for v, w in pairs:
+        if v <= value:
+            cum += w
+        else:
+            break
+    return cum / total

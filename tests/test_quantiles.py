@@ -151,3 +151,26 @@ def test_streaming_monitor_batches_and_replay(spark, sf_dir, tmp_path):
     )
     assert after == before
     assert rank_error_bound(s2) == bound_before
+
+
+def test_drift_report_direction_and_self_null(spark, sf_dir):
+    from pos_data_insertion_etl_spark.operators.quantiles import (
+        quantile_drift_report,
+        quantile_summary,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = quantile_summary(li, "l_extendedprice", k=256)
+    shifted = quantile_summary(
+        li.select((F.col("l_extendedprice") * 2).alias("v")), "v", k=256
+    )
+    report = quantile_drift_report(base, shifted)
+    # doubling the scale: every quantile must drift upward, conclusively
+    for row in report:
+        assert row["delta"] > 0, row
+        assert row["conclusive"], row
+    # self-comparison: zero delta everywhere, nothing conclusive
+    selfr = quantile_drift_report(base, base)
+    for row in selfr:
+        assert row["delta"] == 0, row
+        assert not row["conclusive"], row
