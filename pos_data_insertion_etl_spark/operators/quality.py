@@ -421,3 +421,95 @@ def html_page_metadata(col: Column) -> Column:
         canonical.alias("canonical_url"),
         noindex.alias("noindex"),
     )
+
+
+def robots_allowed(
+    df: DataFrame,
+    robots_col: str,
+    path_col: str,
+    user_agent: str = "*",
+) -> Column:
+    """Evaluate the Robots Exclusion Protocol for each (robots.txt
+    content, URL path) row: returns a boolean column, True when the
+    path may be fetched by ``user_agent``.
+
+    Semantics follow the de-facto REP standard (RFC 9309): the most
+    specific matching user-agent group applies (exact agent name over
+    ``*``); within the group the LONGEST matching rule wins, with
+    Allow beating Disallow on equal length; rules support ``*``
+    wildcards and a ``$`` end anchor; an empty/missing robots file or
+    an unmatched path allows.
+
+    Robots parsing is genuinely imperative, so this is an Arrow-batched
+    pandas UDF with PER-BATCH memoization keyed on the robots text
+    (operators/bpe.py's apply pattern): a corpus holds millions of
+    pages but few distinct robots files, so each batch parses each
+    distinct file once.
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ua = user_agent.lower()
+
+    def parse(robots: str):
+        groups: dict[str, list[tuple[str, bool]]] = {}
+        current: list[str] = []
+        seen_rule = True
+        for raw in (robots or "").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if seen_rule:
+                    current = []
+                    seen_rule = False
+                current.append(value.lower())
+                for agent in current:
+                    groups.setdefault(agent, [])
+            elif field in ("allow", "disallow"):
+                seen_rule = True
+                if not current:
+                    continue
+                if value == "" and field == "disallow":
+                    continue  # "Disallow:" empty = allow all
+                for agent in current:
+                    groups.setdefault(agent, []).append(
+                        (value, field == "allow")
+                    )
+            else:
+                seen_rule = True
+        rules = groups.get(ua, groups.get("*", []))
+        compiled = []
+        for pat, allow in rules:
+            rx = _re.escape(pat).replace(r"\*", ".*")
+            if rx.endswith(r"\$"):
+                rx = rx[:-2] + "$"
+            compiled.append((len(pat), allow, _re.compile("^" + rx)))
+        return compiled
+
+    @pandas_udf("boolean")
+    def evaluate(robots, paths):  # pd.Series pair -> pd.Series
+        # (untyped on purpose: pandas_udf's hint resolver cannot see
+        # the function-local `pd` alias)
+        cache: dict[str, list] = {}
+        out = []
+        for rb, path in zip(robots, paths):
+            key = rb or ""
+            if key not in cache:
+                cache[key] = parse(key)
+            best = None  # (specificity, allow)
+            for spec, allow, rx in cache[key]:
+                if rx.match(path or ""):
+                    # longest rule wins; Allow beats Disallow on ties
+                    cand = (spec, allow)
+                    if best is None or cand > best:
+                        best = cand
+            out.append(True if best is None else best[1])
+        return pd.Series(out)
+
+    return evaluate(F.col(robots_col), F.col(path_col))

@@ -473,7 +473,7 @@ WITH arrs AS (
   CROSS JOIN gfp g
 )
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       ROUND(-CAST(SUM(fp) AS DOUBLE) / 1000000000 / COUNT(*), 6)
+       ROUND(-CAST(SUM(fp) AS DOUBLE) / 1000000 / COUNT(*), 6)
            AS cross_entropy
 FROM scored GROUP BY doc_id
 """

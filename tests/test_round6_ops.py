@@ -443,3 +443,73 @@ def test_html_page_metadata_hand_page(spark):
     assert rows[1].noindex is True
     assert rows[2].title == ""
     assert rows[2].noindex is False
+
+
+# ---------------------------------------------------------- robots.txt
+
+
+def test_robots_allowed_rep_semantics(spark):
+    from pos_data_insertion_etl_spark.operators.quality import (
+        robots_allowed,
+    )
+
+    robots = "\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /private/",
+            "Allow: /private/ok/",
+            "Disallow: /*.pdf$",
+            "",
+            "User-agent: goodbot",
+            "Disallow:",
+        ]
+    )
+    strict = "User-agent: strictbot\nDisallow: /\nUser-agent: *\nAllow: /"
+    cases = [
+        (1, robots, "/public/page", True),      # unmatched -> allow
+        (2, robots, "/private/x", False),       # disallow prefix
+        (3, robots, "/private/ok/x", True),     # longer Allow wins
+        (4, robots, "/docs/file.pdf", False),   # wildcard + $ anchor
+        (5, robots, "/docs/file.pdfx", True),   # $ anchor respected
+        (6, "", "/anything", True),             # missing robots
+        (7, strict, "/home", True),             # '*' group applies
+    ]
+    df = spark.createDataFrame(
+        [(i, r, p) for i, r, p, _ in cases],
+        "i long, robots string, path string",
+    )
+    got = {
+        r.i: r.ok
+        for r in df.select(
+            "i", robots_allowed(df, "robots", "path").alias("ok")
+        ).collect()
+    }
+    for i, _, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_robots_specific_agent_group_overrides_star(spark):
+    from pos_data_insertion_etl_spark.operators.quality import (
+        robots_allowed,
+    )
+
+    robots = (
+        "User-agent: mybot\nDisallow: /blocked/\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    df = spark.createDataFrame(
+        [(1, robots, "/open/page"), (2, robots, "/blocked/page")],
+        "i long, robots string, path string",
+    )
+    got = {
+        r.i: r.ok
+        for r in df.select(
+            "i",
+            robots_allowed(df, "robots", "path", user_agent="MyBot").alias(
+                "ok"
+            ),
+        ).collect()
+    }
+    # mybot's own group applies: /open allowed even though '*' blocks all
+    assert got[1] is True
+    assert got[2] is False
