@@ -245,3 +245,72 @@ def q_frac_shift(summary: DataFrame, value: float) -> float:
         else:
             break
     return cum / total
+
+
+def categorical_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cat_col: str,
+    top_k: int = 50,
+) -> DataFrame:
+    """EXACT categorical drift between two corpus versions: per
+    category the share in each version and the share delta, plus the
+    total-variation distance replicated onto every row (half the sum
+    of absolute share differences -- the standard distribution-shift
+    scalar). Complements quantile_drift_report (numeric columns,
+    summary-only) with the exact form for low-cardinality columns
+    (source, lang, label).
+
+    One groupBy per side, a full outer join on the category, windows
+    over the tiny joined frame. ``top_k`` caps the report rows by
+    combined share (drop-off categories still count toward the TV
+    distance). Deterministic: exact integer counts, 1e-6 rounding.
+    """
+    from pyspark.sql.window import Window as W
+
+    def shares(df, name):
+        c = df.groupBy(F.col(cat_col).alias("category")).agg(
+            F.count(F.lit(1)).alias(f"n_{name}")
+        )
+        tot = c.agg(F.sum(f"n_{name}").cast("long").alias(f"tot_{name}"))
+        return c.crossJoin(F.broadcast(tot))
+
+    joined = (
+        shares(old, "old")
+        .join(shares(new, "new"), "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.first("tot_old", ignorenulls=True)
+            .over(W.partitionBy())
+            .alias("tot_old"),
+            F.first("tot_new", ignorenulls=True)
+            .over(W.partitionBy())
+            .alias("tot_new"),
+        )
+    )
+    share_old = F.col("n_old").cast("double") / F.col("tot_old")
+    share_new = F.col("n_new").cast("double") / F.col("tot_new")
+    staged = joined.select(
+        "category",
+        "n_old",
+        "n_new",
+        F.round(share_old, 6).alias("share_old"),
+        F.round(share_new, 6).alias("share_new"),
+        F.round(share_new - share_old, 6).alias("share_delta"),
+        (share_new - share_old).alias("_raw_delta"),
+    )
+    w_all = W.partitionBy()
+    w_rank = W.orderBy(
+        F.desc(F.col("n_old") + F.col("n_new")), "category"
+    )
+    return (
+        staged.withColumn(
+            "tv_distance",
+            F.round(F.sum(F.abs(F.col("_raw_delta"))).over(w_all) / 2, 6),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .drop("_raw_delta")
+    )

@@ -174,3 +174,27 @@ def test_drift_report_direction_and_self_null(spark, sf_dir):
     for row in selfr:
         assert row["delta"] == 0, row
         assert not row["conclusive"], row
+
+
+def test_categorical_drift_exact(spark, sf_dir):
+    from pos_data_insertion_etl_spark.operators.quantiles import (
+        categorical_drift,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs
+    new = docs.filter(F.col("lang") != "fr")  # drop one language
+    rows = {r.category: r for r in categorical_drift(old, new, "lang").collect()}
+    assert rows["fr"].n_new == 0
+    assert rows["fr"].share_new == 0.0
+    assert rows["fr"].share_delta < 0
+    others = [c for c in rows if c != "fr"]
+    assert all(rows[c].share_delta > 0 for c in others)  # mass moved
+    tv = {r.tv_distance for r in rows.values()}
+    assert len(tv) == 1  # same scalar on every row
+    fr_share_old = rows["fr"].share_old
+    # TV distance of dropping a class: exactly that class's old share
+    assert abs(tv.pop() - fr_share_old) < 2e-6
+    # self-drift: zero everywhere
+    selfr = categorical_drift(old, old, "lang").collect()
+    assert all(r.share_delta == 0.0 and r.tv_distance == 0.0 for r in selfr)
