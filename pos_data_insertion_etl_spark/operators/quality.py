@@ -513,3 +513,92 @@ def robots_allowed(
         return pd.Series(out)
 
     return evaluate(F.col(robots_col), F.col(path_col))
+
+
+def profile_table(
+    df: DataFrame,
+    top_k_values: int = 5,
+) -> DataFrame:
+    """One-scan column profile -- the rule-free companion to
+    quality_report (which checks declared expectations; this DESCRIBES
+    whatever arrives, the first thing run against an unfamiliar
+    delivery): per column the row/null/distinct counts, min/max
+    rendered as strings, and the top value share.
+
+    Long-form [column, n_rows, n_nulls, n_distinct, min_value,
+    max_value, top_value, top_share]. Numeric/string/date columns
+    profile alike (values render via CAST AS STRING with exact
+    min/max computed in the native type first). Complex-typed columns
+    (arrays/structs/maps/binary) are skipped -- profile their fields.
+
+    Cost: ONE aggregate pass for counts/min/max over all columns
+    simultaneously + one groupBy per column capped to the top value
+    (count-distinct is exact -- swap approx_count_distinct in at
+    100 TB if the exactness isn't worth the shuffle; the plan shape
+    is otherwise identical).
+    """
+    import pyspark.sql.types as T
+
+    simple = [
+        f.name
+        for f in df.schema.fields
+        if not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+        )
+    ]
+    if not simple:
+        raise ValueError("no simple-typed columns to profile")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in simple:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").cast("long").alias("n_rows"),
+                F.col(f"_null_{c}").cast("long").alias("n_nulls"),
+                F.col(f"_dist_{c}").cast("long").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in simple
+        ]
+    )
+    base = one.select(F.explode(rows).alias("_r")).select("_r.*")
+    # top value per column: one tiny union of per-column top-1 aggs
+    top = None
+    for c in simple:
+        t = (
+            df.groupBy(F.col(c).cast("string").alias("top_value"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .filter(F.col("top_value").isNotNull())
+            .orderBy(F.desc("_cnt"), "top_value")
+            .limit(1)
+            .select(
+                F.lit(c).alias("column"),
+                "top_value",
+                F.col("_cnt").cast("long").alias("_top_cnt"),
+            )
+        )
+        top = t if top is None else top.unionByName(t)
+    return (
+        base.join(top, "column", "left")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_value",
+            "max_value",
+            "top_value",
+            F.round(
+                F.col("_top_cnt").cast("double") / F.col("n_rows"), 6
+            ).alias("top_share"),
+        )
+    )

@@ -513,3 +513,47 @@ def test_robots_specific_agent_group_overrides_star(spark):
     # mybot's own group applies: /open allowed even though '*' blocks all
     assert got[1] is True
     assert got[2] is False
+
+
+# ------------------------------------------------------- table profile
+
+
+def test_profile_table_exact_facts(spark, sf_dir):
+    from pos_data_insertion_etl_spark.operators.quality import (
+        profile_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = {r.column: r for r in profile_table(docs).collect()}
+    n = docs.count()
+    assert set(prof) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert all(r.n_rows == n for r in prof.values())
+    assert prof["doc_id"].n_nulls == 0
+    assert prof["doc_id"].n_distinct == n
+    assert prof["doc_id"].min_value == "0"
+    assert prof["lang"].n_distinct == docs.select("lang").distinct().count()
+    # top value/share exact
+    top = (
+        docs.groupBy("lang").count().orderBy(F.desc("count"), "lang").first()
+    )
+    assert prof["lang"].top_value == top["lang"]
+    assert abs(prof["lang"].top_share - top["count"] / n) < 1e-6
+
+
+def test_profile_table_nulls_and_guard(spark):
+    from pos_data_insertion_etl_spark.operators.quality import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "id long, s string"
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["s"].n_nulls == 1
+    assert prof["s"].n_distinct == 1  # countDistinct ignores nulls
+    assert prof["s"].top_value == "a"
+    arr_only = df.select(F.array("id").alias("a"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_table(arr_only)
