@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops5,
         llm_ops6,
         llm_ops7,
+        llm_ops8,
         media_ops,
         pos_ops,
         relational,

@@ -1341,69 +1341,9 @@ def test_pq_train_deterministic_and_localcheckpoint(spark, sf_dir):
     assert len(cb1) == 4 * 8
 
 
-TRIGRAM_ORACLE = r"""
-WITH base AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS a
-  FROM documents
-  WHERE trim(text) != ''
-    AND len(string_split_regex(lower(trim(text)), '\s+')) >= 3
-), tri AS (
-  SELECT doc_id, a[t.i] AS p2, a[t.i + 1] AS p1, a[t.i + 2] AS tok
-  FROM base, unnest(range(1, len(a) - 1)) AS t(i)
-), pairs AS (
-  SELECT a[t.i] AS p1, a[t.i + 1] AS tok
-  FROM base, unnest(range(1, len(a))) AS t(i)
-), toks AS (
-  SELECT unnest(a) AS tok FROM base
-), uni AS (
-  SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY tok
-), tot AS (
-  SELECT CAST(SUM(c1) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM uni
-), uni_top AS (
-  SELECT tok, c1 FROM (
-    SELECT tok, c1, ROW_NUMBER() OVER (ORDER BY c1 DESC, tok) AS rn FROM uni)
-  WHERE rn <= 200
-), bi AS (
-  SELECT p1, tok, COUNT(*) AS c2 FROM pairs GROUP BY p1, tok
-), bctx AS (
-  SELECT p1, CAST(SUM(c2) AS BIGINT) AS c2ctx FROM bi GROUP BY p1
-), bi_top AS (
-  SELECT p1, tok, c2 FROM (
-    SELECT p1, tok, c2,
-           ROW_NUMBER() OVER (ORDER BY c2 DESC, p1, tok) AS rn FROM bi)
-  WHERE rn <= 200
-), tcnt AS (
-  SELECT p2, p1, tok, COUNT(*) AS c3 FROM tri GROUP BY p2, p1, tok
-), tctx AS (
-  SELECT p2, p1, CAST(SUM(c3) AS BIGINT) AS c3ctx FROM tcnt GROUP BY p2, p1
-), tri_top AS (
-  SELECT p2, p1, tok, c3 FROM (
-    SELECT p2, p1, tok, c3,
-           ROW_NUMBER() OVER (ORDER BY c3 DESC, p2, p1, tok) AS rn FROM tcnt)
-  WHERE rn <= 200
-), scored AS (
-  SELECT t.doc_id,
-         CAST(ROUND(ln(
-           (5 * (CAST(COALESCE(tt.c3, 0) + 1 AS DOUBLE)
-                 / CAST(COALESCE(tc.c3ctx, 0) + o.v + 1 AS DOUBLE))
-            + 3 * (CAST(COALESCE(bt.c2, 0) + 1 AS DOUBLE)
-                   / CAST(COALESCE(bc.c2ctx, 0) + o.v + 1 AS DOUBLE))
-            + 2 * (CAST(COALESCE(ut.c1, 0) + 1 AS DOUBLE)
-                   / CAST(o.n + o.v + 1 AS DOUBLE))) / 10
-         ) * 1000000000) AS BIGINT) AS fp
-  FROM tri t
-  LEFT JOIN tri_top tt ON tt.p2 = t.p2 AND tt.p1 = t.p1 AND tt.tok = t.tok
-  LEFT JOIN tctx tc ON tc.p2 = t.p2 AND tc.p1 = t.p1
-  LEFT JOIN bi_top bt ON bt.p1 = t.p1 AND bt.tok = t.tok
-  LEFT JOIN bctx bc ON bc.p1 = t.p1
-  LEFT JOIN uni_top ut ON ut.tok = t.tok
-  CROSS JOIN tot o
+from pos_data_insertion_etl_spark.plans.llm_ops8 import (  # noqa: E402
+    TRIGRAM_ORACLE,
 )
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-       ROUND(-CAST(SUM(fp) AS DOUBLE) / 1000000000 / COUNT(*), 6)
-           AS cross_entropy
-FROM scored GROUP BY doc_id
-"""
 
 
 def test_trigram_interpolated_lm_matches_oracle(spark, sf_dir, duck):

@@ -81,6 +81,11 @@ _NEW_SINCE_R5: frozenset[str] = frozenset(
         "q161_pack_efficiency",
         "q162_neardup_cluster_sizes",
         "q163_balanced_label_sample",
+        "q164_trigram_lm_ce",
+        "q165_url_normalize",
+        "q166_page_metadata",
+        "q167_table_profile",
+        "q168_categorical_drift",
     }
 )
 

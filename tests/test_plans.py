@@ -67,6 +67,10 @@ ALLOWED_BNLJ = {
     "q151_ce_decile_bins": "1-row count scalar broadcast (+LM totals)",
     # 1-row global min/max bounds scalar broadcast for bucket scaling
     "q158_zorder_key": "1-row min/max bounds scalar broadcast",
+    # 1-row (n, v) totals scalar broadcast into all three LM orders
+    "q164_trigram_lm_ce": "1-row model-totals scalar broadcast",
+    # two 1-row per-side total-count scalar broadcasts
+    "q168_categorical_drift": "1-row side-total scalar broadcasts",
     # 1-row key/row-total scalar broadcast under the top-k report
     "q159_join_skew_report": "1-row totals scalar broadcast",
 }
