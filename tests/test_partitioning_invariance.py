@@ -36,6 +36,8 @@ SAMPLE = [
     "q151_ce_decile_bins",         # distributed NTILE + LM model
     "q152_epoch_shard_shuffle",    # hash-derived permutation
     "q160_pack_nosplit",           # sequential per-shard fold
+    "q164_trigram_lm_ce",          # three broadcast LM heads + int sums
+    "q167_table_profile",          # one-pass multi-column aggregate
 ]
 
 #: (shuffle partitions, file split bytes) -- deliberately awkward:
