@@ -602,3 +602,36 @@ def profile_table(
             ).alias("top_share"),
         )
     )
+
+
+def sitemap_urls(df: DataFrame, xml_col: str, id_col: str) -> DataFrame:
+    """Extract URL entries from sitemap XML (urlset or sitemapindex):
+    one output row per <loc>, with the sibling <lastmod> when present
+    and whether the entry points at another sitemap -- the crawl
+    frontier's seed-expansion step.
+
+    Regex extraction only (RE2-compatible, case-insensitive): sitemap
+    files are machine-generated and flat, the one XML family where
+    regex parsing is the honest right tool. Zero shuffle; explode per
+    entry.
+    """
+    entries = F.expr(
+        f"regexp_extract_all({xml_col}, "
+        "'(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)"
+    )
+    staged = df.select(F.col(id_col), F.explode_outer(entries).alias("_e"))
+    loc = F.regexp_extract(F.col("_e"), r"(?is)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        F.col("_e"), r"(?is)<lastmod>\s*(.*?)\s*</lastmod>", 1
+    )
+    is_nested = F.col("_e").rlike(r"(?is)<loc>[^<]*sitemap[^<]*</loc>")
+    return (
+        staged.filter(F.col("_e").isNotNull())
+        .select(
+            F.col(id_col),
+            loc.alias("url"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+            is_nested.alias("is_sitemap"),
+        )
+        .filter(F.col("url") != "")
+    )

@@ -557,3 +557,37 @@ def test_profile_table_nulls_and_guard(spark):
 
     with _pytest.raises(ValueError):
         profile_table(arr_only)
+
+
+# ------------------------------------------------------------ sitemaps
+
+
+def test_sitemap_urls_extraction(spark):
+    from pos_data_insertion_etl_spark.operators.quality import (
+        sitemap_urls,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.io/1 </loc>"
+        "<lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>https://a.io/2</loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.io/sitemap-2.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "<urlset></urlset>")],
+        "id long, xml string",
+    )
+    rows = sitemap_urls(df, "xml", "id").collect()
+    by_url = {r.url: r for r in rows}
+    assert set(by_url) == {
+        "https://a.io/1", "https://a.io/2", "https://a.io/sitemap-2.xml",
+    }
+    assert by_url["https://a.io/1"].lastmod == "2026-01-01"
+    assert by_url["https://a.io/2"].lastmod is None
+    assert by_url["https://a.io/sitemap-2.xml"].is_sitemap is True
+    assert by_url["https://a.io/1"].is_sitemap is False
+    assert all(r.id != 3 for r in rows)  # empty sitemap yields nothing
