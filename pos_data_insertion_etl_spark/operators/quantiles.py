@@ -247,37 +247,27 @@ def q_frac_shift(summary: DataFrame, value: float) -> float:
     return cum / total
 
 
-def categorical_drift(
-    old: DataFrame,
-    new: DataFrame,
-    cat_col: str,
+def categorical_drift_from_counts(
+    old_counts: DataFrame,
+    new_counts: DataFrame,
     top_k: int = 50,
 ) -> DataFrame:
-    """EXACT categorical drift between two corpus versions: per
-    category the share in each version and the share delta, plus the
-    total-variation distance replicated onto every row (half the sum
-    of absolute share differences -- the standard distribution-shift
-    scalar). Complements quantile_drift_report (numeric columns,
-    summary-only) with the exact form for low-cardinality columns
-    (source, lang, label).
-
-    One groupBy per side, a full outer join on the category, windows
-    over the tiny joined frame. ``top_k`` caps the report rows by
-    combined share (drop-off categories still count toward the TV
-    distance). Deterministic: exact integer counts, 1e-6 rounding.
-    """
+    """The categorical-drift core over pre-aggregated counts
+    [category, n] per side -- the form a streaming monitor feeds
+    (per-batch counts persisted idempotently, summed at load). See
+    ``categorical_drift`` for the raw-DataFrame wrapper."""
     from pyspark.sql.window import Window as W
 
-    def shares(df, name):
-        c = df.groupBy(F.col(cat_col).alias("category")).agg(
-            F.count(F.lit(1)).alias(f"n_{name}")
+    def with_tot(c, name):
+        c = c.select(
+            "category", F.col("n").cast("long").alias(f"n_{name}")
         )
         tot = c.agg(F.sum(f"n_{name}").cast("long").alias(f"tot_{name}"))
         return c.crossJoin(F.broadcast(tot))
 
     joined = (
-        shares(old, "old")
-        .join(shares(new, "new"), "category", "full_outer")
+        with_tot(old_counts, "old")
+        .join(with_tot(new_counts, "new"), "category", "full_outer")
         .select(
             "category",
             F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
@@ -313,4 +303,32 @@ def categorical_drift(
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= top_k)
         .drop("_raw_delta")
+    )
+
+
+def categorical_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cat_col: str,
+    top_k: int = 50,
+) -> DataFrame:
+    """EXACT categorical drift between two corpus versions: per
+    category the share in each version and the share delta, plus the
+    total-variation distance replicated onto every row (half the sum
+    of absolute share differences -- the standard distribution-shift
+    scalar). Complements quantile_drift_report (numeric columns,
+    summary-only) with the exact form for low-cardinality columns
+    (source, lang, label).
+
+    One groupBy per side, then the counts core. Deterministic: exact
+    integer counts, 1e-6 rounding.
+    """
+
+    def counts(df):
+        return df.groupBy(F.col(cat_col).alias("category")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    return categorical_drift_from_counts(
+        counts(old), counts(new), top_k=top_k
     )

@@ -728,3 +728,58 @@ def load_quantile_summary(spark: SparkSession, out_dir: str) -> DataFrame:
     partition column (ingest provenance). Feed it straight to
     estimate_quantiles / rank_error_bound / compress."""
     return spark.read.parquet(out_dir).drop("batch")
+
+
+def category_monitor_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    cat_col: str,
+) -> None:
+    """Persist one micro-batch's category counts to a batch-keyed
+    directory (idempotent overwrite -- the quantile monitor's
+    replay-safety contract, applied to the categorical mix)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not batch.head(1):
+        return
+    (
+        batch.groupBy(F.col(cat_col).alias("category"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+    )
+
+
+def category_monitor_stream(
+    values_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    cat_col: str,
+):
+    """Maintain the corpus's categorical mix over a stream: per-batch
+    counts persist idempotently; `load_category_counts` sums them, and
+    `operators.quantiles.categorical_drift_from_counts` compares two
+    monitors (yesterday vs today, stream vs baseline)."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        category_monitor_batch(batch, batch_id, out_dir, cat_col)
+
+    return (
+        values_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def load_category_counts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Aggregated [category, n] over every persisted batch."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("category")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

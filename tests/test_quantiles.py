@@ -198,3 +198,54 @@ def test_categorical_drift_exact(spark, sf_dir):
     # self-drift: zero everywhere
     selfr = categorical_drift(old, old, "lang").collect()
     assert all(r.share_delta == 0.0 and r.tv_distance == 0.0 for r in selfr)
+
+
+def test_category_monitor_and_counts_drift(spark, sf_dir, tmp_path):
+    """Streaming categorical mix: batch counts persist idempotently,
+    the loader sums to the exact table counts, and the counts-based
+    drift equals the raw-DataFrame drift row-for-row."""
+    from pos_data_insertion_etl_spark.operators.quantiles import (
+        categorical_drift,
+        categorical_drift_from_counts,
+    )
+    from pos_data_insertion_etl_spark.streaming.jobs import (
+        category_monitor_batch,
+        load_category_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "cmon")
+    for bid in range(3):
+        category_monitor_batch(
+            docs.filter(F.col("doc_id") % 3 == bid), bid, out, "lang"
+        )
+    counts = load_category_counts(spark, out)
+    want = {
+        r.lang: r["count"] for r in docs.groupBy("lang").count().collect()
+    }
+    got = {r.category: r.n for r in counts.collect()}
+    assert got == want
+    # replay a batch: unchanged (reload: the overwrite swapped files,
+    # so the pre-replay lazy plan must not be reused)
+    category_monitor_batch(
+        docs.filter(F.col("doc_id") % 3 == 1), 1, out, "lang"
+    )
+    counts = load_category_counts(spark, out)
+    assert {r.category: r.n for r in counts.collect()} == want
+    # counts-core drift == raw drift
+    new = docs.filter(F.col("lang") != "fr")
+    raw = {
+        r.category: (r.share_delta, r.tv_distance)
+        for r in categorical_drift(docs, new, "lang").collect()
+    }
+    new_counts = (
+        new.groupBy(F.col("lang").alias("category"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    via_counts = {
+        r.category: (r.share_delta, r.tv_distance)
+        for r in categorical_drift_from_counts(
+            counts, new_counts
+        ).collect()
+    }
+    assert via_counts == raw
