@@ -862,3 +862,86 @@ def mmr_topk(
         )
 
     return pairs.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
+def lsh_knn_graph(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus: every vector gets
+    its top-k bucket-mates -- the structure semantic-dedup clustering,
+    graph-based diversity sampling, and kNN-classification pipelines
+    consume.
+
+    This is the missing scale shape next to the query-set operators:
+    cosine_topk / lsh_bucket_topk / mmr_topk all BROADCAST a small
+    query side, which cannot work when the query side IS the corpus.
+    Here both sides are the corpus and the candidate source is a
+    bucket equi-join of the corpus with itself (seeded sign-LSH key),
+    so the plan is shuffle-on-bucket + per-vector window -- no
+    broadcast, no cross product, each side scanned once.
+
+    Recall comes from plane count (fewer planes = bigger buckets =
+    more candidates); hot buckets are AQE skew-split like any hot
+    equi-join key (the q55 LSH-band argument). Vectors alone in their
+    bucket yield no edges -- callers wanting guaranteed degree > 0
+    run a second pass with fewer planes on the isolated ids.
+
+    Returns [src_id, dst_id, cos_sim, rn] with rn <= k per src.
+    """
+    if dim is None:
+        raise ValueError("lsh_knn_graph needs the vector dim")
+    planes = seeded_planes(n_planes, dim, seed)
+
+    def bucket(vc):
+        bits = [
+            F.when(_plane_dot(vc, row) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for row in planes
+        ]
+        return F.concat(*bits)
+
+    qv = quantize_vec(F.col(vec_col))
+    keyed = corpus.select(
+        F.col(id_col),
+        qv.alias("_v"),
+        norm_fixed_point(qv).alias("_n"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    ).localCheckpoint(eager=False)  # both join sides reuse one scan
+    a = keyed.select(
+        F.col(id_col).alias("src_id"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+        "bucket",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("dst_id"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+        "bucket",
+    )
+    sims = (
+        a.join(b, "bucket")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            F.round(
+                cosine_precomputed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("cos_sim"), "dst_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

@@ -214,3 +214,48 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     # structure: dense ranks, no self pairs
     for r in multi.collect():
         assert r.query_id != r.neighbor_id and 1 <= r.rn <= 5
+
+
+def test_lsh_knn_graph_contracts(spark, sf_dir):
+    """The corpus-wide kNN graph: no broadcast of a query side, edges
+    only between bucket-mates, dense per-source ranks, similarity
+    ordering, and every reported edge's cosine agrees with the exact
+    pairwise value."""
+    from pos_data_insertion_etl_spark.catalog import load_table
+    from pos_data_insertion_etl_spark.operators.similarity import (
+        cosine_topk,
+        lsh_knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    dim = len(emb.select("embedding").first()[0])
+    g = lsh_knn_graph(
+        emb, "vec_id", "embedding", k=5, n_planes=4, seed=7, dim=dim
+    )
+    rows = g.collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        assert r.src_id != r.dst_id
+        by_src.setdefault(r.src_id, []).append(r)
+    for src, es in by_src.items():
+        rns = sorted(e.rn for e in es)
+        assert rns == list(range(1, len(es) + 1))
+        sims = [e.cos_sim for e in sorted(es, key=lambda e: e.rn)]
+        assert sims == sorted(sims, reverse=True)
+    # graph edges must agree with exact cosine values: compare a
+    # handful of sources against the brute-force operator
+    some = sorted(by_src)[:5]
+    brute = cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id").isin(some)),
+        "vec_id",
+        "embedding",
+        k=300,
+    ).collect()
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim for r in brute}
+    for src in some:
+        for e in by_src[src]:
+            assert exact[(src, e.dst_id)] == e.cos_sim
