@@ -945,3 +945,75 @@ def lsh_knn_graph(
         sims.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def lsh_knn_graph_backfill(
+    corpus: DataFrame,
+    graph: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 3,
+    seed: int = 11,
+    dim: int | None = None,
+) -> DataFrame:
+    """Second pass for vertices the first lsh_knn_graph pass left
+    WITHOUT edges (alone in their bucket): re-key ONLY the isolated
+    vectors with fewer planes (bigger buckets) against the whole
+    corpus and union their edges in. The common case re-buckets a
+    small minority, so the extra join's left side is tiny; pathological
+    corpora converge by lowering n_planes further.
+
+    Returns the original graph plus backfilled edges (same schema);
+    re-rank is per-source, so existing edges are untouched.
+    """
+    isolated = corpus.join(
+        graph.select(F.col("src_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    if not isolated.head(1):
+        return graph
+    planes = seeded_planes(n_planes, dim, seed)
+
+    def bucket(vc):
+        bits = [
+            F.when(_plane_dot(vc, row) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for row in planes
+        ]
+        return F.concat(*bits)
+
+    qv = quantize_vec(F.col(vec_col))
+    iso = isolated.select(
+        F.col(id_col).alias("src_id"),
+        qv.alias("va"),
+        norm_fixed_point(qv).alias("na"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    cand = corpus.select(
+        F.col(id_col).alias("dst_id"),
+        qv.alias("vb"),
+        norm_fixed_point(qv).alias("nb"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    sims = (
+        cand.join(iso, "bucket")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            F.round(
+                cosine_precomputed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("cos_sim"), "dst_id")
+    extra = sims.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).filter(F.col("rn") <= k)
+    return graph.unionByName(extra)

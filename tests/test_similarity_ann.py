@@ -259,3 +259,36 @@ def test_lsh_knn_graph_contracts(spark, sf_dir):
     for src in some:
         for e in by_src[src]:
             assert exact[(src, e.dst_id)] == e.cos_sim
+
+
+def test_lsh_knn_graph_backfill_covers_isolated(spark, sf_dir):
+    """Isolated first-pass vertices gain edges from the coarser second
+    pass; already-connected vertices keep their edges untouched."""
+    from pos_data_insertion_etl_spark.catalog import load_table
+    from pos_data_insertion_etl_spark.operators.similarity import (
+        lsh_knn_graph,
+        lsh_knn_graph_backfill,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    dim = len(emb.select("embedding").first()[0])
+    # MANY planes -> tiny buckets -> isolated vertices guaranteed
+    g = lsh_knn_graph(
+        emb, "vec_id", "embedding", k=3, n_planes=7, seed=3, dim=dim
+    )
+    covered = {r.src_id for r in g.select("src_id").distinct().collect()}
+    n = emb.count()
+    assert len(covered) < n, "fixture must leave isolated vertices"
+    full = lsh_knn_graph_backfill(
+        emb, g, "vec_id", "embedding", k=3, n_planes=2, seed=11, dim=dim
+    )
+    covered2 = {
+        r.src_id for r in full.select("src_id").distinct().collect()
+    }
+    assert len(covered2) > len(covered)
+    # original edges survive byte-for-byte
+    before = {(r.src_id, r.dst_id, r.cos_sim, r.rn) for r in g.collect()}
+    after = {(r.src_id, r.dst_id, r.cos_sim, r.rn) for r in full.collect()}
+    assert before <= after
