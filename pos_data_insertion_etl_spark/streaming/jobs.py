@@ -783,3 +783,25 @@ def load_category_counts(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("category")
         .agg(F.sum("n").cast("long").alias("n"))
     )
+
+
+def compact_quantile_store(
+    spark: SparkSession, out_dir: str, k: int = 256
+) -> None:
+    """Fold a grown per-batch quantile store into ONE compact summary
+    partition: load the union, `compress` it (error bookkeeping folds
+    in, operators/quantiles), write the compacted store aside, and
+    swap the WHOLE directory via the compaction rename-aside -- a
+    crash at any point leaves the old store or the new one intact,
+    never a double-counting mix of both. Run between ingest windows;
+    `restore_crashed_swap` heals a crashed swap on the next call."""
+    from ..operators.compaction import restore_crashed_swap, swap_table
+    from ..operators.quantiles import compress
+
+    restore_crashed_swap(spark, out_dir)
+    compacted = compress(load_quantile_summary(spark, out_dir), k=k)
+    tmp = out_dir.rstrip("/") + "__new"
+    compacted.write.mode("overwrite").parquet(
+        tmp + "/batch=0"
+    )
+    swap_table(spark, out_dir, tmp)

@@ -249,3 +249,37 @@ def test_category_monitor_and_counts_drift(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert via_counts == raw
+
+
+def test_compact_quantile_store_roundtrip(spark, sf_dir, tmp_path):
+    """Store compaction: the folded store stays certified (bound only
+    grows), estimates stay inside it, and further batches append after
+    compaction as if nothing happened."""
+    from pos_data_insertion_etl_spark.streaming.jobs import (
+        compact_quantile_store,
+        load_quantile_summary,
+        quantile_monitor_batch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "qstore")
+    for bid in range(3):
+        quantile_monitor_batch(
+            li.filter(F.col("l_orderkey") % 3 == bid),
+            bid, out, "l_extendedprice", k=128,
+        )
+    before = rank_error_bound(load_quantile_summary(spark, out))
+    compact_quantile_store(spark, out, k=64)
+    s = load_quantile_summary(spark, out)
+    assert s.count() <= 65
+    assert rank_error_bound(s) >= before
+    _assert_within_bound(li, "l_extendedprice", s)
+    # the store keeps working: append another batch post-compaction
+    quantile_monitor_batch(
+        li.filter(F.col("l_orderkey") % 3 == 1),
+        7, out, "l_extendedprice", k=128,
+    )
+    s2 = load_quantile_summary(spark, out)
+    total = s2.agg(F.sum("weight")).collect()[0][0]
+    n = li.count()
+    assert total == n + li.filter(F.col("l_orderkey") % 3 == 1).count()
