@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -244,24 +245,53 @@ def main() -> None:
         spread[name] = round(_central_spread(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": reps,
-                "config": {
-                    "master": f"local[{cpus}]",
-                    "shuffle_partitions": cpus,
-                    "aqe": True,
-                },
-                "sf": sf_val,
-            }
-        )
+    # The driver captures only the LAST ~2000 bytes of stdout (VERDICT
+    # r6: the r6 line with per-query spreads + config outgrew that and
+    # BENCH_r06.json came back unparsed). Print a COMPACT line --
+    # metric/value/queries/sf only, tight separators, 2-dp timings --
+    # and write the full detail (spreads, config, reps) to a committed
+    # BENCH_DETAIL_r{N}.json next to this file.
+    line = json.dumps(
+        {
+            "metric": "headline_queries_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
     )
+    detail = {
+        "value": total,
+        "queries": timings,
+        "spread": spread,
+        "reps": reps,
+        "config": {
+            "master": f"local[{cpus}]",
+            "shuffle_partitions": cpus,
+            "aqe": True,
+        },
+        "sf": sf_val,
+        "printed_line_bytes": len(line),
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    nxt = (max(rounds) + 1) if rounds else 1
+    with open(
+        os.path.join(here, f"BENCH_DETAIL_r{nxt:02d}.json"), "w"
+    ) as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    if len(line) > 1800:  # keep headroom under the 2000-byte window
+        print(
+            f"WARNING: bench line is {len(line)} bytes; trim HEADLINE "
+            "or shorten keys before the driver capture truncates it.",
+            file=sys.stderr,
+        )
+    print(line)
 
 
 if __name__ == "__main__":

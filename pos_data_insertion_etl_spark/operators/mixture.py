@@ -66,7 +66,15 @@ def budgeted_mixture_sample(
         docs.select(
             F.col(id_col),
             F.col(source_col),
-            F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+            # Count NON-EMPTY tokens explicitly: bare size(split(..))
+            # counts the empty fragments regex engines emit for
+            # leading/trailing whitespace, and those edge semantics are
+            # engine-version-sensitive (the q131 r6 driver mismatch).
+            # Filtering empties makes the count portable across Spark
+            # and DuckDB builds -- the q144 funnel-oracle convention.
+            F.size(F.filter(tokens(text_col), lambda x: x != F.lit("")))
+            .cast("long")
+            .alias("n_tokens"),
             *( [F.col(score_col)] if score_col is not None else [] ),
         )
         .withColumn("source_budget", budget)

@@ -238,7 +238,8 @@ def q130_bigram_lm_ce(spark, sf_dir):
 _MIXTURE_ORACLE = """
 WITH base AS (
   SELECT doc_id, source,
-         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tokens,
          CASE source WHEN 'src0' THEN 10000
                      WHEN 'src1' THEN 6000
                      WHEN 'src2' THEN 4000 END AS source_budget
@@ -1155,7 +1156,7 @@ def q143_lsh_multiprobe(spark, sf_dir):
 # minhash/band/verify/transitive-closure replica run over the
 # stage-3 survivors). The registry therefore has ZERO rows-only
 # entries: 163/163 oracle-checked.
-_FUNNEL_ORACLE = """
+_FUNNEL_ORACLE = r"""
 WITH RECURSIVE gbase AS (
   SELECT doc_id, text,
          regexp_replace(text, '^\s+|\s+$', '', 'g') AS t,

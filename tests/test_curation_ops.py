@@ -343,7 +343,8 @@ def test_curate_corpus_funnel(spark, sf_dir):
 MIXTURE_ORACLE = """
 WITH base AS (
   SELECT doc_id, source,
-         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tokens,
          CASE source WHEN 'src0' THEN 10000
                      WHEN 'src1' THEN 6000
                      WHEN 'src2' THEN 4000 END AS source_budget
