@@ -266,11 +266,14 @@ def trigram_lm_scores(
 
     Scale shape mirrors the other scorers: three count shuffles build
     three CAPPED broadcast tables (top_t trigrams, top_b bigrams,
-    top_v unigrams -- the Zipf head carries the mass); scoring is
-    three map-side broadcast joins over the trigram stream; the
-    per-document reduce sums 1e-6 fixed-point log-probs (each rounded
-    ONCE per position from identically-derived doubles, so the
-    integer sums are associative and engine-portable).
+    top_v unigrams -- the Zipf head carries the mass), and the context
+    denominators are semi-joined down to the heads' own contexts
+    (<= top_t and top_b rows) before broadcasting -- contexts outside
+    the head score with the count-0 floor. Scoring is then pure
+    map-side broadcast joins over the trigram stream; the per-document
+    reduce sums 1e-9 fixed-point log-probs (each rounded ONCE per
+    position from identically-derived doubles, so the integer sums are
+    associative and engine-portable).
 
     Returns [id, n_trigrams, cross_entropy].
     """
@@ -345,13 +348,24 @@ def trigram_lm_scores(
         .drop("rn")
     )
 
+    # The context denominators ship ONLY for contexts the capped heads
+    # retain (<= top_t / top_b rows by construction): the raw tctx is
+    # one row per distinct (p2,p1) bigram context -- vocabulary-squared
+    # at corpus scale, an OOM broadcast (ADVICE r6). A position whose
+    # context fell outside the head scores with the count-0 add-one
+    # floor, exactly like a position whose n-gram did.
+    tctx_top = tctx.join(
+        tri_top.select("p2", "p1").distinct(), ["p2", "p1"], "left_semi"
+    )
+    bctx_top = bctx.join(bi_top.select("p1").distinct(), ["p1"], "left_semi")
+
     # P components per position, all from exact integer counts; a
     # missing head entry contributes its add-one floor with count 0.
     scored = (
         tri.join(F.broadcast(tri_top), ["p2", "p1", "tok"], "left")
-        .join(F.broadcast(tctx), ["p2", "p1"], "left")
+        .join(F.broadcast(tctx_top), ["p2", "p1"], "left")
         .join(F.broadcast(bi_top), ["p1", "tok"], "left")
-        .join(F.broadcast(bctx), "p1", "left")
+        .join(F.broadcast(bctx_top), "p1", "left")
         .join(F.broadcast(uni_top), "tok", "left")
         .crossJoin(F.broadcast(uni_tot))
     )

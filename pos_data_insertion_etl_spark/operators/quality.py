@@ -375,6 +375,10 @@ def normalize_url(col: Column) -> Column:
     head = F.regexp_replace(head, r"^(http://[^/?#]*):80$", "$1")
     rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    # absent path and bare root must share one key ('http://a.com' ==
+    # 'http://a.com/', the most common duplicate pair -- ADVICE r6):
+    # canonical form is the explicit root slash.
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     path = F.regexp_replace(path, r"(.)/$", "$1")  # trailing slash (not root)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
     params = F.filter(
@@ -615,16 +619,21 @@ def sitemap_urls(df: DataFrame, xml_col: str, id_col: str) -> DataFrame:
     regex parsing is the honest right tool. Zero shuffle; explode per
     entry.
     """
+    # Capture the WHOLE entry including its opening tag: is_sitemap must
+    # come from the enclosing tag (<sitemap> vs <url>), not from a
+    # 'sitemap' substring in the loc URL -- a <sitemapindex> child named
+    # 'part-1.xml.gz' is still a sitemap, and a page URL containing
+    # 'sitemap' is not (ADVICE r6).
     entries = F.expr(
         f"regexp_extract_all({xml_col}, "
-        "'(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)"
+        "'(?is)(<(?:url|sitemap)>.*?</(?:url|sitemap)>)', 1)"
     )
     staged = df.select(F.col(id_col), F.explode_outer(entries).alias("_e"))
     loc = F.regexp_extract(F.col("_e"), r"(?is)<loc>\s*(.*?)\s*</loc>", 1)
     lastmod = F.regexp_extract(
         F.col("_e"), r"(?is)<lastmod>\s*(.*?)\s*</lastmod>", 1
     )
-    is_nested = F.col("_e").rlike(r"(?is)<loc>[^<]*sitemap[^<]*</loc>")
+    is_nested = F.lower(F.col("_e")).startswith("<sitemap>")
     return (
         staged.filter(F.col("_e").isNotNull())
         .select(

@@ -63,6 +63,15 @@ WITH base AS (
     SELECT p2, p1, tok, c3,
            ROW_NUMBER() OVER (ORDER BY c3 DESC, p2, p1, tok) AS rn FROM tcnt)
   WHERE rn <= 200
+), tctx_top AS (
+  -- context denominators ship only for head contexts (bounded
+  -- broadcast; positions outside fall to the count-0 floor)
+  SELECT tc.* FROM tctx tc
+  WHERE EXISTS (SELECT 1 FROM tri_top h
+                WHERE h.p2 = tc.p2 AND h.p1 = tc.p1)
+), bctx_top AS (
+  SELECT bc.* FROM bctx bc
+  WHERE EXISTS (SELECT 1 FROM bi_top h WHERE h.p1 = bc.p1)
 ), scored AS (
   SELECT t.doc_id,
          CAST(ROUND(ln(
@@ -75,9 +84,9 @@ WITH base AS (
          ) * 1000000000) AS BIGINT) AS fp
   FROM tri t
   LEFT JOIN tri_top tt ON tt.p2 = t.p2 AND tt.p1 = t.p1 AND tt.tok = t.tok
-  LEFT JOIN tctx tc ON tc.p2 = t.p2 AND tc.p1 = t.p1
+  LEFT JOIN tctx_top tc ON tc.p2 = t.p2 AND tc.p1 = t.p1
   LEFT JOIN bi_top bt ON bt.p1 = t.p1 AND bt.tok = t.tok
-  LEFT JOIN bctx bc ON bc.p1 = t.p1
+  LEFT JOIN bctx_top bc ON bc.p1 = t.p1
   LEFT JOIN uni_top ut ON ut.tok = t.tok
   CROSS JOIN tot o
 )
@@ -130,8 +139,13 @@ WITH raw AS (
   FROM parts
 ), pq AS (
   SELECT doc_id, head,
-         regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
-                        '(.)/$', '\1') AS path,
+         -- empty path canonicalizes to the explicit root '/' before
+         -- the trailing-slash rule (operators/quality.normalize_url)
+         regexp_replace(
+             CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(rest, '^([^?]*)', 1) END,
+             '(.)/$', '\1') AS path,
          array_to_string(list_sort(list_filter(
              string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
              p -> p != ''

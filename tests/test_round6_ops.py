@@ -401,7 +401,11 @@ def test_normalize_url_hand_cases(spark):
         ("http://site.org/", "http://site.org/"),  # root slash kept
         ("https://h.io/p?fbclid=abc&gclid=1", "https://h.io/p"),
         ("https://h.io/p?z=9&y=8", "https://h.io/p?y=8&z=9"),
-        ("https://h.io", "https://h.io"),
+        # absent path and bare root collapse to ONE canonical key
+        # (ADVICE r6: the most common duplicate pair)
+        ("https://h.io", "https://h.io/"),
+        ("https://h.io/", "https://h.io/"),
+        ("https://H.io?a=1", "https://h.io/?a=1"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
@@ -571,11 +575,17 @@ def test_sitemap_urls_extraction(spark):
         '<?xml version="1.0"?><urlset>'
         "<url><loc> https://a.io/1 </loc>"
         "<lastmod>2026-01-01</lastmod></url>"
-        "<url><loc>https://a.io/2</loc></url></urlset>"
+        "<url><loc>https://a.io/2</loc></url>"
+        # page URL that merely CONTAINS 'sitemap' -- still a page
+        "<url><loc>https://a.io/blog/sitemap-tips</loc></url></urlset>"
     )
     index = (
         "<sitemapindex><sitemap><loc>https://a.io/sitemap-2.xml</loc>"
-        "</sitemap></sitemapindex>"
+        "</sitemap>"
+        # nested sitemap whose loc has no 'sitemap' substring -- still
+        # a sitemap (the enclosing tag decides, ADVICE r6)
+        "<sitemap><loc>https://a.io/part-1.xml.gz</loc></sitemap>"
+        "</sitemapindex>"
     )
     df = spark.createDataFrame(
         [(1, urlset), (2, index), (3, "<urlset></urlset>")],
@@ -584,10 +594,13 @@ def test_sitemap_urls_extraction(spark):
     rows = sitemap_urls(df, "xml", "id").collect()
     by_url = {r.url: r for r in rows}
     assert set(by_url) == {
-        "https://a.io/1", "https://a.io/2", "https://a.io/sitemap-2.xml",
+        "https://a.io/1", "https://a.io/2", "https://a.io/blog/sitemap-tips",
+        "https://a.io/sitemap-2.xml", "https://a.io/part-1.xml.gz",
     }
     assert by_url["https://a.io/1"].lastmod == "2026-01-01"
     assert by_url["https://a.io/2"].lastmod is None
     assert by_url["https://a.io/sitemap-2.xml"].is_sitemap is True
+    assert by_url["https://a.io/part-1.xml.gz"].is_sitemap is True
+    assert by_url["https://a.io/blog/sitemap-tips"].is_sitemap is False
     assert by_url["https://a.io/1"].is_sitemap is False
     assert all(r.id != 3 for r in rows)  # empty sitemap yields nothing
