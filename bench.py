@@ -84,6 +84,10 @@ HEADLINE = [
     "q148_mmr_diversified_topk",
     "q151_ce_decile_bins",
     "q154_dup_ngram_fraction",
+    # round 7 additions: the bounded corpus-wide kNN graph (bucket
+    # self-join + md5 candidate cap) and the streaming TAR source
+    "q169_knn_graph_bounded",
+    "q170_tar_fixed_width",
 ]
 
 

@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops6,
         llm_ops7,
         llm_ops8,
+        llm_ops9,
         media_ops,
         pos_ops,
         relational,

@@ -89,6 +89,20 @@ _NEW_SINCE_R5: frozenset[str] = frozenset(
     }
 )
 
+#: Registry names introduced in round 7 (can't appear in r4/r5 dicts).
+_NEW_SINCE_R6: frozenset[str] = frozenset(
+    {
+        "q169_knn_graph_bounded",
+        "q170_tar_fixed_width",
+        "q171_quantile_summary_bounds",
+        "q172_quantile_drift_report",
+        "q173_robots_allowed",
+        "q174_sitemap_urls",
+        "q175_category_monitor_replay",
+        "q176_quantile_monitor_replay",
+    }
+)
+
 
 def _entry_module():
     spec = importlib.util.spec_from_file_location("_entry_under_test", _ENTRY)
@@ -118,7 +132,8 @@ def test_r4_artifact_confirms_insertion_order_selection():
     r4_exports = [
         k
         for k in r4_exports
-        if _ALIAS.sub("", k) not in (_NEW_SINCE_R4 | _NEW_SINCE_R5)
+        if _ALIAS.sub("", k)
+        not in (_NEW_SINCE_R4 | _NEW_SINCE_R5 | _NEW_SINCE_R6)
     ]
     assert len(observed) == 50
     assert observed == r4_exports[:50]
@@ -132,7 +147,9 @@ def test_r5_artifact_confirms_pending_first_selection():
     exactly as test_r4_... pins the round-4 one (VERDICT r5 item 8)."""
     observed = list(_artifact(5))
     r5_registry = sorted(
-        n for n in all_queries() if n not in _NEW_SINCE_R5
+        n
+        for n in all_queries()
+        if n not in (_NEW_SINCE_R5 | _NEW_SINCE_R6)
     )
     certified_pre_r5: set[str] = set()
     for rnd in range(1, 5):

@@ -38,6 +38,10 @@ SAMPLE = [
     "q160_pack_nosplit",           # sequential per-shard fold
     "q164_trigram_lm_ce",          # three broadcast LM heads + int sums
     "q167_table_profile",          # one-pass multi-column aggregate
+    "q169_knn_graph_bounded",      # bucket self-join + md5 cap window
+    "q171_quantile_summary_bounds",  # batching-dependent summary, but
+                                     # the emitted invariants must not be
+    "q176_quantile_monitor_replay",  # persisted-store replay analog
 ]
 
 #: (shuffle partitions, file split bytes) -- deliberately awkward:

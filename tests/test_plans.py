@@ -73,6 +73,8 @@ ALLOWED_BNLJ = {
     "q168_categorical_drift": "1-row side-total scalar broadcasts",
     # 1-row key/row-total scalar broadcast under the top-k report
     "q159_join_skew_report": "1-row totals scalar broadcast",
+    # same counts core as q168: two 1-row side-total scalar broadcasts
+    "q175_category_monitor_replay": "1-row side-total scalar broadcasts",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at
