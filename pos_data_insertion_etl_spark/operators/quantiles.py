@@ -88,6 +88,73 @@ def quantile_summary(
     )
 
 
+GROUPED_SUMMARY_SCHEMA = (
+    "key string, value double, weight long, err long, batch_id long"
+)
+
+
+def grouped_quantile_summary(
+    df: DataFrame, key_col: str, value_col: str, k: int = 256
+) -> DataFrame:
+    """Per-KEY mergeable quantile summaries: the stratified
+    sorted-stride sample of ``quantile_summary``, built independently
+    for every value of ``key_col`` (per-source length distributions,
+    per-language scores -- the stratified form a curation dashboard
+    wants).
+
+    ONE shuffle keyed on the group (groupBy + applyInPandas); each
+    group's entire value set lands in one Arrow group, is sorted once,
+    and emits <= k weighted elements with the same certified rank
+    error as the global operator (one batch per key here, so the
+    bound is just stride - 1). Output is <= n_keys * k rows; per-key
+    estimation reuses the global helpers after a key filter. Keys
+    whose cardinality rivals the row count degrade to ~1 row per key
+    (weight 1, err 0) -- correct, just pointless; this operator is for
+    LOW-cardinality strata, like every stratified op in the registry
+    (q126's source cap argument).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        vals = pdf[value_col].dropna().sort_values().to_numpy()
+        n = len(vals)
+        if n == 0:
+            return pd.DataFrame(
+                columns=["key", "value", "weight", "err", "batch_id"]
+            )
+        stride = -(-n // k)  # ceil
+        rows = []
+        pos = stride - 1
+        while pos < n:
+            rows.append((float(vals[pos]), stride))
+            pos += stride
+        tail = n - len(rows) * stride
+        if tail > 0:
+            rows.append((float(vals[n - 1]), tail))
+        return pd.DataFrame(
+            {
+                "key": str(key),
+                "value": [r[0] for r in rows],
+                "weight": [r[1] for r in rows],
+                "err": stride - 1,
+                "batch_id": 0,
+            }
+        )
+
+    if key_col == value_col:
+        raise ValueError("key_col and value_col must differ")
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .groupBy(key_col)
+        .applyInPandas(summarize, GROUPED_SUMMARY_SCHEMA)
+    )
+
+
 def merge_summaries(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge = UNION: valid immediately (bounds add via the err
     column), size grows additively. Run ``compress`` when the union

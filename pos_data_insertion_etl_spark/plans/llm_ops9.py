@@ -765,3 +765,162 @@ def q176_quantile_monitor_replay(spark, sf_dir):
         "q double, n_rows long, rank_within_bound boolean, "
         "value_in_range boolean, compressed_is_small boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# q177: embedding-centroid (semantic) drift -- full oracle
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 10000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+o AS (
+  SELECT label AS grp, t.i AS i,
+         CAST(SUM(v[t.i + 1]) AS BIGINT) AS so,
+         COUNT(*) AS n_old
+  FROM qv, unnest(range(64)) t(i)
+  WHERE vec_id % 2 = 0 GROUP BY 1, 2
+),
+n AS (
+  SELECT label AS grp, t.i AS i,
+         CAST(SUM(v[t.i + 1]) AS BIGINT) AS sn,
+         COUNT(*) AS n_new
+  FROM qv, unnest(range(64)) t(i)
+  WHERE vec_id % 2 = 1 GROUP BY 1, 2
+),
+j AS (
+  SELECT COALESCE(o.grp, n.grp) AS grp, so, n_old, sn, n_new
+  FROM o FULL OUTER JOIN n ON n.grp = o.grp AND n.i = o.i
+),
+g AS (
+  SELECT grp,
+         MAX(n_old) AS n_old, MAX(n_new) AS n_new,
+         SUM(CAST(so AS HUGEINT) * CAST(sn AS HUGEINT)) AS dot,
+         SUM(CAST(so AS HUGEINT) * CAST(so AS HUGEINT)) AS oo,
+         SUM(CAST(sn AS HUGEINT) * CAST(sn AS HUGEINT)) AS nn
+  FROM j GROUP BY 1
+)
+SELECT grp AS "group",
+       CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       ROUND(CAST(dot AS DOUBLE)
+             / (SQRT(CAST(oo AS DOUBLE)) * SQRT(CAST(nn AS DOUBLE))), 6)
+           AS centroid_cos,
+       ROUND((SQRT(CAST(nn AS DOUBLE)) / n_new)
+             / (SQRT(CAST(oo AS DOUBLE)) / n_old), 6) AS norm_ratio,
+       ROUND(1.0 - CAST(dot AS DOUBLE)
+             / (SQRT(CAST(oo AS DOUBLE)) * SQRT(CAST(nn AS DOUBLE))), 6)
+           AS drift
+FROM g
+"""
+
+
+@query(
+    "q177_embedding_centroid_drift",
+    oracle=_CENTROID_ORACLE,
+    tags=("drift", "embeddings", "monitor"),
+)
+def q177_embedding_centroid_drift(spark, sf_dir):
+    """Per-label SEMANTIC drift between two corpus halves (even vs odd
+    vec_ids): cosine + norm ratio between exact fixed-point embedding
+    centroids (operators/drift.embedding_centroid_drift -- one
+    map-side-combined component-sum shuffle per side, products in
+    exact DECIMAL so nothing overflows at corpus scale)."""
+    from ..operators.drift import embedding_centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "label",
+        "embedding",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178: per-key (stratified) quantile summaries -- invariant oracle
+# ---------------------------------------------------------------------------
+
+_GROUPED_QUANTILE_ORACLE = """
+SELECT source AS key, CAST(q AS DOUBLE) AS q,
+       COUNT(*) AS n_rows,
+       TRUE AS rank_within_bound,
+       TRUE AS value_in_range
+FROM documents, (VALUES (0.5), (0.9)) t(q)
+GROUP BY source, q
+"""
+
+
+@query(
+    "q178_grouped_quantile_bounds",
+    oracle=_GROUPED_QUANTILE_ORACLE,
+    tags=("sketch", "quantiles", "stratified"),
+)
+def q178_grouped_quantile_bounds(spark, sf_dir):
+    """Stratified per-source quantile summaries over document lengths
+    (operators/quantiles.grouped_quantile_summary: one shuffle keyed
+    on the stratum, <= n_keys * k summary rows out), certified per key
+    through the same rank-bound invariants as q171: each key's median
+    and p90 estimates are re-ranked EXACTLY against the raw data via
+    one broadcast join + aggregate, and the theorem-pinned booleans
+    plus exact per-key counts go under the hash."""
+    from ..operators.quantiles import grouped_quantile_summary
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("source"), F.col("n_chars").cast("double").alias("v")
+    )
+    # k=8 keeps per-element weights > 1 at sf0.01 so the bound is
+    # genuinely exercised (k >= group size would make every err 0)
+    gs = grouped_quantile_summary(docs, "source", "v", k=8)
+    pairs = gs.select("key", "value", "weight", "err").collect()
+    by_key: dict = {}
+    for r in pairs:
+        by_key.setdefault(r.key, []).append((r.value, r.weight, r.err))
+    chk_rows = []
+    for key, rows in by_key.items():
+        rows.sort()
+        total = sum(w for _, w, _ in rows)
+        bound = rows[0][2]  # single batch per key: one err value
+        maxw = max(w for _, w, _ in rows)
+        for q in (0.5, 0.9):
+            target = q * total
+            cum = 0
+            est = rows[-1][0]
+            for v, w, _ in rows:
+                cum += w
+                if cum >= target:
+                    est = v
+                    break
+            chk_rows.append((key, float(q), est, int(bound + 2 * maxw)))
+    chk = spark.createDataFrame(
+        chk_rows, "key string, q double, est double, slack long"
+    )
+    staged = docs.select(
+        F.col("source").cast("string").alias("key"), "v"
+    ).join(F.broadcast(chk), "key")
+    agg = staged.groupBy("key", "q").agg(
+        F.sum((F.col("v") < F.col("est")).cast("long")).alias("lo"),
+        F.sum((F.col("v") <= F.col("est")).cast("long")).alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.first("est").alias("e"),
+        F.first("slack").alias("s"),
+    )
+    target = F.col("q") * F.col("n_rows").cast("double")
+    return agg.select(
+        "key",
+        "q",
+        "n_rows",
+        (
+            (F.col("lo").cast("double") - F.col("s") <= target)
+            & (target <= F.col("hi").cast("double") + F.col("s"))
+        ).alias("rank_within_bound"),
+        (
+            (F.col("vmin") <= F.col("e")) & (F.col("e") <= F.col("vmax"))
+        ).alias("value_in_range"),
+    )

@@ -1,0 +1,162 @@
+"""Round-7 drift-family operators: embedding-centroid drift and
+per-key (stratified) quantile summaries."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pos_data_insertion_etl_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_centroid_drift_identical_sides_is_zero(spark):
+    """old == new -> cosine 1, norm ratio 1, drift 0 for every group."""
+    from pos_data_insertion_etl_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = embedding_centroid_drift(emb, emb, "label", "embedding").collect()
+    assert rows
+    for r in rows:
+        assert r.centroid_cos == 1.0 and r.drift == 0.0
+        assert r.norm_ratio == 1.0
+        assert r.n_old == r.n_new > 0
+
+
+def test_centroid_drift_hand_vectors(spark):
+    """Hand-checkable geometry: orthogonal centroids -> cos 0; a
+    doubled centroid -> norm_ratio 2; one-sided groups -> NULL cosine
+    with counts kept."""
+    from pos_data_insertion_etl_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    old = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("b", [1.0, 0.0]),
+            ("only_old", [1.0, 1.0]),
+        ],
+        "g string, v array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            ("a", [0.0, 1.0]),     # orthogonal to old centroid
+            ("b", [2.0, 0.0]),     # same direction, doubled magnitude
+            ("only_new", [1.0, 1.0]),
+        ],
+        "g string, v array<double>",
+    )
+    got = {
+        r.group: r
+        for r in embedding_centroid_drift(old, new, "g", "v").collect()
+    }
+    assert got["a"].centroid_cos == 0.0 and got["a"].drift == 1.0
+    assert got["b"].centroid_cos == 1.0
+    assert abs(got["b"].norm_ratio - 2.0) < 1e-6
+    assert got["only_old"].n_new == 0 and got["only_old"].centroid_cos is None
+    assert got["only_new"].n_old == 0 and got["only_new"].centroid_cos is None
+
+
+def test_centroid_drift_matches_numpy(spark):
+    """The fixed-point centroid cosine tracks the float computation to
+    quantization precision on real embeddings."""
+    import numpy as np
+
+    from pos_data_insertion_etl_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    got = {
+        r.group: r.centroid_cos
+        for r in embedding_centroid_drift(
+            old, new, "label", "embedding"
+        ).collect()
+    }
+    raw = emb.select("vec_id", "label", "embedding").collect()
+    by = {}
+    for r in raw:
+        by.setdefault((r.label, r.vec_id % 2), []).append(
+            np.asarray(r.embedding, dtype=np.float64)
+        )
+    for label in {r.label for r in raw}:
+        o = np.mean(by.get((label, 0), [np.zeros(1)]), axis=0)
+        n = np.mean(by.get((label, 1), [np.zeros(1)]), axis=0)
+        want = float(
+            o @ n / (math.sqrt(o @ o) * math.sqrt(n @ n))
+        )
+        assert abs(got[label] - want) < 1e-5, label
+
+
+def test_grouped_quantile_summary_contracts(spark):
+    """Per-key summaries: <= k rows per key, weights sum to the key's
+    row count, kept values are real data values, and the certified
+    rank bound holds for the per-key median estimate."""
+    from pos_data_insertion_etl_spark.operators.quantiles import (
+        grouped_quantile_summary,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("v")
+    )
+    k = 4
+    gs = grouped_quantile_summary(docs, "source", "v", k=k).collect()
+    raw = docs.collect()
+    vals_by_key: dict = {}
+    for r in raw:
+        vals_by_key.setdefault(r.source, []).append(r.v)
+    by_key: dict = {}
+    for r in gs:
+        by_key.setdefault(r.key, []).append(r)
+    assert set(by_key) == set(vals_by_key)
+    for key, rows in by_key.items():
+        vals = sorted(vals_by_key[key])
+        assert len(rows) <= k + 1  # k blocks + possible partial tail
+        assert sum(r.weight for r in rows) == len(vals)
+        assert all(r.value in vals for r in rows)
+        bound = rows[0].err
+        # median estimate rank check (tie-aware)
+        pairs = sorted((r.value, r.weight) for r in rows)
+        total = len(vals)
+        cum = 0
+        est = pairs[-1][0]
+        for v, w in pairs:
+            cum += w
+            if cum >= 0.5 * total:
+                est = v
+                break
+        lo = sum(1 for x in vals if x < est)
+        hi = sum(1 for x in vals if x <= est)
+        maxw = max(r.weight for r in rows)
+        assert lo - bound - 2 * maxw <= 0.5 * total <= hi + bound + 2 * maxw
+
+
+def test_grouped_quantile_summary_is_batching_invariant(spark):
+    """groupBy collapses each key to one Arrow group, so the summary
+    is identical under any input partitioning."""
+    from pos_data_insertion_etl_spark.operators.quantiles import (
+        grouped_quantile_summary,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("v")
+    )
+    a = sorted(
+        map(tuple, grouped_quantile_summary(docs, "source", "v", k=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            grouped_quantile_summary(
+                docs.repartition(17), "source", "v", k=4
+            ).collect(),
+        )
+    )
+    assert a == b

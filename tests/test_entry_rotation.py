@@ -100,6 +100,8 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q174_sitemap_urls",
         "q175_category_monitor_replay",
         "q176_quantile_monitor_replay",
+        "q177_embedding_centroid_drift",
+        "q178_grouped_quantile_bounds",
     }
 )
 
