@@ -704,3 +704,104 @@ def content_defined_chunks(
             (F.col("_sp.e") - F.col("_sp.s")).cast("long").alias("n_tokens"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicate SPAN extraction: for every document,
+    the maximal token spans covered by n-grams that occur at least
+    twice in the corpus (counting a second occurrence inside the SAME
+    document, like the suffix-array method it approximates) -- the
+    per-document cut list substring-level dedup feeds to a trainer,
+    where q154's dup_ngram_stats only reports the scalar fraction.
+
+    Method: per-position n-gram digests (map-side HOF; text never
+    leaves the row), ONE shuffle keyed on the 128-bit digest with the
+    occurrence count as a window over it (single corpus scan -- the
+    groupBy+join-back form would re-explode the corpus twice), then a
+    per-document gaps-and-islands merge of the overlapping [pos,
+    pos+n) windows (running-max window, one per-document shuffle).
+    Output is bounded by the number of duplicated positions; spans are
+    1-based token indices, inclusive.
+
+    explode_outer (not explode) on the gram array: a non-outer
+    generate invites Catalyst's InferFiltersFromGenerate to clone the
+    whole digest chain into a scan-side filter (the q146 10x hazard,
+    PLANS.md round-6 item 1); the `size >= n` filter already
+    guarantees non-emptiness.
+
+    Returns [id, span_start, span_end, span_tokens, n_tokens].
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = tokens(text_col)
+    grams = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= n)
+        .select(
+            F.col(id_col),
+            F.size("_t").alias("n_tokens"),
+            F.explode_outer(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(F.col("_t"), i, n))
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.col("_g.pos").alias("pos"),
+            F.col("_g.gram").alias("gram"),
+        )
+    )
+    # occurrence count as a WINDOW over the digest partition, not
+    # groupBy + join-back: the join form scans (and re-explodes) the
+    # corpus twice -- the window reuses the one gram exchange and the
+    # plan stays single-scan (PLANS.md round-7 note)
+    w_gram = W.partitionBy("gram")
+    dup_pos = (
+        grams.withColumn("_c", F.count(F.lit(1)).over(w_gram))
+        .filter(F.col("_c") >= 2)
+        .select(id_col, "n_tokens", "pos")
+    )
+    w_order = W.partitionBy(id_col).orderBy("pos")
+    prev_end = (
+        F.max("pos").over(
+            w_order.rowsBetween(W.unboundedPreceding, -1)
+        )
+        + (n - 1)
+    )
+    staged = dup_pos.withColumn(
+        "_new", (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        staged.groupBy(id_col, "n_tokens", "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

@@ -26,6 +26,19 @@ queue converted to driver-certifiable queries (VERDICT r6 items 2/3/7).
   replayed through the monitors' own persist/load path (including a
   deliberate duplicate replay to certify idempotent overwrite), then
   checked exactly (q175) / by certified bounds (q176).
+
+Round-7 NEW operators (built this round, not queue items):
+
+* q177 -- embedding-centroid (semantic) drift: exact fixed-point
+  centroid sums per group, DECIMAL/HUGEINT pairwise products, full
+  oracle (operators/drift.py).
+* q178 -- stratified per-key quantile summaries
+  (operators/quantiles.grouped_quantile_summary), certified per key
+  with q171's rank-bound invariants.
+* q179 -- ExactSubstr-style duplicate-span extraction
+  (operators/dedup.duplicate_spans): per-position n-gram digests, one
+  digest-keyed count shuffle, per-document gaps-and-islands merge;
+  full oracle.
 """
 
 from __future__ import annotations
@@ -924,3 +937,62 @@ def q178_grouped_quantile_bounds(spark, sf_dir):
             (F.col("vmin") <= F.col("e")) & (F.col("e") <= F.col("vmax"))
         ).alias("value_in_range"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q179: ExactSubstr-style duplicate span extraction -- full oracle
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5
+
+_DUP_SPAN_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, p.i AS pos,
+         md5(array_to_string(list_slice(t, p.i, p.i + {_SPAN_N - 1}), ' '))
+             AS gram
+  FROM tokd, unnest(range(1, len(t) - {_SPAN_N - 2})) AS p(i)
+  WHERE len(t) >= {_SPAN_N}
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+), dp AS (
+  SELECT doc_id, n_tokens, pos FROM g JOIN dup USING (gram)
+), isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, n_tokens, pos,
+           MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) + {_SPAN_N - 1} AS prev_end
+    FROM dp) s
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_N - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_SPAN_N - 1} - MIN(pos) + 1 AS BIGINT)
+           AS span_tokens,
+       n_tokens
+FROM isl GROUP BY doc_id, n_tokens, island
+"""
+
+
+@query(
+    "q179_duplicate_spans",
+    oracle=_DUP_SPAN_ORACLE,
+    tags=("dedup", "curation", "spans"),
+)
+def q179_duplicate_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate spans (operators/dedup
+    .duplicate_spans): maximal token spans covered by corpus-repeated
+    5-grams, merged per document with a gaps-and-islands window -- the
+    substring-level cut list q154's scalar fraction summarizes.
+    Digest-keyed shuffle only; text never leaves the row."""
+    from ..operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, n=_SPAN_N)

@@ -160,3 +160,43 @@ def test_grouped_quantile_summary_is_batching_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_duplicate_spans_hand_case(spark):
+    """Hand-built corpus: a 7-token phrase shared by two docs yields
+    one merged span covering it in each (three overlapping dup 5-grams
+    -> one island); a doc with no repeated 5-gram yields nothing; an
+    in-document repeat counts as duplication too."""
+    from pos_data_insertion_etl_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps over fences"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} closing remark entirely different"),
+            (3, "no duplication at all in this document text"),
+            # 5-gram 'a b c d e' occurs twice INSIDE one doc
+            (4, "a b c d e x y a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicate_spans(df, n=5, text_col="text", id_col="doc_id")
+    by_doc: dict = {}
+    for r in rows.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    # doc 1: shared phrase at tokens 4..10 (1-based)
+    (s1,) = by_doc[1]
+    assert (s1.span_start, s1.span_end, s1.span_tokens) == (4, 10, 7)
+    # doc 2: shared phrase at tokens 1..7
+    (s2,) = by_doc[2]
+    assert (s2.span_start, s2.span_end, s2.span_tokens) == (1, 7, 7)
+    # doc 4: both occurrences of the repeated 5-gram are reported;
+    # positions 1..5 and 8..12 do not overlap -> two islands
+    spans4 = sorted((r.span_start, r.span_end) for r in by_doc[4])
+    assert spans4 == [(1, 5), (8, 12)]
+    # spans never exceed the document
+    for r in rows.collect():
+        assert 1 <= r.span_start <= r.span_end <= r.n_tokens

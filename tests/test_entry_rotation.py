@@ -102,6 +102,7 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q176_quantile_monitor_replay",
         "q177_embedding_centroid_drift",
         "q178_grouped_quantile_bounds",
+        "q179_duplicate_spans",
     }
 )
 

@@ -42,6 +42,7 @@ SAMPLE = [
     "q171_quantile_summary_bounds",  # batching-dependent summary, but
                                      # the emitted invariants must not be
     "q176_quantile_monitor_replay",  # persisted-store replay analog
+    "q179_duplicate_spans",          # gaps-and-islands span merge
 ]
 
 #: (shuffle partitions, file split bytes) -- deliberately awkward:
