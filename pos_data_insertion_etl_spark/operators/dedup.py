@@ -706,40 +706,17 @@ def content_defined_chunks(
     )
 
 
-def duplicate_spans(
-    df: DataFrame,
-    n: int = 5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _position_grams(
+    df: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """ExactSubstr-style duplicate SPAN extraction: for every document,
-    the maximal token spans covered by n-grams that occur at least
-    twice in the corpus (counting a second occurrence inside the SAME
-    document, like the suffix-array method it approximates) -- the
-    per-document cut list substring-level dedup feeds to a trainer,
-    where q154's dup_ngram_stats only reports the scalar fraction.
-
-    Method: per-position n-gram digests (map-side HOF; text never
-    leaves the row), ONE shuffle keyed on the 128-bit digest with the
-    occurrence count as a window over it (single corpus scan -- the
-    groupBy+join-back form would re-explode the corpus twice), then a
-    per-document gaps-and-islands merge of the overlapping [pos,
-    pos+n) windows (running-max window, one per-document shuffle).
-    Output is bounded by the number of duplicated positions; spans are
-    1-based token indices, inclusive.
-
-    explode_outer (not explode) on the gram array: a non-outer
-    generate invites Catalyst's InferFiltersFromGenerate to clone the
-    whole digest chain into a scan-side filter (the q146 10x hazard,
-    PLANS.md round-6 item 1); the `size >= n` filter already
-    guarantees non-emptiness.
-
-    Returns [id, span_start, span_end, span_tokens, n_tokens].
-    """
-    from pyspark.sql.window import Window as W
-
+    """[id, n_tokens, pos, gram]: the md5 digest of every n-token
+    window, with its 1-based start position. explode_outer (not
+    explode): a non-outer generate invites Catalyst's
+    InferFiltersFromGenerate to clone the whole digest chain into a
+    scan-side filter (the q146 10x hazard, PLANS.md round-6 item 1);
+    the `size >= n` filter already guarantees non-emptiness."""
     toks = tokens(text_col)
-    grams = (
+    return (
         df.select(F.col(id_col), toks.alias("_t"))
         .filter(F.size("_t") >= n)
         .select(
@@ -764,24 +741,24 @@ def duplicate_spans(
             F.col("_g.gram").alias("gram"),
         )
     )
-    # occurrence count as a WINDOW over the digest partition, not
-    # groupBy + join-back: the join form scans (and re-explodes) the
-    # corpus twice -- the window reuses the one gram exchange and the
-    # plan stays single-scan (PLANS.md round-7 note)
-    w_gram = W.partitionBy("gram")
-    dup_pos = (
-        grams.withColumn("_c", F.count(F.lit(1)).over(w_gram))
-        .filter(F.col("_c") >= 2)
-        .select(id_col, "n_tokens", "pos")
-    )
+
+
+def _merge_position_islands(
+    pos_df: DataFrame, n: int, id_col: str
+) -> DataFrame:
+    """Gaps-and-islands merge of overlapping [pos, pos+n) windows into
+    maximal spans per document (running-max window to detect island
+    starts, one per-document shuffle). Input [id, n_tokens, pos];
+    output [id, span_start, span_end, span_tokens, n_tokens], 1-based
+    inclusive token indices."""
+    from pyspark.sql.window import Window as W
+
     w_order = W.partitionBy(id_col).orderBy("pos")
     prev_end = (
-        F.max("pos").over(
-            w_order.rowsBetween(W.unboundedPreceding, -1)
-        )
+        F.max("pos").over(w_order.rowsBetween(W.unboundedPreceding, -1))
         + (n - 1)
     )
-    staged = dup_pos.withColumn(
+    staged = pos_df.withColumn(
         "_new", (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
     ).withColumn(
         "_island",
@@ -805,3 +782,79 @@ def duplicate_spans(
             F.col("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicate SPAN extraction: for every document,
+    the maximal token spans covered by n-grams that occur at least
+    twice in the corpus (counting a second occurrence inside the SAME
+    document, like the suffix-array method it approximates) -- the
+    per-document cut list substring-level dedup feeds to a trainer,
+    where q154's dup_ngram_stats only reports the scalar fraction.
+
+    Method: per-position n-gram digests (map-side HOF; text never
+    leaves the row), ONE shuffle keyed on the 128-bit digest with the
+    occurrence count as a window over it (single corpus scan -- the
+    groupBy+join-back form would re-explode the corpus twice), then a
+    per-document gaps-and-islands merge of the overlapping [pos,
+    pos+n) windows (running-max window, one per-document shuffle).
+    Output is bounded by the number of duplicated positions; spans are
+    1-based token indices, inclusive.
+
+    Returns [id, span_start, span_end, span_tokens, n_tokens].
+    """
+    from pyspark.sql.window import Window as W
+
+    grams = _position_grams(df, n, text_col, id_col)
+    # occurrence count as a WINDOW over the digest partition, not
+    # groupBy + join-back: the join form scans (and re-explodes) the
+    # corpus twice -- the window reuses the one gram exchange and the
+    # plan stays single-scan (PLANS.md round-7 note)
+    w_gram = W.partitionBy("gram")
+    dup_pos = (
+        grams.withColumn("_c", F.count(F.lit(1)).over(w_gram))
+        .filter(F.col("_c") >= 2)
+        .select(id_col, "n_tokens", "pos")
+    )
+    return _merge_position_islands(dup_pos, n, id_col)
+
+
+def contamination_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark-contamination CUT LISTS: the maximal token spans of
+    each training document covered by n-grams that appear anywhere in
+    the benchmark (eval) set -- the span-level complement of q92's
+    scalar overlap fraction and q137's whole-document Bloom gate: a
+    surgical pipeline cuts the contaminated spans instead of dropping
+    the document.
+
+    The benchmark side is SMALL by nature (eval sets), so its distinct
+    gram digests broadcast and the probe is a map-side semi-join over
+    the corpus gram stream -- the corpus shuffles only the surviving
+    (id, pos) pairs into the per-document islands merge. Same
+    gaps-and-islands machinery as duplicate_spans.
+
+    Returns [id, span_start, span_end, span_tokens, n_tokens].
+    """
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        _position_grams(benchmark, n, bcol, id_col)
+        .select("gram")
+        .distinct()
+    )
+    grams = _position_grams(df, n, text_col, id_col)
+    hit_pos = grams.join(
+        F.broadcast(bench_grams), "gram", "left_semi"
+    ).select(id_col, "n_tokens", "pos")
+    return _merge_position_islands(hit_pos, n, id_col)

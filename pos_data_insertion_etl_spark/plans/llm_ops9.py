@@ -996,3 +996,67 @@ def q179_duplicate_spans(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_spans(docs, n=_SPAN_N)
+
+
+# ---------------------------------------------------------------------------
+# q180: benchmark-contamination spans -- full oracle
+# ---------------------------------------------------------------------------
+
+_CONTAM_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, p.i AS pos,
+         md5(array_to_string(list_slice(t, p.i, p.i + {_SPAN_N - 1}), ' '))
+             AS gram
+  FROM tokd, unnest(range(1, len(t) - {_SPAN_N - 2})) AS p(i)
+  WHERE len(t) >= {_SPAN_N}
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0
+), hit AS (
+  SELECT doc_id, n_tokens, pos FROM g
+  WHERE doc_id % 29 != 0
+    AND EXISTS (SELECT 1 FROM bench b WHERE b.gram = g.gram)
+), isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, n_tokens, pos,
+           MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) + {_SPAN_N - 1} AS prev_end
+    FROM hit) s
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_N - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_SPAN_N - 1} - MIN(pos) + 1 AS BIGINT)
+           AS span_tokens,
+       n_tokens
+FROM isl GROUP BY doc_id, n_tokens, island
+"""
+
+
+@query(
+    "q180_contamination_spans",
+    oracle=_CONTAM_ORACLE,
+    tags=("dedup", "curation", "contamination"),
+)
+def q180_contamination_spans(spark, sf_dir):
+    """Benchmark-contamination cut lists (operators/dedup
+    .contamination_spans): every training-doc token span covered by a
+    5-gram that appears in the benchmark split (doc_id % 29 == 0
+    plays the eval set) -- broadcast benchmark digests, map-side
+    semi-join probe, per-document gaps-and-islands merge. The
+    span-level complement of q92 / q137."""
+    from ..operators.dedup import contamination_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_spans(
+        docs.filter(F.col("doc_id") % 29 != 0),
+        docs.filter(F.col("doc_id") % 29 == 0),
+        n=_SPAN_N,
+    )

@@ -200,3 +200,29 @@ def test_duplicate_spans_hand_case(spark):
     # spans never exceed the document
     for r in rows.collect():
         assert 1 <= r.span_start <= r.span_end <= r.n_tokens
+
+
+def test_contamination_spans_hand_case(spark):
+    """A training doc containing a benchmark phrase gets exactly the
+    phrase span cut; clean docs yield nothing; benchmark docs are not
+    scanned as training input."""
+    from pos_data_insertion_etl_spark.operators.dedup import (
+        contamination_spans,
+    )
+
+    phrase = "what is the capital of france answer paris"  # 8 tokens
+    bench = spark.createDataFrame(
+        [(100, phrase)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"leading context {phrase} trailing words"),
+            (2, "completely clean document with no benchmark overlap"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = contamination_spans(train, bench, n=5).collect()
+    assert {r.doc_id for r in rows} == {1}
+    (s,) = rows
+    # phrase occupies tokens 3..10 of doc 1 (1-based)
+    assert (s.span_start, s.span_end, s.span_tokens) == (3, 10, 8)

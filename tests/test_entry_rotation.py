@@ -103,6 +103,7 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q177_embedding_centroid_drift",
         "q178_grouped_quantile_bounds",
         "q179_duplicate_spans",
+        "q180_contamination_spans",
     }
 )
 
