@@ -858,3 +858,65 @@ def contamination_spans(
         F.broadcast(bench_grams), "gram", "left_semi"
     ).select(id_col, "n_tokens", "pos")
     return _merge_position_islands(hit_pos, n, id_col)
+
+
+def apply_span_cuts(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a span cut list (duplicate_spans / contamination_spans
+    output) to the corpus: remove every token inside a cut span and
+    reassemble the text -- the execution half of surgical
+    substring-level dedup (detect with q179/q180, cut here).
+
+    Spans aggregate to one array per document (collect_list after a
+    groupBy on the id -- the span list per doc is small by
+    construction), broadcast-joinable or shuffled on the id like any
+    keyed enrichment; the cut itself is row-local HOF work (token
+    filter by position against the span array). Documents without
+    spans pass through byte-identical.
+
+    Returns [id, clean_text, n_tokens, n_removed].
+    """
+    cuts = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_cuts")
+    )
+    toks = tokens(text_col)
+    staged = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .join(cuts, id_col, "left")
+        .withColumn(
+            "_cuts",
+            F.coalesce(
+                "_cuts",
+                F.array().cast("array<struct<s:long,e:long>>"),
+            ),
+        )
+    )
+    # keep token i (1-based) unless some span covers it; zip positions
+    # in (token, pos) structs so one filter pass does the cut
+    kept = F.filter(
+        F.zip_with(
+            F.col("_t"),
+            F.sequence(F.lit(1), F.size("_t")),
+            lambda t, p: F.struct(t.alias("t"), p.alias("p")),
+        ),
+        lambda z: ~F.exists(
+            F.col("_cuts"),
+            lambda c: (c["s"] <= z["p"]) & (z["p"] <= c["e"]),
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda z: z["t"]), " ").alias(
+            "clean_text"
+        ),
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -1060,3 +1060,69 @@ def q180_contamination_spans(spark, sf_dir):
         docs.filter(F.col("doc_id") % 29 == 0),
         n=_SPAN_N,
     )
+
+
+# ---------------------------------------------------------------------------
+# q181: apply the contamination cut list -- full oracle
+# ---------------------------------------------------------------------------
+
+_APPLY_CUTS_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id, p.i AS pos,
+         md5(array_to_string(list_slice(t, p.i, p.i + {_SPAN_N - 1}), ' '))
+             AS gram
+  FROM tokd, unnest(range(1, len(t) - {_SPAN_N - 2})) AS p(i)
+  WHERE len(t) >= {_SPAN_N}
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0
+), hit AS (
+  SELECT doc_id, pos FROM g
+  WHERE doc_id % 29 != 0
+    AND EXISTS (SELECT 1 FROM bench b WHERE b.gram = g.gram)
+), cuts AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS ps FROM hit GROUP BY doc_id
+), sel AS (
+  SELECT b.doc_id, b.t,
+         COALESCE(c.ps, CAST([] AS BIGINT[])) AS ps
+  FROM tokd b LEFT JOIN cuts c USING (doc_id)
+  WHERE b.doc_id % 29 != 0
+), keptc AS (
+  SELECT doc_id, t,
+         list_filter(range(1, len(t) + 1),
+             p -> len(list_filter(ps,
+                      q -> q <= p AND p <= q + {_SPAN_N - 1})) = 0)
+             AS keep
+  FROM sel
+)
+SELECT doc_id,
+       -- DuckDB's array_to_string yields NULL on an empty list where
+       -- Spark's array_join yields '' -- pin the fully-cut case
+       COALESCE(array_to_string(list_transform(keep, p -> t[p]), ' '),
+                '') AS clean_text,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(keep) AS BIGINT) AS n_removed
+FROM keptc
+"""
+
+
+@query(
+    "q181_apply_span_cuts",
+    oracle=_APPLY_CUTS_ORACLE,
+    tags=("dedup", "curation", "contamination"),
+)
+def q181_apply_span_cuts(spark, sf_dir):
+    """The execution half of surgical decontamination: q180's cut
+    list applied back to the corpus (operators/dedup.apply_span_cuts
+    -- row-local HOF token filter against the per-doc span array),
+    emitting the cleaned text plus removal accounting. Composes
+    detect -> cut end-to-end under one hash."""
+    from ..operators.dedup import apply_span_cuts, contamination_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    spans = contamination_spans(
+        corpus, docs.filter(F.col("doc_id") % 29 == 0), n=_SPAN_N
+    )
+    return apply_span_cuts(corpus, spans)

@@ -226,3 +226,33 @@ def test_contamination_spans_hand_case(spark):
     (s,) = rows
     # phrase occupies tokens 3..10 of doc 1 (1-based)
     assert (s.span_start, s.span_end, s.span_tokens) == (3, 10, 8)
+
+
+def test_apply_span_cuts_hand_case(spark):
+    """Cut application: spanned tokens vanish, clean docs pass through
+    byte-identical, a fully-covered doc becomes empty text with full
+    removal accounting."""
+    from pos_data_insertion_etl_spark.operators.dedup import (
+        apply_span_cuts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "keep everything here"),
+            (3, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 3, 5), (1, 7, 8), (3, 1, 3)],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = {
+        r.doc_id: r for r in apply_span_cuts(docs, spans).collect()
+    }
+    assert got[1].clean_text == "a b f"
+    assert (got[1].n_tokens, got[1].n_removed) == (8, 5)
+    assert got[2].clean_text == "keep everything here"
+    assert got[2].n_removed == 0
+    assert got[3].clean_text == "" and got[3].n_removed == 3

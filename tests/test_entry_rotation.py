@@ -104,6 +104,7 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q178_grouped_quantile_bounds",
         "q179_duplicate_spans",
         "q180_contamination_spans",
+        "q181_apply_span_cuts",
     }
 )
 
