@@ -85,9 +85,11 @@ HEADLINE = [
     "q151_ce_decile_bins",
     "q154_dup_ngram_fraction",
     # round 7 additions: the bounded corpus-wide kNN graph (bucket
-    # self-join + md5 candidate cap) and the streaming TAR source
+    # self-join + md5 candidate cap), the streaming TAR source, and
+    # the single-scan ExactSubstr duplicate-span extractor
     "q169_knn_graph_bounded",
     "q170_tar_fixed_width",
+    "q179_duplicate_spans",
 ]
 
 

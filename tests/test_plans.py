@@ -189,3 +189,39 @@ def test_neardup_pipeline_joins_are_equi_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_duplicate_spans_plan_is_single_scan_no_join(spark, sf_dir):
+    """q179's scale contract as a plan assertion: occurrence counting
+    rides a window over the digest exchange, so the plan contains NO
+    join and exactly ONE parquet scan (the groupBy+join-back form
+    would re-explode the corpus twice)."""
+    from pos_data_insertion_etl_spark.catalog import load_table
+    from pos_data_insertion_etl_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(duplicate_spans(docs))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_knn_graph_candidate_cap_is_in_the_plan(spark, sf_dir):
+    """q169's output-cardinality bound must be real in the physical
+    plan: a WindowGroupLimit/Window rank filter on the candidate side
+    before the bucket join (not a post-join filter AQE could not
+    shrink)."""
+    from pos_data_insertion_etl_spark.catalog import load_table
+    from pos_data_insertion_etl_spark.operators.similarity import (
+        lsh_knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = lsh_knn_graph(
+        emb, "vec_id", "embedding", k=5, n_planes=6, seed=7, dim=64,
+        max_bucket_width=6,
+    )
+    plan = _executed_plan(g)
+    # two windows: the candidate cap (bucket) and the top-k (src_id)
+    assert plan.count("Window") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
