@@ -233,3 +233,119 @@ def pagerank(
         "rank_fp",
         (F.col("rank_fp").cast("double") / PR_SCALE).alias("rank"),
     )
+
+
+def label_propagation_majority(
+    graph: DataFrame,
+    labels: DataFrame,
+    node_col: str,
+    label_col: str,
+) -> DataFrame:
+    """One hop of majority-vote label propagation over a directed kNN
+    graph: every src node adopts the most common label among its
+    dst neighbors (ties -> smallest label), the semi-supervised
+    cleanup/weak-labeling step a kNN graph feeds
+    (similarity.lsh_knn_graph provides the [src_id, dst_id, ...] edges).
+
+    Output: [node, own_label, voted_label, votes, n_neighbors,
+    changed]. Deterministic: counts are exact, the argmax window
+    orders (votes DESC, label ASC).
+
+    Scale: two equi-joins on node keys (labels onto dst, own label
+    back on) + one groupBy(src, label) with map-side combine + one
+    per-src window. Degree is bounded by the graph's k, so every
+    intermediate is O(N * k).
+    """
+    from pyspark.sql.window import Window as W
+
+    votes = (
+        graph.select("src_id", "dst_id")
+        .join(
+            labels.select(
+                F.col(node_col).alias("dst_id"),
+                F.col(label_col).alias("nb_label"),
+            ),
+            "dst_id",
+        )
+        .groupBy("src_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("votes"), F.asc("nb_label"))
+    best = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_neighbors",
+            F.sum("votes").over(W.partitionBy("src_id")).cast("long"),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        best.join(
+            labels.select(
+                F.col(node_col).alias("src_id"),
+                F.col(label_col).alias("own_label"),
+            ),
+            "src_id",
+        )
+        .select(
+            F.col("src_id").alias("node"),
+            "own_label",
+            F.col("nb_label").alias("voted_label"),
+            F.col("votes").cast("long").alias("votes"),
+            "n_neighbors",
+            (F.col("nb_label") != F.col("own_label")).alias("changed"),
+        )
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src_id", dst: str = "dst_id") -> DataFrame:
+    """Exact triangle census of the UNDIRECTED version of an edge list:
+    canonicalize each edge to (a < b), dedup, then enumerate each
+    triangle once as a < b < c via one edge-edge equi-join plus a
+    closing-edge semi-join. The standard distributed formulation --
+    join keys are node ids, so the join output before the closing check
+    is sum(deg_out^2) over the canonical orientation, which the
+    degree bound of a kNN graph keeps O(N * k^2).
+
+    Output: one row [n_nodes, n_edges, n_triangles] (bigints).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )  # five consumers (two wedge sides, closing check, node union,
+    #    edge count): one canonicalize+dedup instead of five graph
+    #    recomputations -- essential when `edges` is itself a kNN-graph
+    #    pipeline ending in a window
+    wedge = (
+        und.select(F.col("a"), F.col("b"))
+        .join(
+            und.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            "b",
+        )
+    )  # a < b < c by construction
+    tri = wedge.join(
+        und.select(F.col("a"), F.col("b").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    nodes = und.select(F.col("a").alias("n")).union(
+        und.select(F.col("b").alias("n"))
+    ).distinct()
+    return (
+        nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(
+            F.broadcast(
+                und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+            )
+        )
+    )

@@ -1,0 +1,142 @@
+"""Corpus-mining operators: n-gram novelty and collocation detection.
+
+LLM-pipeline additions next to operators/quality.py's per-document
+gates: these two need CORPUS-level statistics (first-occurrence order,
+global unigram/bigram counts), so their scale shape is "explode to
+digest-keyed rows, aggregate with map-side combine, join the small
+statistic back" -- text itself is never a shuffle key (the q154
+dup-ngram convention: md5 digests shuffle, raw grams do not).
+
+Determinism: all scores are exact integers or single IEEE expressions
+over exact-integer operands evaluated in one fixed order, so a DuckDB
+oracle reproduces them bit-for-bit (plans/llm_ops10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import shingles, tokens
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty in corpus order: the fraction of the
+    doc's DISTINCT n-grams whose first corpus occurrence (min id over
+    all docs) is this doc. Documents late in the corpus that repeat
+    earlier content score low -- the streaming-ingest view of
+    memorization/duplication (complements q154's symmetric dup-ngram
+    fraction, which has no order).
+
+    Output: [id, n_grams, novel, novelty_milli] where novelty_milli =
+    (novel * 1000) div n_grams, NULL for docs with < n tokens.
+
+    Scale: grams shuffle as md5 digests (16 bytes, never text); the
+    first-occurrence id rides a WINDOW over the digest exchange (a
+    groupBy+join-back would re-explode the corpus a second time --
+    same single-scan argument as duplicate_spans' occurrence count),
+    then one groupBy(id). Nothing corpus-sized is collected.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.lower(F.col(text_col))), n))
+        ).alias("_g"),
+    ).select("_id", F.md5(F.col("_g")).alias("_d"))
+    per_doc = (
+        grams.withColumn(
+            "_first", F.min("_id").over(W.partitionBy("_d"))
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col("_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("novel", F.lit(0)).cast("long").alias("novel"),
+            F.expr("(novel * 1000) div n_grams").cast("long").alias(
+                "novelty_milli"
+            ),
+        )
+    )
+
+
+def bigram_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    top: int = 50,
+) -> DataFrame:
+    """Collocation mining: the `top` most frequent adjacent token pairs
+    with their lift = P(ab) / (P(a)P(b)) ~ (c_ab * T) / (c_a * c_b),
+    T = total bigram occurrences.
+
+    Ranking is by EXACT integers (c_ab DESC, bigram ASC); lift is one
+    fixed-order IEEE expression over exact counts
+    (double(c_ab) * T / c_a / c_b), so both rank and value replay in
+    any engine. At corpora where c_ab * T would overflow a double's
+    53-bit integer range (~9e15 bigrams), lift becomes approximate but
+    the ranking stays exact -- upgrade the lift operands to DECIMAL if
+    certified digits matter at that scale.
+
+    Scale: two token-keyed groupBys (map-side combined), one join of
+    bigram counts to the two unigram-count sides, one broadcast scalar
+    T, and a driver-sized top-k.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    bigrams = docs.select(
+        F.explode(shingles(toks, 2)).alias("bigram")
+    )
+    # both count tables feed two consumers (join sides / the scalar
+    # total): cut lineage once instead of re-exploding the corpus
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .localCheckpoint(eager=False)
+    )
+    bi = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
+    t_total = bi.agg(F.sum("c_ab").cast("long").alias("t_total"))
+    split = F.split(F.col("bigram"), " ", 2)
+    scored = (
+        bi.withColumn("w1", split.getItem(0))
+        .withColumn("w2", split.getItem(1))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                F.col("c_ab").cast("double")
+                * F.col("t_total")
+                / F.col("c_a")
+                / F.col("c_b")
+            ).alias("lift"),
+        )
+    )
+    # distributed top-k first (TakeOrderedAndProject), THEN the rank
+    # window over the `top`-row remainder -- a global row_number before
+    # the cut would funnel every bigram through one partition
+    head = scored.orderBy(F.desc("c_ab"), "bigram").limit(top)
+    w = W.orderBy(F.desc("c_ab"), "bigram")
+    return head.withColumn("rn", F.row_number().over(w).cast("long"))

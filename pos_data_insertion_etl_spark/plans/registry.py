@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops7,
         llm_ops8,
         llm_ops9,
+        llm_ops10,
         media_ops,
         pos_ops,
         relational,

@@ -105,6 +105,13 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q179_duplicate_spans",
         "q180_contamination_spans",
         "q181_apply_span_cuts",
+        "q182_kmeans_lloyd",
+        "q183_label_propagation",
+        "q184_triangle_count",
+        "q185_ewma_dyadic",
+        "q186_ngram_novelty",
+        "q187_bigram_collocations",
+        "q188_copurchase_pairs",
     }
 )
 

@@ -73,6 +73,12 @@ ALLOWED_BNLJ = {
     "q168_categorical_drift": "1-row side-total scalar broadcasts",
     # 1-row key/row-total scalar broadcast under the top-k report
     "q159_join_skew_report": "1-row totals scalar broadcast",
+    # three 1-row census scalars (nodes/edges/triangles) cross-joined
+    "q184_triangle_count": "1-row census scalar broadcasts",
+    # 1-row total-bigram-count scalar broadcast into the lift
+    "q187_bigram_collocations": "1-row bigram-total scalar broadcast",
+    # 1-row basket-count scalar broadcast into the lift
+    "q188_copurchase_pairs": "1-row basket-total scalar broadcast",
     # same counts core as q168: two 1-row side-total scalar broadcasts
     "q175_category_monitor_replay": "1-row side-total scalar broadcasts",
 }

@@ -1,0 +1,215 @@
+"""Structural/invariant tests for the round-7 q182-q188 operators
+(Lloyd k-means, label propagation, triangle census, dyadic EWMA,
+n-gram novelty, collocations, co-purchase pairs). Value correctness is
+pinned by the DuckDB oracles in test_oracle_queries; these pin the
+contracts the oracles cannot see (argmin optimality, empty-cluster
+carry, degree bounds, warm-up semantics, basket guards)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pos_data_insertion_etl_spark.catalog import load_table
+from pos_data_insertion_etl_spark.operators.clustering import lloyd_kmeans
+from pos_data_insertion_etl_spark.operators.graph import (
+    label_propagation_majority,
+    triangle_count,
+)
+from pos_data_insertion_etl_spark.operators.itemsets import copurchase_pairs
+from pos_data_insertion_etl_spark.operators.text_mining import (
+    bigram_collocations,
+    ngram_novelty,
+)
+from pos_data_insertion_etl_spark.operators.timeseries import ewma_dyadic
+
+# ------------------------------------------------------------- k-means
+
+
+def test_kmeans_total_cost_never_increases_with_iterations(spark, sf_dir):
+    """Lloyd's invariant: total within-cluster cost after t+1 full
+    rounds is <= the cost after t rounds (both assignment and update
+    steps are non-increasing; integer-truncated centroids can only
+    perturb by sub-quantum amounts, dominated by the improvement on
+    this data). Also pins shape + determinism across runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    costs = []
+    for iters in (0, 1, 2):
+        out = lloyd_kmeans(emb, "vec_id", "embedding", k=4, iters=iters)
+        rows = out.collect()
+        assert {r.cluster for r in rows} <= {1, 2, 3, 4}
+        assert len(rows) == emb.count()
+        costs.append(sum(r.dist for r in rows))
+    assert costs[0] >= costs[1] >= costs[2], costs
+    again = lloyd_kmeans(emb, "vec_id", "embedding", k=4, iters=2).collect()
+    assert {r.vec_id: (r.cluster, r.dist) for r in again} == {
+        r.vec_id: (r.cluster, r.dist)
+        for r in lloyd_kmeans(emb, "vec_id", "embedding", k=4, iters=2).collect()
+    }
+
+
+def test_kmeans_iters0_assigns_against_md5_init(spark, sf_dir):
+    """iters=0 must assign directly against the k md5-smallest vectors,
+    and those seed vectors must each sit in their own cluster with
+    dist 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lloyd_kmeans(emb, "vec_id", "embedding", k=3, iters=0)
+    seeds = (
+        emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(3)
+        .collect()
+    )
+    got = {r.vec_id: r for r in out.collect()}
+    for j, s in enumerate(seeds, start=1):
+        assert got[s.vec_id].cluster == j
+        assert got[s.vec_id].dist == 0
+
+
+def test_kmeans_empty_cluster_carries_centroid(spark):
+    """k=3 over two tight far-apart point groups: one cluster must go
+    empty after the first update and the run must still complete with
+    every point in a surviving cluster."""
+    pts = [(i, [float(i % 2) * 10.0] * 4) for i in range(20)]
+    df = spark.createDataFrame(pts, "id long, v array<double>")
+    out = lloyd_kmeans(df, "id", "v", k=3, iters=2).collect()
+    assert len(out) == 20
+    by_parity = {0: set(), 1: set()}
+    for r in out:
+        by_parity[r.id % 2].add(r.cluster)
+    # each parity group lands in exactly one cluster
+    assert all(len(c) == 1 for c in by_parity.values())
+
+
+# --------------------------------------------- graph consumers of q169
+
+
+def _small_graph(spark):
+    edges = [
+        (1, 2), (2, 1), (2, 3), (3, 1),  # triangle 1-2-3
+        (3, 4), (4, 5),                   # tail
+    ]
+    return spark.createDataFrame(edges, "src_id long, dst_id long")
+
+
+def test_triangle_count_fixture(spark):
+    g = _small_graph(spark)
+    row = triangle_count(g).collect()[0]
+    assert row.n_nodes == 5
+    assert row.n_edges == 5  # undirected dedup of 6 directed edges
+    assert row.n_triangles == 1
+
+
+def test_triangle_count_clique(spark):
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    row = triangle_count(
+        spark.createDataFrame(clique, "src_id long, dst_id long")
+    ).collect()[0]
+    assert row.n_triangles == 4  # C(4,3)
+
+
+def test_label_propagation_majority_votes(spark):
+    g = _small_graph(spark)
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20), (5, 20)], "node long, lab int"
+    )
+    out = {
+        r.node: r
+        for r in label_propagation_majority(g, labels, "node", "lab").collect()
+    }
+    # node 2 has neighbors {1,3} -> labels {10,20}, tie -> smaller label
+    assert out[2].voted_label == 10
+    assert out[2].n_neighbors == 2
+    assert out[2].changed is False
+    # node 3 has neighbors {1,4} -> {10,20} tie -> 10, changed
+    assert out[3].voted_label == 10
+    assert out[3].changed is True
+    # every voted label came from a real neighbor
+    nbrs = {1: {2}, 2: {1, 3}, 3: {1, 4}, 4: {5}}
+    lab = {1: 10, 2: 10, 3: 20, 4: 20, 5: 20}
+    for n, r in out.items():
+        assert r.voted_label in {lab[d] for d in nbrs[n]}
+
+
+# ----------------------------------------------------------------- EWMA
+
+
+def test_ewma_warmup_and_constant_series(spark):
+    rows = [(1, i, float(i), 5.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "k long, eid long, ts double, v double")
+    out = ewma_dyadic(df, "k", ["ts", "eid"], "v", taps=8).collect()
+    by_eid = {r.eid: r.ewma for r in out}
+    # exactly taps-1 warm-up NULLs
+    assert [by_eid[i] is None for i in range(12)] == [True] * 7 + [False] * 5
+    # constant input -> ewma equals the constant EXACTLY (dyadic
+    # weights + exact normalization)
+    assert all(by_eid[i] == 5.0 for i in range(7, 12))
+
+
+def test_ewma_weights_recent_heavier(spark):
+    # step series: after a jump, ewma moves more than halfway to the
+    # new level immediately (w0 = 1/2 of the normalized mass)
+    rows = [(1, i, float(i), 0.0 if i < 10 else 100.0) for i in range(11)]
+    df = spark.createDataFrame(rows, "k long, eid long, ts double, v double")
+    out = {r.eid: r.ewma for r in ewma_dyadic(df, "k", ["ts", "eid"], "v").collect()}
+    assert out[9] == 0.0
+    assert out[10] > 50.0
+
+
+# ------------------------------------------------------- corpus mining
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, "doc_id", "text", n=3)
+    first_id = docs.agg(F.min("doc_id")).collect()[0][0]
+    first = out.filter(F.col("doc_id") == first_id).collect()[0]
+    assert first.novel == first.n_grams > 0
+    assert first.novelty_milli == 1000
+
+
+def test_novelty_exact_duplicate_scores_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w q")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert out[1].novelty_milli == 1000
+    assert out[2].novelty_milli == 0  # every trigram first seen in doc 1
+    assert out[3].novelty_milli == 1000
+
+
+def test_collocations_fixture_counts_and_lift(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c c")], "doc_id long, text string"
+    )
+    out = {r.bigram: r for r in bigram_collocations(docs, "text", top=10).collect()}
+    # bigrams: doc1 [a b, b a, a b], doc2 [a b, b c, c c]
+    assert out["a b"].c_ab == 3
+    assert out["a b"].c_a == 3 and out["a b"].c_b == 3  # unigram counts
+    assert out["a b"].rn == 1
+    t = 6  # total bigram occurrences
+    assert abs(out["a b"].lift - (3.0 * t / 3 / 3)) < 1e-12
+
+
+# ---------------------------------------------------------- co-purchase
+
+
+def test_copurchase_fixture_and_basket_guard(spark):
+    rows = (
+        [(1, i) for i in (10, 20, 30)]
+        + [(2, i) for i in (10, 20)]
+        + [(3, i) for i in (10, 20)]
+        # oversized basket must be excluded by max_basket=3
+        + [(4, i) for i in range(100, 110)]
+    )
+    df = spark.createDataFrame(rows, "b long, i long")
+    out = {(r.item1, r.item2): r for r in
+           copurchase_pairs(df, "b", "i", top=10, max_basket=3).collect()}
+    assert (10, 20) in out and out[(10, 20)].support == 3
+    assert out[(10, 20)].rn == 1
+    # nothing from basket 4 survived the guard
+    assert all(i1 < 100 for (i1, _) in out)
+    # lift of the ubiquitous pair: support=3, n_baskets=3, c_a=c_b=3
+    assert abs(out[(10, 20)].lift - 1.0) < 1e-12
+    # pair ordering invariant
+    assert all(i1 < i2 for (i1, i2) in out)
