@@ -349,3 +349,55 @@ def triangle_count(edges: DataFrame, src: str = "src_id", dst: str = "dst_id") -
             )
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    iters: int = 3,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """`iters` peeling rounds toward the k-core of the UNDIRECTED
+    version of an edge list: repeatedly drop vertices with degree < k
+    and the edges touching them. (Full k-core runs to a fixed point;
+    a FIXED peel count keeps the operator oracle-replayable -- the
+    same determinism deal as lloyd_kmeans -- and each extra round is
+    one more pair of semi-joins, so callers pick the depth.)
+
+    Output: [node, degree] for vertices surviving all rounds, with
+    their degree in the surviving subgraph.
+
+    Scale: per round, one degree groupBy (map-side combined) and two
+    left-semi joins on the node key; the edge set only shrinks. The
+    per-round localCheckpoint cuts lineage so `iters` rounds cost
+    iters plans, not one exponentially nested one.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        deg = (
+            und.select(F.col("a").alias("n"))
+            .unionByName(und.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        und = (
+            und.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

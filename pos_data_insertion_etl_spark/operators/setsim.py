@@ -1,0 +1,140 @@
+"""Exact set-similarity JOIN via prefix filtering (PPJoin-style).
+
+The third leg of the near-dup stack, with a different guarantee from
+each sibling:
+
+* q54 ngram_jaccard — exact Jaccard but only over id-gap-bounded
+  candidate pairs (not corpus-complete);
+* q55/q90 MinHash+LSH — corpus-complete candidates but probabilistic
+  (banding can miss true pairs);
+* THIS — corpus-complete AND exact: every pair with Jaccard >= t is
+  guaranteed found, no hashing luck involved.
+
+The pigeonhole guarantee: order every set's elements canonically by
+(ascending global frequency, element). If J(x,y) >= t then
+|x ∩ y| >= ceil(t*|x|) (since overlap >= t*max(|x|,|y|) and is an
+integer), so among the first |x| - ceil(t*|x|) + 1 elements of x (its
+"prefix") at least one is shared with y — otherwise all common
+elements would fit in x's suffix of size ceil(t*|x|) - 1 < |x ∩ y|.
+Candidates are therefore (prefix(a) JOIN full index of b) pairs — an
+equi-join on the element digest, with the prefix drawn from the
+RAREST elements, which is what keeps candidate fan-out near-linear:
+a frequency-ordered prefix token touches few postings by
+construction. No threshold shortcut is approximate: the verify step
+recomputes exact intersections and applies the threshold as an
+integer cross-multiplication.
+
+Scale shape: one digest-frequency groupBy, one per-doc rank window,
+one digest equi-join for candidates, one pair-keyed count for verify.
+Worst case remains quadratic for a corpus of identical documents
+(that is the true answer's size); for real corpora the rare-prefix
+bound applies. Digests (md5) shuffle, raw shingles never do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import shingles, tokens
+
+
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """All document pairs (id_a < id_b) with word-n-gram-set Jaccard
+    >= t_num/t_den, exactly.
+
+    Output: [id_a, id_b, n_common, n_a, n_b, jaccard] where jaccard is
+    the one-shot ROUND(double, 6) display value; the threshold filter
+    itself is the exact integer test
+    n_common * t_den >= t_num * (n_a + n_b - n_common).
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    sd = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(
+                    shingles(tokens(F.lower(F.col(text_col))), n)
+                )
+            ).alias("_g"),
+        )
+        .select("_id", F.md5(F.col("_g")).alias("_d"))
+        .localCheckpoint(eager=False)
+    )  # three consumers (freq, candidate b-side, verify) on one explode
+    freq = sd.groupBy("_d").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = (
+        sd.join(freq, "_d")
+        .withColumn(
+            "_pos",
+            F.row_number().over(
+                W.partitionBy("_id").orderBy("_f", "_d")
+            ),
+        )
+        .withColumn(
+            "_sz", F.count(F.lit(1)).over(W.partitionBy("_id"))
+        )
+    )
+    # prefix length = sz - ceil(t*sz) + 1; ceil(sz*p/q) on positive
+    # ints = (sz*p + q - 1) div q -- exact in any engine
+    prefix = ranked.filter(
+        F.col("_pos")
+        <= F.col("_sz")
+        - F.expr(f"(_sz * {t_num} + {t_den} - 1) div {t_den}")
+        + F.lit(1)
+    ).select(F.col("_id").alias("id_a"), "_d")
+    cands = (
+        prefix.join(
+            sd.select(F.col("_id").alias("id_b"), "_d"), "_d"
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        cands.join(
+            sd.select(F.col("_id").alias("id_a"), "_d"), "id_a"
+        )
+        .join(
+            sd.select(F.col("_id").alias("id_b"), "_d"),
+            ["id_b", "_d"],  # explicit two-key equi-join: the b-side
+            # probe never fans out beyond true element matches
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sd.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        inter.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")),
+            "id_b",
+        )
+        .filter(
+            F.col("n_common") * t_den
+            >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -140,3 +140,69 @@ def bigram_collocations(
     head = scored.orderBy(F.desc("c_ab"), "bigram").limit(top)
     w = W.orderBy(F.desc("c_ab"), "bigram")
     return head.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def source_ngram_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the exact overlap of their distinct n-gram sets -- the
+    leakage audit run before treating subcorpora as independent
+    (train-vs-benchmark, crawl-vs-licensed, epoch-vs-epoch).
+
+    Output: [source_a, source_b, n_common, n_a, n_b, jaccard_milli,
+    containment_milli] for source_a < source_b; containment uses the
+    smaller side (the asymmetric "is one inside the other" signal).
+
+    Scale: distinct (source, digest) pairs shuffle as md5 digests; the
+    pair join fans out per digest by at most S^2 where S is the number
+    of SOURCES (tens, not documents), so even a universally shared
+    n-gram contributes S^2 rows, not corpus^2.
+    """
+    sd = (
+        docs.select(
+            F.col(source_col).alias("_s"),
+            F.explode(
+                F.array_distinct(
+                    shingles(tokens(F.lower(F.col(text_col))), n)
+                )
+            ).alias("_g"),
+        )
+        .select("_s", F.md5(F.col("_g")).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )  # three consumers: sizes + both pair sides
+    sizes = sd.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
+    pairs = (
+        sd.select(F.col("_s").alias("source_a"), "_d")
+        .join(sd.select(F.col("_s").alias("source_b"), "_d"), "_d")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("_s").alias("source_a"), F.col("_n").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("_s").alias("source_b"), F.col("_n").alias("n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("(n_common * 1000) div (n_a + n_b - n_common)")
+            .cast("long")
+            .alias("jaccard_milli"),
+            F.expr("(n_common * 1000) div least(n_a, n_b)")
+            .cast("long")
+            .alias("containment_milli"),
+        )
+    )

@@ -419,3 +419,331 @@ def q188_copurchase_pairs(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return copurchase_pairs(li, "l_orderkey", "l_partkey", top=50, max_basket=100)
+
+
+# ---------------------------------------------------------------------------
+# q189: exact set-similarity join via prefix filtering
+# ---------------------------------------------------------------------------
+
+_SETSIM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, md5(g) AS d FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+    FROM toks)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT)
+             AS n_common
+  FROM sh a JOIN sh b ON a.d = b.d AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+           AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common * 2 >= 1 * (sa.n + sb.n - n_common)
+"""
+
+
+@query(
+    "q189_setsim_prefix_join",
+    oracle=_SETSIM_ORACLE,
+    tags=("dedup", "jaccard", "similarity-join"),
+)
+def q189_setsim_prefix_join(spark, sf_dir):
+    """Corpus-COMPLETE and EXACT Jaccard >= 0.5 similarity join via
+    PPJoin-style prefix filtering (operators/setsim.py) -- the
+    guaranteed-recall counterpart to q54's id-gap window and q55's
+    probabilistic LSH. The oracle is a BRUTE-FORCE all-pairs join, so
+    a hash match proves the prefix filter dropped no true pair."""
+    from ..operators.setsim import prefix_filter_jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_join(
+        docs, "doc_id", "text", n=3, t_num=1, t_den=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190/q191: BM25 retrieval + reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = (
+    ("search_1", ("spark", "join")),
+    ("search_2", ("window", "merge", "scan")),
+    ("search_3", ("slow", "query")),
+    ("search_4", ("stream", "batch", "data")),
+)
+
+
+def _bm25_query_df(spark):
+    rows = [(qid, t) for qid, terms in _BM25_QUERIES for t in terms]
+    return spark.createDataFrame(rows, "query_id string, term string")
+
+
+def _bm25_values() -> str:
+    return ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+
+
+_BM25_CORE = r"""
+qt(query_id, term) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id AS _doc, unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents
+),
+lengths AS (SELECT _doc, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS t_total,
+         CAST(CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS BIGINT)
+             AS avgdl
+  FROM lengths
+),
+tf AS (
+  SELECT _doc, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+  WHERE w IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2
+),
+dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+st AS (
+  SELECT tf._doc, tf.w,
+         CAST((((c.n_docs * 1000000) // dfq.df) * 44 * tf.tf * c.avgdl)
+              // (20 * c.avgdl * tf.tf + 6 * c.avgdl + 18 * l.dl)
+              AS BIGINT) AS s_fp
+  FROM tf JOIN dfq USING (w)
+  JOIN lengths l ON l._doc = tf._doc
+  CROSS JOIN corpus c
+),
+bm25 AS (
+  SELECT query_id, _doc AS doc_id, score_fp,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_fp DESC, _doc) AS BIGINT) AS rank
+  FROM (SELECT qt.query_id, st._doc, CAST(SUM(s_fp) AS BIGINT) AS score_fp
+        FROM st JOIN qt ON qt.term = st.w GROUP BY 1, 2) p
+)
+"""
+
+
+def _bm25_oracle() -> str:
+    core = _BM25_CORE.format(values=_bm25_values())
+    return f"""
+WITH {core}
+SELECT query_id, doc_id, score_fp, rank FROM bm25 WHERE rank <= 10
+"""
+
+
+@query(
+    "q190_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("retrieval", "text", "topk"),
+)
+def q190_bm25_topk(spark, sf_dir):
+    """Top-10 documents per query under exact-integer BM25
+    (operators/bm25.py: rational k1=6/5, b=3/4, truncated avgdl, one
+    floor division per term at 1e-6 idf resolution). Query terms
+    broadcast; tf is one filtered (doc, term) groupBy; corpus stats
+    are two broadcast scalars."""
+    from ..operators.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _bm25_query_df(spark), "doc_id", "text", k=10)
+
+
+def _rrf_oracle() -> str:
+    core = _BM25_CORE.format(values=_bm25_values())
+    return f"""
+WITH {core},
+tfrank AS (
+  SELECT query_id, doc_id, tf_sum,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY tf_sum DESC, doc_id) AS BIGINT) AS rank
+  FROM (SELECT qt.query_id, tf._doc AS doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS tf_sum
+        FROM tf JOIN qt ON qt.term = tf.w GROUP BY 1, 2) p
+),
+unioned AS (
+  SELECT query_id, doc_id, rank FROM bm25 WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM tfrank WHERE rank <= 10
+),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM unioned GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_fp, n_lists,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank
+FROM fused QUALIFY rank <= 10
+"""
+
+
+@query(
+    "q191_rrf_fusion",
+    oracle=_rrf_oracle(),
+    tags=("retrieval", "fusion", "topk"),
+)
+def q191_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/bm25.rrf_fuse, exact integer
+    1e6 div (60+rank)) of two retrieval rankings for the same fixed
+    queries: BM25 top-10 and raw term-frequency top-10. The fuse is
+    one union + one (query, doc) groupBy + one rank window over
+    driver-bounded inputs."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.bm25 import bm25_topk, rrf_fuse
+    from ..functions.text import tokens as _tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = _bm25_query_df(spark)
+    bm = bm25_topk(docs, qdf, "doc_id", "text", k=10)
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(_tok(F.lower(F.col("text")))).alias("_w"),
+    )
+    tf = (
+        toks.join(
+            F.broadcast(qdf.select(F.col("term").alias("_w")).distinct()),
+            "_w",
+        )
+        .groupBy("doc_id", "_w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tfsum = (
+        tf.join(
+            F.broadcast(qdf.select("query_id", F.col("term").alias("_w"))),
+            "_w",
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").cast("long").alias("tf_sum"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("tf_sum"), "doc_id")
+    tfrank = (
+        tfsum.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+    return rrf_fuse([bm, tfrank], k=10, c=60)
+
+
+# ---------------------------------------------------------------------------
+# q192: k-core peeling over the kNN graph
+# ---------------------------------------------------------------------------
+
+
+def _kcore_oracle(k: int, iters: int) -> str:
+    parts = [
+        f"""
+WITH g AS ({_graph_cte()}),
+e0 AS (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM g WHERE src_id != dst_id
+)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+d{t} AS (SELECT n, COUNT(*) AS d FROM (
+    SELECT a AS n FROM e{t} UNION ALL SELECT b FROM e{t}) u GROUP BY 1),
+k{t} AS (SELECT n FROM d{t} WHERE d >= {k}),
+e{t + 1} AS (
+  SELECT e.a, e.b FROM e{t} e
+  JOIN k{t} x ON x.n = e.a JOIN k{t} y ON y.n = e.b
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM e{iters} UNION ALL SELECT b AS node FROM e{iters}) u
+GROUP BY 1
+"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "q192_kcore",
+    oracle=_kcore_oracle(2, 3),
+    tags=("graph", "analytics", "iterative"),
+)
+def q192_kcore(spark, sf_dir):
+    """Three peeling rounds toward the 2-core of the undirected kNN
+    graph (operators/graph.kcore): per round one degree groupBy + two
+    left-semi joins on node keys, lineage cut per round. Fixed peel
+    count keeps it oracle-replayable; the oracle unrolls all three
+    rounds over the q169 graph CTE."""
+    from ..operators.graph import kcore
+    from ..operators.similarity import lsh_knn_graph
+    from .llm_ops9 import _EMB_DIM, _KNN_CAP, _KNN_K, _KNN_PLANES, _KNN_SEED
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = lsh_knn_graph(
+        emb,
+        "vec_id",
+        "embedding",
+        k=_KNN_K,
+        n_planes=_KNN_PLANES,
+        seed=_KNN_SEED,
+        dim=_EMB_DIM,
+        max_bucket_width=_KNN_CAP,
+    )
+    return kcore(graph, k=2, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# q193: cross-source contamination matrix
+# ---------------------------------------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+sd AS (
+  SELECT DISTINCT source AS s, md5(g) AS d FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+    FROM toks)
+),
+sizes AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM sd GROUP BY 1),
+pairs AS (
+  SELECT a.s AS source_a, b.s AS source_b, CAST(COUNT(*) AS BIGINT)
+             AS n_common
+  FROM sd a JOIN sd b ON a.d = b.d AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       CAST((n_common * 1000) // (sa.n + sb.n - n_common) AS BIGINT)
+           AS jaccard_milli,
+       CAST((n_common * 1000) // least(sa.n, sb.n) AS BIGINT)
+           AS containment_milli
+FROM pairs
+JOIN sizes sa ON sa.s = source_a
+JOIN sizes sb ON sb.s = source_b
+"""
+
+
+@query(
+    "q193_source_overlap",
+    oracle=_SOURCE_OVERLAP_ORACLE,
+    tags=("text", "contamination", "audit"),
+)
+def q193_source_overlap(spark, sf_dir):
+    """Cross-source n-gram contamination matrix
+    (operators/text_mining.source_ngram_overlap): exact Jaccard +
+    containment between every source pair's distinct trigram sets.
+    Digest-keyed joins; per-digest fan-out bounded by S^2 over the
+    SOURCE count, never the document count."""
+    from ..operators.text_mining import source_ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_ngram_overlap(docs, "source", "text", n=3)

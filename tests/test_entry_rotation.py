@@ -112,6 +112,11 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q186_ngram_novelty",
         "q187_bigram_collocations",
         "q188_copurchase_pairs",
+        "q189_setsim_prefix_join",
+        "q190_bm25_topk",
+        "q191_rrf_fusion",
+        "q192_kcore",
+        "q193_source_overlap",
     }
 )
 

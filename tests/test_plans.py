@@ -79,6 +79,10 @@ ALLOWED_BNLJ = {
     "q187_bigram_collocations": "1-row bigram-total scalar broadcast",
     # 1-row basket-count scalar broadcast into the lift
     "q188_copurchase_pairs": "1-row basket-total scalar broadcast",
+    # 1-row (N, T, avgdl) corpus-stats scalar broadcast into the score
+    "q190_bm25_topk": "1-row corpus-stats scalar broadcast",
+    # same corpus-stats scalar inside the fused BM25 leg
+    "q191_rrf_fusion": "1-row corpus-stats scalar broadcast (BM25 leg)",
     # same counts core as q168: two 1-row side-total scalar broadcasts
     "q175_category_monitor_replay": "1-row side-total scalar broadcasts",
 }

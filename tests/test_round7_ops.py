@@ -213,3 +213,146 @@ def test_copurchase_fixture_and_basket_guard(spark):
     assert abs(out[(10, 20)].lift - 1.0) < 1e-12
     # pair ordering invariant
     assert all(i1 < i2 for (i1, i2) in out)
+
+
+# --------------------------------------------------- prefix-filter join
+
+
+def test_setsim_join_finds_planted_neardup_and_respects_threshold(spark):
+    from pos_data_insertion_etl_spark.operators.setsim import (
+        prefix_filter_jaccard_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g z"),   # 5/7 trigram overlap with 1
+            (3, "p q r s t u v w"),   # disjoint
+            (4, "p q r s t u v w"),   # exact dup of 3
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r for r in prefix_filter_jaccard_join(
+        docs, t_num=1, t_den=2).collect()}
+    assert (3, 4) in out and out[(3, 4)].jaccard == 1.0
+    assert (1, 2) in out and out[(1, 2)].n_common == 5
+    assert (1, 3) not in out and (2, 3) not in out
+    # exact threshold: J(1,2) = 5/(6+6-5) = 5/7 >= 1/2
+    assert abs(out[(1, 2)].jaccard - 5 / 7) < 1e-6
+
+
+def test_setsim_exact_integer_threshold_edge(spark):
+    from pos_data_insertion_etl_spark.operators.setsim import (
+        prefix_filter_jaccard_join,
+    )
+
+    # J exactly == t must be KEPT (>=, not >): two docs sharing 2 of
+    # their 3+3 trigrams -> J = 2/4 = 1/2
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")],  # trigrams: {abc,bcd,cde} vs {abc,bcd,cdx}
+        "doc_id long, text string",
+    )
+    out = prefix_filter_jaccard_join(docs, t_num=1, t_den=2).collect()
+    assert len(out) == 1 and out[0].n_common == 2 and out[0].jaccard == 0.5
+
+
+# --------------------------------------------------------------- BM25
+
+
+def test_bm25_prefers_rare_term_and_bounds_rank(spark):
+    from pos_data_insertion_etl_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common common"),
+            (2, "common common common common"),
+            (3, "common rare rare common"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [("q1", "rare")], "query_id string, term string"
+    )
+    out = bm25_topk(docs, q, k=10).collect()
+    got = {r.doc_id: r for r in out}
+    assert set(got) == {1, 3}  # doc 2 has no 'rare'
+    assert got[3].rank == 1  # higher tf wins
+    assert got[3].score_fp > got[1].score_fp > 0
+    assert all(r.rank <= 10 for r in out)
+
+
+def test_rrf_fusion_rewards_agreement(spark):
+    from pos_data_insertion_etl_spark.operators.bm25 import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "query_id string, doc_id long, rank long"
+    )
+    r2 = spark.createDataFrame(
+        [("q", 1, 2), ("q", 3, 1)], "query_id string, doc_id long, rank long"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([r1, r2], k=10).collect()}
+    # doc 1 appears in both lists -> fused above both single-list docs
+    assert out[1].n_lists == 2
+    assert out[1].rank == 1
+    assert out[1].rrf_fp == 1_000_000 // 61 + 1_000_000 // 62
+    assert out[3].rrf_fp == 1_000_000 // 61
+
+
+# --------------------------------------------------------------- k-core
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    from pos_data_insertion_etl_spark.operators.graph import kcore
+
+    # triangle 1-2-3 with a pendant chain 3-4-5
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    g = spark.createDataFrame(edges, "src_id long, dst_id long")
+    out = {r.node: r.degree for r in kcore(g, k=2, iters=3).collect()}
+    assert set(out) == {1, 2, 3}  # chain peeled away in two rounds
+    assert all(d == 2 for d in out.values())
+
+
+def test_kcore_zero_iters_is_identity_degrees(spark):
+    from pos_data_insertion_etl_spark.operators.graph import kcore
+
+    edges = [(1, 2), (2, 3)]
+    g = spark.createDataFrame(edges, "src_id long, dst_id long")
+    out = {r.node: r.degree for r in kcore(g, k=2, iters=0).collect()}
+    assert out == {1: 1, 2: 2, 3: 1}
+
+
+# ----------------------------------------------------- source overlap
+
+
+def test_source_overlap_symmetric_bounds(spark, sf_dir):
+    from pos_data_insertion_etl_spark.operators.text_mining import (
+        source_ngram_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = source_ngram_overlap(docs).collect()
+    assert rows, "expected at least one source pair"
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.n_common <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard_milli <= 1000
+        assert r.jaccard_milli <= r.containment_milli <= 1000
+
+
+def test_source_overlap_disjoint_and_contained(spark):
+    from pos_data_insertion_etl_spark.operators.text_mining import (
+        source_ngram_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "a b c d e"),
+            (2, "s2", "a b c d e f g"),  # s1's grams ⊂ s2's
+            (3, "s3", "x y z w v"),      # disjoint from both
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r.source_a, r.source_b): r
+           for r in source_ngram_overlap(docs, "source", "text").collect()}
+    assert out[("s1", "s2")].containment_milli == 1000  # full containment
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
