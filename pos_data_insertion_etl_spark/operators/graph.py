@@ -401,3 +401,46 @@ def kcore(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+
+
+def knn_outlier_scores(
+    graph: DataFrame, threshold_fp: int = 250_000
+) -> DataFrame:
+    """Embedding-space outlier scoring from a kNN graph: a vector whose
+    nearest neighbors are all far away is isolated -- the curation
+    filter that drops mis-embedded / off-distribution documents before
+    semantic dedup trusts their neighborhoods.
+
+    Input is similarity.lsh_knn_graph's [src_id, dst_id, cos_sim, rn].
+    Per source: sum of neighbor cosines in exact 1e-6 fixed point
+    (cos_sim is already ROUND(x, 6), so scaling by 1e6 is exact-int
+    and the sum is partitioning-invariant), neighbor count, mean_fp =
+    sum div n, and is_outlier = mean_fp < threshold_fp.
+
+    Scale: one groupBy(src) over the degree-capped graph -- O(N * k)
+    in, O(N) out.
+    """
+    return (
+        graph.select(
+            "src_id",
+            F.round(F.col("cos_sim") * 1_000_000)
+            .cast("long")
+            .alias("_cfp"),
+        )
+        .groupBy("src_id")
+        .agg(
+            F.sum("_cfp").cast("long").alias("sum_cos_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        )
+        .select(
+            F.col("src_id").alias("node"),
+            "sum_cos_fp",
+            "n_neighbors",
+            F.expr("sum_cos_fp div n_neighbors").cast("long").alias(
+                "mean_cos_fp"
+            ),
+            (
+                F.expr("sum_cos_fp div n_neighbors") < F.lit(threshold_fp)
+            ).alias("is_outlier"),
+        )
+    )

@@ -206,3 +206,58 @@ def source_ngram_overlap(
             .alias("containment_milli"),
         )
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token-distribution Shannon entropy, the lexical-
+    diversity / degenerate-repetition signal (a doc that repeats one
+    token has H=0; uniform vocabulary maximizes H).
+
+    Portability follows operators/lm_score.py's convention: each
+    distinct token contributes c * round(ln(c/n) * 1e6) -- the ln is
+    rounded to fixed point PER TERM, so the cross-token sum is exact
+    integer arithmetic and partitioning-invariant; entropy_fp =
+    -(sum div n) (micro-nats).
+
+    Scale: one (id, token) groupBy + one per-id groupBy, both
+    map-side combined; token text is a shuffle key only at the
+    per-doc level where it is already bounded by doc length.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"),
+        )
+        .groupBy("_id", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wn = W.partitionBy("_id")
+    per_tok = tf.withColumn("_n", F.sum("_c").over(wn)).select(
+        "_id",
+        "_n",
+        (
+            F.col("_c")
+            * F.round(
+                F.log(F.col("_c").cast("double") / F.col("_n").cast("double"))
+                * 1_000_000
+            ).cast("long")
+        ).alias("_term_fp"),
+    )
+    return (
+        per_tok.groupBy("_id")
+        .agg(
+            F.max("_n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum("_term_fp").cast("long").alias("_s"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "n_distinct",
+            F.expr("-(_s div n_tokens)").cast("long").alias("entropy_fp"),
+        )
+    )

@@ -1,0 +1,329 @@
+"""Round-7 batch D (q194-q197): embedding hygiene, dimensionality
+reduction, lexical diversity, and a multimodal scene-cut pipeline.
+
+* q194 -- kNN-graph outlier scores (operators/graph.knn_outlier_scores):
+  the curation filter that drops mis-embedded vectors before semantic
+  dedup; composes the q169 bounded graph, oracle wraps its CTE.
+* q195 -- random-projection (JL) distortion audit
+  (operators/projection.py): exact-integer 64->16 projection via the
+  seeded-plane machinery, pairwise distances original-vs-projected over
+  block-equi-joined id-adjacent pairs.
+* q196 -- per-document token-distribution entropy
+  (operators/text_mining.token_entropy): lm_score's per-term
+  fixed-point-ln convention makes the cross-token sum exact-integer.
+* q197 -- video scene-cut detection over the PNGV container
+  (media_ops' real-codec convention): two-scene formula frames are
+  packed+sampled+DECODED for real, per-frame pixel vectors diffed with
+  a lag window, cuts thresholded; the oracle recomputes the diffs from
+  the closed-form pixel formula -- a hash match certifies the whole
+  encode->pack->sample->decode->diff chain.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from .registry import query
+from .llm_ops10 import _graph_cte
+
+_OUTLIER_THRESHOLD_FP = 250_000
+_PROJ_OUT_DIM = 16
+_PROJ_SEED = 23
+_PROJ_GAP = 5
+
+
+# ---------------------------------------------------------------------------
+# q194: kNN outlier scores
+# ---------------------------------------------------------------------------
+
+
+def _outlier_oracle() -> str:
+    return f"""
+WITH g AS ({_graph_cte()}),
+agg AS (
+  SELECT src_id,
+         CAST(SUM(CAST(ROUND(cos_sim * 1000000) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM g GROUP BY 1
+)
+SELECT src_id AS node, s AS sum_cos_fp, n AS n_neighbors,
+       CAST(s // n AS BIGINT) AS mean_cos_fp,
+       (s // n) < {_OUTLIER_THRESHOLD_FP} AS is_outlier
+FROM agg
+"""
+
+
+@query(
+    "q194_knn_outliers",
+    oracle=_outlier_oracle(),
+    tags=("similarity", "outliers", "graph"),
+)
+def q194_knn_outliers(spark, sf_dir):
+    """Embedding outlier scoring from the bounded kNN graph: mean
+    neighbor cosine in exact 1e-6 fixed point (cos_sim is already
+    round(x,6), so the scaling is exact-int and the groupBy sum is
+    partitioning-invariant). One O(N*k) groupBy."""
+    from ..operators.graph import knn_outlier_scores
+    from ..operators.similarity import lsh_knn_graph
+    from .llm_ops9 import _EMB_DIM, _KNN_CAP, _KNN_K, _KNN_PLANES, _KNN_SEED
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = lsh_knn_graph(
+        emb,
+        "vec_id",
+        "embedding",
+        k=_KNN_K,
+        n_planes=_KNN_PLANES,
+        seed=_KNN_SEED,
+        dim=_EMB_DIM,
+        max_bucket_width=_KNN_CAP,
+    )
+    return knn_outlier_scores(graph, _OUTLIER_THRESHOLD_FP)
+
+
+# ---------------------------------------------------------------------------
+# q195: random-projection distortion audit
+# ---------------------------------------------------------------------------
+
+
+def _projection_oracle() -> str:
+    from ..operators.projection import PROJ_SHIFT
+    from ..operators.similarity import PLANE_SCALE, seeded_planes
+    from .llm_ops9 import _EMB_DIM
+
+    planes = seeded_planes(_PROJ_OUT_DIM, _EMB_DIM, _PROJ_SEED)
+    coords = ", ".join(
+        "CAST(list_sum(list_transform(list_zip(v, ["
+        + ", ".join(str(int(round(c * PLANE_SCALE))) for c in row)
+        + "]), p -> p[1] * p[2])) AS BIGINT) // " + str(PROJ_SHIFT)
+        for row in planes
+    )
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 10000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+pr AS (SELECT vec_id, v, [{coords}] AS p FROM qv),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(list_zip(a.v, b.v),
+              t -> (t[1]-t[2])*(t[1]-t[2]))) AS BIGINT) AS d_orig_sq,
+         CAST(list_sum(list_transform(list_zip(a.p, b.p),
+              t -> (t[1]-t[2])*(t[1]-t[2]))) AS BIGINT) AS d_proj_sq
+  FROM pr a JOIN pr b
+    ON a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= {_PROJ_GAP}
+)
+SELECT id_a, id_b, d_orig_sq, d_proj_sq,
+       CAST((d_proj_sq * 1000) // NULLIF(d_orig_sq, 0) AS BIGINT)
+           AS ratio_milli
+FROM pairs
+"""
+
+
+@query(
+    "q195_random_projection",
+    oracle=_projection_oracle(),
+    tags=("embeddings", "projection", "similarity"),
+)
+def q195_random_projection(spark, sf_dir):
+    """JL random projection 64->16 with an exact distortion table
+    (operators/projection.py): integer plane dots, down-shifted
+    coordinates, block-equi-joined id-adjacent pairs (q115 binned
+    pattern -- no theta join). The oracle replays planes, shift, and
+    distances bit-for-bit."""
+    from ..operators.projection import projection_distortion
+    from .llm_ops9 import _EMB_DIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return projection_distortion(
+        emb,
+        "vec_id",
+        "embedding",
+        out_dim=_PROJ_OUT_DIM,
+        dim=_EMB_DIM,
+        seed=_PROJ_SEED,
+        max_id_gap=_PROJ_GAP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196: token-distribution entropy
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = r"""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+),
+w AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tf),
+t AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * 1000000) AS BIGINT)) AS BIGINT) AS s
+  FROM w GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(-(s // n_tokens) AS BIGINT) AS entropy_fp
+FROM t
+"""
+
+
+@query(
+    "q196_token_entropy",
+    oracle=_ENTROPY_ORACLE,
+    tags=("text", "quality", "entropy"),
+)
+def q196_token_entropy(spark, sf_dir):
+    """Per-document lexical entropy (operators/text_mining
+    .token_entropy): each distinct token contributes
+    c * round(ln(c/n)*1e6) -- the lm_score per-term fixed-point
+    convention -- so the sum is exact-integer and partitioning-
+    invariant. Two map-side-combined groupBys."""
+    from ..operators.text_mining import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q197: video scene-cut detection (real codec chain)
+# ---------------------------------------------------------------------------
+
+#: two-scene pixel formula: scene 0 for frames 0-2, scene 1 for 3-5.
+#: Values stay < 256 WITHOUT a mod wrap across frames (base < 200,
+#: +1 per frame, +_SCENE_SHIFT at the break), so within-scene frames
+#: differ by exactly 1 per pixel while the 2->3 cut differs by
+#: 1 + _SCENE_SHIFT -- a genuine near-identical-frames fixture (a
+#: mod-256 formula makes EVERY frame pair maximally different and no
+#: threshold separates the cut).
+_SCENE_DOCS = 60
+_SCENE_FRAMES = 6
+_SCENE_BREAK = 3
+_SCENE_SHIFT = 37
+_PIXELS = 192  # 8 x 8 x 3
+_CUT_THRESHOLD = 1_000
+
+
+def _scene_cut_oracle() -> str:
+    return f"""
+WITH px AS (
+  SELECT d.doc_id, fs.f AS frame_idx, t.k,
+         ((d.doc_id * 7919 + t.k) % 200) + fs.f
+          + (CASE WHEN fs.f >= {_SCENE_BREAK} THEN {_SCENE_SHIFT} ELSE 0 END)
+             AS v
+  FROM documents d
+  CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) fs(f)
+  CROSS JOIN range(0, {_PIXELS}) t(k)
+  WHERE d.doc_id < {_SCENE_DOCS}
+),
+diffs AS (
+  SELECT a.doc_id, a.frame_idx,
+         CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS diff_sum
+  FROM px a JOIN px b
+    ON b.doc_id = a.doc_id AND b.k = a.k AND b.frame_idx = a.frame_idx - 1
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, diff_sum,
+       diff_sum > {_CUT_THRESHOLD} AS is_cut
+FROM diffs
+"""
+
+
+@query(
+    "q197_scene_cuts",
+    oracle=_scene_cut_oracle(),
+    tags=("multimodal", "video", "scene-detection"),
+)
+def q197_scene_cuts(spark, sf_dir):
+    """Scene-cut detection through the REAL codec chain: two-scene
+    formula frames are PNG-encoded, packed into the PNGV container,
+    frame-sampled, PNG-decoded back to pixel vectors (all genuine
+    multimodal/binary_ops + png_codec kernels), then consecutive
+    frames are diffed via a lag window over array columns and
+    thresholded. The closed-form oracle matches only if the whole
+    encode->pack->sample->decode chain is the identity (media_ops'
+    q46 convention, extended with cross-frame state)."""
+    from ..multimodal.binary_ops import (
+        pack_video_frames,
+        sample_video_frames,
+    )
+    from ..multimodal.png_codec import decode_png, encode_png
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _SCENE_DOCS)
+    )
+
+    def to_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                frames = [
+                    encode_png(
+                        (
+                            ((int(d) * 7919 + np.arange(_PIXELS)) % 200)
+                            + f
+                            + (_SCENE_SHIFT if f >= _SCENE_BREAK else 0)
+                        )
+                        .reshape(8, 8, 3)
+                        .astype(np.uint8)
+                    )
+                    for f in range(_SCENE_FRAMES)
+                ]
+                payloads.append(pack_video_frames(frames, fps=2.0))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": payloads}
+            )
+
+    videos = docs.mapInPandas(to_video, "doc_id long, content binary")
+    frames = sample_video_frames(videos, "doc_id", "content", every_s=0.5)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = [
+                decode_png(bytes(b)).astype(np.int64).ravel().tolist()
+                for b in pdf["frame"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "px": pixels,
+                }
+            )
+
+    decoded = frames.mapInPandas(
+        decode, "doc_id long, frame_idx long, px array<long>"
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    diffed = decoded.withColumn("_prev", F.lag("px").over(w)).filter(
+        F.col("_prev").isNotNull()
+    )
+    return diffed.select(
+        "doc_id",
+        "frame_idx",
+        F.aggregate(
+            F.zip_with(
+                F.col("px"), F.col("_prev"), lambda a, b: F.abs(a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("diff_sum"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "diff_sum",
+        (F.col("diff_sum") > F.lit(_CUT_THRESHOLD)).alias("is_cut"),
+    )

@@ -61,6 +61,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops8,
         llm_ops9,
         llm_ops10,
+        llm_ops11,
         media_ops,
         pos_ops,
         relational,

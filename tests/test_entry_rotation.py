@@ -117,6 +117,10 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q191_rrf_fusion",
         "q192_kcore",
         "q193_source_overlap",
+        "q194_knn_outliers",
+        "q195_random_projection",
+        "q196_token_entropy",
+        "q197_scene_cuts",
     }
 )
 

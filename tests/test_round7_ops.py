@@ -356,3 +356,81 @@ def test_source_overlap_disjoint_and_contained(spark):
            for r in source_ngram_overlap(docs, "source", "text").collect()}
     assert out[("s1", "s2")].containment_milli == 1000  # full containment
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+# ------------------------------------------------------ batch D (q194+)
+
+
+def test_knn_outlier_isolated_vector_flagged(spark):
+    from pos_data_insertion_etl_spark.operators.graph import (
+        knn_outlier_scores,
+    )
+
+    g = spark.createDataFrame(
+        [
+            (1, 2, 0.9, 1), (1, 3, 0.8, 2),
+            (2, 1, 0.9, 1),
+            (9, 5, 0.01, 1), (9, 6, -0.2, 2),  # isolated: mean << 0.25
+        ],
+        "src_id long, dst_id long, cos_sim double, rn long",
+    )
+    out = {r.node: r for r in knn_outlier_scores(g, 250_000).collect()}
+    assert out[1].is_outlier is False
+    assert out[1].sum_cos_fp == 1_700_000
+    assert out[9].is_outlier is True
+    assert out[9].mean_cos_fp < 0
+
+
+def test_random_projection_shapes_and_duplicate_pair_null_ratio(spark):
+    from pos_data_insertion_etl_spark.operators.projection import (
+        projection_distortion,
+        random_projection,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5) / 10 for j in range(8)]) for i in range(6)]
+    rows.append((6, rows[5][1]))  # exact duplicate of vec 5, adjacent id
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    proj = random_projection(df, "vec_id", "embedding", out_dim=3, dim=8)
+    assert all(len(r.proj) == 3 for r in proj.collect())
+    dist = {(r.id_a, r.id_b): r for r in projection_distortion(
+        df, "vec_id", "embedding", out_dim=3, dim=8, max_id_gap=2
+    ).collect()}
+    dup = dist[(5, 6)]
+    assert dup.d_orig_sq == 0 and dup.d_proj_sq == 0
+    assert dup.ratio_milli is None  # zero-distance guard
+    # every id-adjacent pair within the gap is present
+    assert all(0 < b - a <= 2 for (a, b) in dist)
+    assert (1, 2) in dist and (1, 3) in dist and (1, 4) not in dist
+
+
+def test_token_entropy_extremes(spark):
+    from pos_data_insertion_etl_spark.operators.text_mining import (
+        token_entropy,
+    )
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x x x"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert out[1].entropy_fp == 0  # degenerate repetition
+    assert out[1].n_distinct == 1
+    # uniform over 6 tokens -> ln(6) in micro-nats (per-term rounding)
+    assert abs(out[2].entropy_fp - round(math.log(6) * 1_000_000)) <= 6
+    assert out[2].entropy_fp > out[1].entropy_fp
+
+
+def test_scene_cut_flags_exactly_the_break(spark, sf_dir):
+    from pos_data_insertion_etl_spark.plans import all_queries
+
+    rows = all_queries()["q197_scene_cuts"].spark(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = r.is_cut
+    assert len(by_doc) > 0
+    for frames in by_doc.values():
+        assert set(frames) == {1, 2, 3, 4, 5}
+        # the only cut is at the scene break (frame 3)
+        assert frames[3] is True
+        assert all(frames[f] is False for f in (1, 2, 4, 5))
