@@ -327,3 +327,250 @@ def q197_scene_cuts(spark, sf_dir):
         "diff_sum",
         (F.col("diff_sum") > F.lit(_CUT_THRESHOLD)).alias("is_cut"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q198: DSIR importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "src0"
+_DSIR_BUCKETS = 64
+
+_DSIR_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks
+),
+bk AS (
+  SELECT doc_id, source,
+         CAST(((strpos('0123456789abcdef', substr(md5(g), 31, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(md5(g), 32, 1)) - 1)
+              % {_DSIR_BUCKETS} AS INTEGER) AS b
+  FROM big
+),
+ct AS (SELECT b, COUNT(*) AS c FROM bk WHERE source = '{_DSIR_TARGET}'
+       GROUP BY 1),
+cr AS (SELECT b, COUNT(*) AS c FROM bk WHERE source != '{_DSIR_TARGET}'
+       GROUP BY 1),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM bk WHERE source = '{_DSIR_TARGET}') AS tt,
+         (SELECT COUNT(*) FROM bk WHERE source != '{_DSIR_TARGET}') AS tr
+),
+lr AS (
+  SELECT g.b,
+         CAST(ROUND(ln((CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+                        * (tot.tr + {_DSIR_BUCKETS}))
+                       / (CAST(COALESCE(cr.c, 0) + 1 AS DOUBLE)
+                          * (tot.tt + {_DSIR_BUCKETS}))) * 1000000)
+              AS BIGINT) AS lr_fp
+  FROM (SELECT CAST(unnest(range(0, {_DSIR_BUCKETS})) AS INTEGER) AS b) g
+  LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) CROSS JOIN tot
+),
+docb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM bk
+         GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
+       CAST(SUM(c * lr_fp) AS BIGINT) AS logweight_fp,
+       CAST(SUM(c * lr_fp) AS BIGINT) > 0 AS selected
+FROM docb JOIN lr USING (b) GROUP BY doc_id
+"""
+
+
+@query(
+    "q198_dsir_weights",
+    oracle=_DSIR_ORACLE,
+    tags=("curation", "importance-sampling", "text"),
+)
+def q198_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py): hashed-bigram
+    bucket model (64 buckets, add-one smoothing, per-bucket fixed-point
+    log-likelihood-ratio), exact-integer per-document log-weights,
+    threshold acceptance with NO global window. Target corpus =
+    source 'src0'."""
+    from ..operators.dsir import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs,
+        F.col("source") == _DSIR_TARGET,
+        "doc_id",
+        "text",
+        n_buckets=_DSIR_BUCKETS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199: streaming dedup-ingest replay (exactly-once table state)
+# ---------------------------------------------------------------------------
+
+_DEDUP_REPLAY_ORACLE = """
+WITH keep AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT k.doc_id, k.source, k.n_chars,
+       CAST(CASE WHEN k.doc_id < n.n // 3 THEN 0
+                 WHEN k.doc_id < 2 * (n.n // 3) THEN 1
+                 ELSE 2 END AS BIGINT) AS batch
+FROM keep k CROSS JOIN n WHERE k.rn = 1
+"""
+
+
+@query(
+    "q199_dedup_ingest_replay",
+    oracle=_DEDUP_REPLAY_ORACLE,
+    tags=("streaming", "dedup", "exactly-once"),
+)
+def q199_dedup_ingest_replay(spark, sf_dir):
+    """The crash-safe dedup ingest's batch analog (q175 pattern, over
+    streaming/jobs.dedup_ingest_batch): documents replay in three
+    id-ordered micro-batches through the REAL persist path -- batch-id
+    keyed idempotent corpus writes + digest-table rename-aside swap --
+    with batch 1 deliberately driven TWICE. The corpus read back must
+    equal exact keep-first dedup with correct per-batch provenance;
+    a double-ingest or a lost swap breaks the hash."""
+    import os
+    import shutil
+
+    from ..streaming.jobs import dedup_ingest_batch
+    from .llm_ops9 import _monitor_dir
+
+    out_dir = _monitor_dir(sf_dir, "dedup_ingest")
+    shutil.rmtree(out_dir, ignore_errors=True)  # fresh state per run
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    s1, s2 = n // 3, 2 * (n // 3)
+    batches = [
+        (0, docs.filter(F.col("doc_id") < s1)),
+        (1, docs.filter((F.col("doc_id") >= s1) & (F.col("doc_id") < s2))),
+        (1, docs.filter((F.col("doc_id") >= s1) & (F.col("doc_id") < s2))),
+        (2, docs.filter(F.col("doc_id") >= s2)),
+    ]
+    for bid, b in batches:
+        dedup_ingest_batch(b, bid, out_dir, "text", "doc_id")
+    corpus = spark.read.parquet(os.path.join(out_dir, "corpus"))
+    return corpus.select(
+        "doc_id", "source", "n_chars", F.col("batch").cast("long").alias("batch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q200: linear quality-classifier inference
+# ---------------------------------------------------------------------------
+
+#: fixed published-style weights (1e-6 fixed point): longer docs and
+#: stopword-bearing prose score up; very long mean word length down.
+_Q200_WEIGHTS = (
+    ("n_tokens_k", 200_000),
+    ("stop_frac", 1_500_000),
+    ("mean_wlen", -300_000),
+)
+_Q200_BIAS = -1_000_000
+_Q200_STOP = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _q200_oracle() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in _Q200_STOP)
+    weights = ", ".join(f"('{f}', {w})" for f, w in _Q200_WEIGHTS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN w IN ({stop_list}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS stop_hits,
+         CAST(SUM(length(w)) AS BIGINT) AS chars
+  FROM toks GROUP BY 1
+),
+feats AS (
+  SELECT doc_id, 'n_tokens_k' AS feature,
+         CAST(n_tokens * 1000 AS BIGINT) AS x_fp FROM base
+  UNION ALL
+  SELECT doc_id, 'stop_frac', CAST((stop_hits * 1000000) // n_tokens
+                                   AS BIGINT) FROM base
+  UNION ALL
+  SELECT doc_id, 'mean_wlen', CAST((chars * 1000000) // n_tokens
+                                   AS BIGINT) FROM base
+),
+wt(feature, w_fp) AS (VALUES {weights}),
+dot AS (
+  SELECT doc_id, CAST(SUM(x_fp * w_fp) AS BIGINT) AS d
+  FROM feats JOIN wt USING (feature) GROUP BY 1
+),
+zs AS (SELECT doc_id,
+              CAST({_Q200_BIAS} + d // 1000000 AS BIGINT) AS z_fp
+       FROM dot)
+SELECT doc_id, z_fp,
+       CAST(ROUND(1.0 / (1.0 + exp(-(CAST(z_fp AS DOUBLE) / 1000000)))
+                  * 1000000) AS BIGINT) AS p_fp,
+       CAST(ROUND(1.0 / (1.0 + exp(-(CAST(z_fp AS DOUBLE) / 1000000)))
+                  * 1000000) AS BIGINT) >= 500000 AS accepted
+FROM zs
+"""
+
+
+@query(
+    "q200_quality_logistic",
+    oracle=_q200_oracle(),
+    tags=("curation", "scoring", "classifier"),
+)
+def q200_quality_logistic(spark, sf_dir):
+    """Linear quality-classifier inference (operators/scoring.py): a
+    broadcast weight TABLE against a long-form fixed-point feature
+    matrix -- the fastText-style serving shape. Exact-integer logit;
+    only the final sigmoid is floating point, rounded at 1e-6 (the
+    lm_score libm convention)."""
+    from ..functions.text import tokens as _tok
+    from ..operators.scoring import logistic_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tok(F.lower(F.col("text")))).alias("w")
+    )
+    base = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("w").isin(*_Q200_STOP), 1).otherwise(0)
+        ).alias("stop_hits"),
+        F.sum(F.length("w")).alias("chars"),
+    )
+    feats = (
+        base.select(
+            "doc_id",
+            F.lit("n_tokens_k").alias("feature"),
+            (F.col("n_tokens") * 1000).cast("long").alias("x_fp"),
+        )
+        .unionByName(
+            base.select(
+                "doc_id",
+                F.lit("stop_frac").alias("feature"),
+                F.expr("(stop_hits * 1000000) div n_tokens")
+                .cast("long")
+                .alias("x_fp"),
+            )
+        )
+        .unionByName(
+            base.select(
+                "doc_id",
+                F.lit("mean_wlen").alias("feature"),
+                F.expr("(chars * 1000000) div n_tokens")
+                .cast("long")
+                .alias("x_fp"),
+            )
+        )
+    )
+    weights = spark.createDataFrame(
+        list(_Q200_WEIGHTS), "feature string, w_fp long"
+    )
+    return logistic_score(
+        feats, weights, "doc_id", bias_fp=_Q200_BIAS, threshold_fp=500_000
+    )

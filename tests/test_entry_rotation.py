@@ -121,6 +121,9 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q195_random_projection",
         "q196_token_entropy",
         "q197_scene_cuts",
+        "q198_dsir_weights",
+        "q199_dedup_ingest_replay",
+        "q200_quality_logistic",
     }
 )
 

@@ -83,6 +83,8 @@ ALLOWED_BNLJ = {
     "q190_bm25_topk": "1-row corpus-stats scalar broadcast",
     # same corpus-stats scalar inside the fused BM25 leg
     "q191_rrf_fusion": "1-row corpus-stats scalar broadcast (BM25 leg)",
+    # 1-row (tt, tr) feature-total scalar broadcast into the 64-row model
+    "q198_dsir_weights": "1-row feature-totals scalar broadcast",
     # same counts core as q168: two 1-row side-total scalar broadcasts
     "q175_category_monitor_replay": "1-row side-total scalar broadcasts",
 }

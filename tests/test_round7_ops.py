@@ -434,3 +434,66 @@ def test_scene_cut_flags_exactly_the_break(spark, sf_dir):
         # the only cut is at the scene break (frame 3)
         assert frames[3] is True
         assert all(frames[f] is False for f in (1, 2, 4, 5))
+
+
+# ------------------------------------------------- q198-q200 (batch E)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from pos_data_insertion_etl_spark.operators.dsir import dsir_weights
+
+    target_text = "alpha beta gamma delta alpha beta"
+    rows = (
+        [(i, "tgt", target_text) for i in range(4)]
+        + [(10 + i, "raw", target_text) for i in range(2)]  # target-like
+        + [(20 + i, "raw", "zeta eta theta iota kappa mu") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in dsir_weights(
+        docs, F.col("source") == "tgt").collect()}
+    # raw docs that repeat the target's bigrams score above the
+    # off-distribution raw docs, and are the selected ones
+    assert out[10].logweight_fp > out[20].logweight_fp
+    assert out[10].selected is True
+    assert out[20].selected is False
+
+
+def test_dedup_ingest_replay_is_idempotent_per_batch(spark, sf_dir):
+    """Driving the same micro-batch twice through the real persist path
+    must leave the corpus identical to driving it once."""
+    import shutil
+
+    from pos_data_insertion_etl_spark.streaming.jobs import dedup_ingest_batch
+
+    out = "/tmp/graft_test_dedup_replay_once"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    dedup_ingest_batch(docs, 0, out, "text", "doc_id")
+    once = sorted(
+        r.doc_id for r in spark.read.parquet(out + "/corpus").collect()
+    )
+    dedup_ingest_batch(docs, 0, out, "text", "doc_id")  # replay
+    twice = sorted(
+        r.doc_id for r in spark.read.parquet(out + "/corpus").collect()
+    )
+    assert once == twice
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_logistic_score_monotone_in_logit(spark):
+    from pos_data_insertion_etl_spark.operators.scoring import logistic_score
+
+    feats = spark.createDataFrame(
+        [(1, "f", 1_000_000), (2, "f", 2_000_000), (3, "f", -1_000_000),
+         (3, "unknown_feature", 99)],
+        "id long, feature string, x_fp long",
+    )
+    weights = spark.createDataFrame(
+        [("f", 1_000_000)], "feature string, w_fp long"
+    )
+    out = {r.id: r for r in logistic_score(feats, weights, "id").collect()}
+    assert out[1].z_fp == 1_000_000 and out[1].p_fp > 500_000
+    assert out[2].p_fp > out[1].p_fp > out[3].p_fp
+    assert out[3].accepted is False and out[2].accepted is True
+    # sigmoid bounds
+    assert all(0 <= r.p_fp <= 1_000_000 for r in out.values())
