@@ -293,3 +293,29 @@ def ntile_bins(
         .withColumn(bin_col, tile.cast("long"))
         .drop("_seq", "_n")
     )
+
+
+def group_stable_split(
+    df: DataFrame,
+    group_col: str,
+    val_hex: str = "cc",
+    test_hex: str = "e6",
+) -> DataFrame:
+    """Leakage-correct train/val/test assignment: the split key is the
+    md5 of the GROUP (source/domain/site), so every row of a group
+    lands in the same split -- the property q47's per-document hash
+    split cannot give (near-duplicate documents from one site straddle
+    a doc-level split and leak train content into eval).
+
+    Thresholds compare the first two md5 hex digits as strings
+    ('cc' ~ 80%, 'e6' ~ 90% -- q47's published constants), which is
+    engine-portable without any hex parsing. Adds a `split` column;
+    a pure projection, no shuffle.
+    """
+    h2 = F.substring(F.md5(F.col(group_col).cast("string")), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(h2 < F.lit(val_hex), F.lit("train"))
+        .when(h2 < F.lit(test_hex), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -399,3 +399,75 @@ def categorical_drift(
     return categorical_drift_from_counts(
         counts(old), counts(new), top_k=top_k
     )
+
+
+def grouped_winsorize_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    p_lo_num: int = 1,
+    p_hi_num: int = 19,
+    p_den: int = 20,
+) -> DataFrame:
+    """EXACT per-group winsorization summary: clip each group's values
+    at its type-1 p_lo and p_hi quantiles (rank ceil(p*n), total order
+    (value, id)) and report what clipping did -- the outlier-damping
+    transform applied per stratum before aggregate statistics.
+
+    This is the exact per-GROUP complement of the approximate global
+    summaries (quantile_summary / grouped_quantile_summary): exact
+    quantiles need a per-group sort, which is scale-correct HERE
+    because the window partitions by the group key -- each stratum
+    sorts independently, nothing global.
+
+    Output per key: [key, n, lo, hi, n_clipped_lo, n_clipped_hi,
+    winsorized_sum] with winsorized_sum exact (integer values in,
+    integer sum out).
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("key").orderBy("v", "_id")
+    ranked = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(value_col).cast("long").alias("v"),
+            F.col(id_col).alias("_id"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("key")))
+        .localCheckpoint(eager=False)
+    )  # one per-group sort feeds both the bound pick and the clip pass
+    lo_rank = F.expr(f"(n * {p_lo_num} + {p_den} - 1) div {p_den}")
+    hi_rank = F.expr(f"(n * {p_hi_num} + {p_den} - 1) div {p_den}")
+    bounds = (
+        ranked.filter(
+            (F.col("rn") == F.greatest(lo_rank, F.lit(1)))
+            | (F.col("rn") == F.greatest(hi_rank, F.lit(1)))
+        )
+        .groupBy("key")
+        .agg(
+            F.min(F.when(F.col("rn") == F.greatest(lo_rank, F.lit(1)), F.col("v"))).alias("lo"),
+            F.max(F.when(F.col("rn") == F.greatest(hi_rank, F.lit(1)), F.col("v"))).alias("hi"),
+        )
+    )
+    return (
+        ranked.join(bounds, "key")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("lo").cast("long").alias("lo"),
+            F.min("hi").cast("long").alias("hi"),
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_hi"),
+            F.sum(
+                F.greatest(F.least(F.col("v"), F.col("hi")), F.col("lo"))
+            )
+            .cast("long")
+            .alias("winsorized_sum"),
+        )
+    )

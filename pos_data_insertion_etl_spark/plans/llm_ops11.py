@@ -574,3 +574,155 @@ def q200_quality_logistic(spark, sf_dir):
     return logistic_score(
         feats, weights, "doc_id", bias_fp=_Q200_BIAS, threshold_fp=500_000
     )
+
+
+# ---------------------------------------------------------------------------
+# q201: group-stable (leakage-correct) split
+# ---------------------------------------------------------------------------
+
+_GROUP_SPLIT_ORACLE = """
+SELECT doc_id, source,
+       CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@query(
+    "q201_group_split",
+    oracle=_GROUP_SPLIT_ORACLE,
+    tags=("curation", "split", "leakage"),
+)
+def q201_group_split(spark, sf_dir):
+    """Leakage-correct train/val/test assignment
+    (operators/mixture.group_stable_split): the hash key is the SOURCE,
+    so near-duplicate documents from one site can never straddle the
+    split -- the property q47's per-document split cannot give. Pure
+    projection, no shuffle."""
+    from ..operators.mixture import group_stable_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_stable_split(docs, "source")
+
+
+# ---------------------------------------------------------------------------
+# q202: exact per-group winsorization
+# ---------------------------------------------------------------------------
+
+_WINSORIZE_ORACLE = """
+WITH ranked AS (
+  SELECT source AS key, n_chars AS v, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+bounds AS (
+  SELECT key,
+         MIN(CASE WHEN rn = GREATEST((n * 1 + 19) // 20, 1) THEN v END)
+             AS lo,
+         MAX(CASE WHEN rn = GREATEST((n * 19 + 19) // 20, 1) THEN v END)
+             AS hi
+  FROM ranked GROUP BY key
+)
+SELECT r.key, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(b.lo) AS BIGINT) AS lo, CAST(MIN(b.hi) AS BIGINT) AS hi,
+       CAST(SUM(CASE WHEN r.v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_lo,
+       CAST(SUM(CASE WHEN r.v > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_hi,
+       CAST(SUM(GREATEST(LEAST(r.v, b.hi), b.lo)) AS BIGINT)
+           AS winsorized_sum
+FROM ranked r JOIN bounds b USING (key)
+GROUP BY r.key
+"""
+
+
+@query(
+    "q202_winsorize",
+    oracle=_WINSORIZE_ORACLE,
+    tags=("quality", "quantiles", "robust-stats"),
+)
+def q202_winsorize(spark, sf_dir):
+    """Exact per-source winsorization of document lengths at the
+    type-1 p05/p95 quantiles (operators/quantiles
+    .grouped_winsorize_stats): the per-group sort is scale-correct
+    because the window partitions by the stratum; integer rank
+    arithmetic and integer sums keep every column exact."""
+    from ..operators.quantiles import grouped_winsorize_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return grouped_winsorize_stats(
+        docs, "source", "n_chars", "doc_id", 1, 19, 20
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203: crawl-frontier expansion (sitemap -> robots composition)
+# ---------------------------------------------------------------------------
+
+_FRONTIER_ROBOTS = (
+    "User-agent: *\n"
+    "Disallow: /blog/\n"
+    "Allow: /blog/sitemap-tips-1*\n"
+    "Disallow: /page/*/b\n"
+)
+
+#: hand-derived decision table over q174's synthesized page URLs
+#: (q173's independent-re-derivation convention):
+#: * /page/N/a  -> no rule matches           -> allowed
+#: * /page/N/b  -> 'Disallow: /page/*/b'     -> blocked
+#: * /blog/sitemap-tips-N -> 'Disallow: /blog/' (6 chars) vs
+#:   'Allow: /blog/sitemap-tips-1*' (longer, wins when it matches,
+#:   i.e. when N's decimal form starts with '1')
+_FRONTIER_ORACLE = """
+WITH ids AS (SELECT doc_id FROM documents),
+pages AS (
+  SELECT doc_id,
+         'https://ex.com/page/' || CAST(doc_id AS VARCHAR) || '/a' AS url,
+         TRUE AS allowed
+  FROM ids WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id,
+         'https://ex.com/page/' || CAST(doc_id AS VARCHAR) || '/b',
+         FALSE
+  FROM ids WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id,
+         'https://ex.com/blog/sitemap-tips-' || CAST(doc_id AS VARCHAR),
+         CAST(doc_id AS VARCHAR) LIKE '1%'
+  FROM ids WHERE doc_id % 3 = 2
+)
+SELECT doc_id, url, allowed FROM pages
+"""
+
+
+@query(
+    "q203_crawl_frontier",
+    oracle=_FRONTIER_ORACLE,
+    tags=("curation", "crawl", "composition"),
+)
+def q203_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier expansion composing two round-7 operators end to
+    end: q174's sitemap extraction seeds the page set (sitemapindex
+    entries excluded), then operators/quality.robots_allowed evaluates
+    a fixed RFC 9309 rule set (wildcard + longest-match + allow-over-
+    disallow) against each page path. The oracle is a hand-derived
+    closed-form decision table -- an independent re-derivation of both
+    stages."""
+    from ..operators.quality import robots_allowed
+    from .llm_ops9 import q174_sitemap_urls
+
+    seeds = q174_sitemap_urls(spark, sf_dir).filter(~F.col("is_sitemap"))
+    staged = seeds.select(
+        "doc_id",
+        "url",
+        F.lit(_FRONTIER_ROBOTS).alias("_robots"),
+        F.regexp_replace("url", r"^https://ex\.com", "").alias("_path"),
+    )
+    return staged.select(
+        "doc_id",
+        "url",
+        robots_allowed(staged, "_robots", "_path").alias("allowed"),
+    )

@@ -124,6 +124,9 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q198_dsir_weights",
         "q199_dedup_ingest_replay",
         "q200_quality_logistic",
+        "q201_group_split",
+        "q202_winsorize",
+        "q203_crawl_frontier",
     }
 )
 

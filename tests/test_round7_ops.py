@@ -497,3 +497,57 @@ def test_logistic_score_monotone_in_logit(spark):
     assert out[3].accepted is False and out[2].accepted is True
     # sigmoid bounds
     assert all(0 <= r.p_fp <= 1_000_000 for r in out.values())
+
+
+# ------------------------------------------------- q201-q203 (batch F)
+
+
+def test_group_split_never_straddles_a_group(spark, sf_dir):
+    from pos_data_insertion_etl_spark.operators.mixture import (
+        group_stable_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = group_stable_split(docs, "source")
+    per_source = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert per_source and all(r.k == 1 for r in per_source)
+    assert set(
+        r.split for r in out.select("split").distinct().collect()
+    ) <= {"train", "val", "test"}
+
+
+def test_winsorize_bounds_and_clip_counts(spark):
+    from pos_data_insertion_etl_spark.operators.quantiles import (
+        grouped_winsorize_stats,
+    )
+
+    rows = [("s", v, i) for i, v in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+         19, 1000])]
+    df = spark.createDataFrame(rows, "key string, v long, id long")
+    out = grouped_winsorize_stats(df, "key", "v", "id", 1, 19, 20).collect()
+    r = out[0]
+    # n=20: lo rank ceil(20/20)=1 -> value 1; hi rank ceil(380/20)=19
+    # -> value 19; the 1000 outlier is clipped high
+    assert (r.n, r.lo, r.hi) == (20, 1, 19)
+    assert r.n_clipped_lo == 0 and r.n_clipped_hi == 1
+    assert r.winsorized_sum == sum(range(1, 20)) + 19
+
+
+def test_crawl_frontier_decision_table(spark, sf_dir):
+    from pos_data_insertion_etl_spark.plans import all_queries
+
+    rows = all_queries()["q203_crawl_frontier"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.url.endswith("/a"):
+            assert r.allowed is True
+        elif r.url.endswith("/b"):
+            assert r.allowed is False
+        else:  # /blog/sitemap-tips-N
+            n = r.url.rsplit("-", 1)[1]
+            assert r.allowed is n.startswith("1")
