@@ -85,11 +85,16 @@ HEADLINE = [
     "q151_ce_decile_bins",
     "q154_dup_ngram_fraction",
     # round 7 additions: the bounded corpus-wide kNN graph (bucket
-    # self-join + md5 candidate cap), the streaming TAR source, and
-    # the single-scan ExactSubstr duplicate-span extractor
+    # self-join + md5 candidate cap), the streaming TAR source, the
+    # single-scan ExactSubstr duplicate-span extractor, the iterative
+    # Lloyd k-means, the exact prefix-filter similarity join, and the
+    # DSIR bucket-model scorer
     "q169_knn_graph_bounded",
     "q170_tar_fixed_width",
     "q179_duplicate_spans",
+    "q182_kmeans_lloyd",
+    "q189_setsim_prefix_join",
+    "q198_dsir_weights",
 ]
 
 
