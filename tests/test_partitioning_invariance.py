@@ -43,6 +43,11 @@ SAMPLE = [
                                      # the emitted invariants must not be
     "q176_quantile_monitor_replay",  # persisted-store replay analog
     "q179_duplicate_spans",          # gaps-and-islands span merge
+    "q182_kmeans_lloyd",             # iterative collect-broadcast loop
+    "q189_setsim_prefix_join",       # freq-ordered prefix candidate join
+    "q196_token_entropy",            # per-term fixed-point ln sums
+    "q198_dsir_weights",             # hashed-bucket model + int weights
+    "q199_dedup_ingest_replay",      # persist-path replay analog
 ]
 
 #: (shuffle partitions, file split bytes) -- deliberately awkward:
