@@ -90,12 +90,29 @@ def prefix_filter_jaccard_join(
         <= F.col("_sz")
         - F.expr(f"(_sz * {t_num} + {t_den} - 1) div {t_den}")
         + F.lit(1)
-    ).select(F.col("_id").alias("id_a"), "_d")
+    ).select("_id", "_d", "_sz")
+    # PREFIX x PREFIX candidates (Chaudhuri/Xiao): if J(x,y) >= t the
+    # required overlap is >= ceil(t*max(|x|,|y|)) >= ceil(t*|x|) and
+    # >= ceil(t*|y|), so BOTH canonical prefixes must share an element
+    # -- indexing only prefixes cuts the posting lists roughly in half
+    # at t=1/2 (measured 4.8 s -> see PLANS.md). The size filter is the
+    # other standard prune: J >= t forces t*|x| <= |y| (and vice
+    # versa), checked with exact integer cross-multiplication.
     cands = (
-        prefix.join(
-            sd.select(F.col("_id").alias("id_b"), "_d"), "_d"
+        prefix.select(
+            F.col("_id").alias("id_a"), "_d", F.col("_sz").alias("_sza")
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .join(
+            prefix.select(
+                F.col("_id").alias("id_b"), "_d", F.col("_sz").alias("_szb")
+            ),
+            "_d",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_szb") * t_den >= F.col("_sza") * t_num)
+            & (F.col("_sza") * t_den >= F.col("_szb") * t_num)
+        )
         .select("id_a", "id_b")
         .distinct()
     )
