@@ -372,3 +372,65 @@ def test_unigram_lm_matches_reference(spark, texts, top_v):
         assert n_got == len(ts) and abs(ce_got - ce_exact) <= 5.1e-7, (
             i, got[i], (len(ts), ce_exact),
         )
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_jaccard_join == brute force (exactness of the filter)
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(docs: list[tuple[int, str]], t: float):
+    import hashlib
+
+    def trigram_set(text: str):
+        toks = [w for w in text.lower().split()]
+        grams = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        return {hashlib.md5(g.encode()).hexdigest() for g in grams}
+
+    sets = {i: trigram_set(s) for i, s in docs}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter / union >= t:
+                out[(a, b)] = inter
+    return out
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta".split()),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_prefix_filter_join_equals_brute_force(spark, texts):
+    """The prefix filter + size filter may prune CANDIDATES but must
+    never prune a true pair: against a tiny dense vocabulary (worst
+    case for prefix selectivity) the operator's output must equal the
+    brute-force all-pairs Jaccard >= 1/2."""
+    from pos_data_insertion_etl_spark.operators.setsim import (
+        prefix_filter_jaccard_join,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.n_common
+        for r in prefix_filter_jaccard_join(
+            df, t_num=1, t_den=2
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(docs, 0.5)
