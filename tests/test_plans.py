@@ -237,3 +237,14 @@ def test_knn_graph_candidate_cap_is_in_the_plan(spark, sf_dir):
     assert plan.count("Window") >= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kmeans_final_assignment_is_pure_projection(spark, sf_dir):
+    """q182's scale contract: with centroids shipped as literals, the
+    FINAL assignment plan is one parquet scan with zero joins and zero
+    exchanges (the iterative work happens in bounded collect jobs
+    during construction, not in this plan)."""
+    plan = _executed_plan(QUERIES["q182_kmeans_lloyd"].spark(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
