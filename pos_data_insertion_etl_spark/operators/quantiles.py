@@ -471,3 +471,64 @@ def grouped_winsorize_stats(
             .alias("winsorized_sum"),
         )
     )
+
+
+def grouped_mad_outlier_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k_mad: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier census via Median Absolute Deviation:
+    med = the group's type-1 median (rank ceil(n/2), total order
+    (value, id)), mad = type-1 median of |v - med| (order (dev, id)),
+    outlier test |v - med| > k_mad * mad. Entirely exact-integer for
+    integer inputs; the two per-group sorts are scale-correct because
+    each window partitions by the stratum (the winsorize argument).
+
+    Output per key: [key, n, med, mad, n_outliers].
+    """
+    from pyspark.sql.window import Window as W
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(id_col).alias("_id"),
+    )
+    w1 = W.partitionBy("key").orderBy("v", "_id")
+    ranked = base.withColumn("rn", F.row_number().over(w1)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("key"))
+    )
+    med = (
+        ranked.filter(F.col("rn") == F.expr("greatest((n + 1) div 2, 1)"))
+        .select("key", F.col("v").alias("med"))
+    )
+    devs = (
+        base.join(med, "key")
+        .withColumn("dev", F.abs(F.col("v") - F.col("med")))
+        .localCheckpoint(eager=False)
+    )  # one join feeds both the mad pick and the outlier count
+    w2 = W.partitionBy("key").orderBy("dev", "_id")
+    mad = (
+        devs.withColumn("rn", F.row_number().over(w2))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("key")))
+        .filter(F.col("rn") == F.expr("greatest((n + 1) div 2, 1)"))
+        .select("key", F.col("dev").alias("mad"))
+    )
+    return (
+        devs.join(mad, "key")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med").cast("long").alias("med"),
+            F.min("mad").cast("long").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("dev") > F.lit(k_mad) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -726,3 +726,145 @@ def q203_crawl_frontier(spark, sf_dir):
         "url",
         robots_allowed(staged, "_robots", "_path").alias("allowed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q204: blocked fuzzy (edit-distance) join
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH sized AS (
+  SELECT p_partkey, p_name, p_size FROM (
+    SELECT p_partkey, p_name, p_size,
+           COUNT(*) OVER (PARTITION BY p_size) AS bsz
+    FROM part) t
+  WHERE bsz <= 1000
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM sized a JOIN sized b
+  ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+WHERE ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query(
+    "q204_fuzzy_name_join",
+    oracle=_FUZZY_ORACLE,
+    tags=("fuzzy", "entity-resolution", "dedup"),
+)
+def q204_fuzzy_name_join(spark, sf_dir):
+    """Blocked edit-distance similarity join (operators/fuzzy.py):
+    part names within the same size class at levenshtein <= 2 -- the
+    record-linkage shape set-based dedup cannot see. Block-guarded
+    self-join, exact length-difference prefilter before the DP;
+    levenshtein probed identical across engines."""
+    from ..operators.fuzzy import edit_distance_join
+
+    part = load_table(spark, sf_dir, "part")
+    return edit_distance_join(
+        part, "p_partkey", "p_name", "p_size", max_dist=2, max_block=1000
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205: robust per-group outlier census (MAD)
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH base AS (SELECT source AS key, n_chars AS v, doc_id FROM documents),
+r1 AS (
+  SELECT key, v, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY v, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY key) AS n
+  FROM base
+),
+med AS (SELECT key, v AS med FROM r1 WHERE rn = GREATEST((n + 1) // 2, 1)),
+devs AS (
+  SELECT b.key, b.doc_id, ABS(b.v - m.med) AS dev, m.med
+  FROM base b JOIN med m USING (key)
+),
+r2 AS (
+  SELECT key, dev,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY dev, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY key) AS n
+  FROM devs
+),
+mad AS (SELECT key, dev AS mad FROM r2 WHERE rn = GREATEST((n + 1) // 2, 1))
+SELECT d.key, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(d.med) AS BIGINT) AS med,
+       CAST(MIN(m.mad) AS BIGINT) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM devs d JOIN mad m USING (key)
+GROUP BY d.key
+"""
+
+
+@query(
+    "q205_mad_outliers",
+    oracle=_MAD_ORACLE,
+    tags=("quality", "robust-stats", "outliers"),
+)
+def q205_mad_outliers(spark, sf_dir):
+    """Per-source robust outlier census via Median Absolute Deviation
+    (operators/quantiles.grouped_mad_outlier_stats): two exact type-1
+    per-group medians (value, then |v - med|), |v - med| > 3*MAD test,
+    all integer arithmetic; the per-stratum windows keep the sorts
+    scale-correct."""
+    from ..operators.quantiles import grouped_mad_outlier_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return grouped_mad_outlier_stats(
+        docs, "source", "n_chars", "doc_id", k_mad=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206: Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+def _benford_oracle() -> str:
+    from ..operators.audit import _LADDER, BENFORD_FP
+
+    ladder = " ".join(f"WHEN t >= {p} THEN t // {p}" for p in _LADDER)
+    probs = " ".join(f"WHEN {d} THEN {p}" for d, p in BENFORD_FP.items())
+    return f"""
+WITH base AS (
+  SELECT CAST(FLOOR(ABS(l_extendedprice)) AS BIGINT) AS t
+  FROM lineitem WHERE FLOOR(ABS(l_extendedprice)) >= 1
+),
+dig AS (SELECT CASE {ladder} ELSE t END AS d FROM base),
+counts AS (
+  SELECT CAST(d AS INTEGER) AS digit, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM dig GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM counts)
+SELECT digit, observed,
+       CAST((tot.n * (CASE digit {probs} ELSE 0 END)) // 1000 AS BIGINT)
+           AS expected_milli,
+       CAST(ABS(observed * 1000
+                - (tot.n * (CASE digit {probs} ELSE 0 END)) // 1000)
+            AS BIGINT) AS dev_milli
+FROM counts CROSS JOIN tot
+"""
+
+
+@query(
+    "q206_benford_audit",
+    oracle=_benford_oracle(),
+    tags=("audit", "quality", "relational"),
+)
+def q206_benford_audit(spark, sf_dir):
+    """Benford first-digit conformance of extended prices
+    (operators/audit.py): FLOOR + integer CASE ladder for the digit
+    (never CAST(double AS BIGINT), whose rounding differs across
+    engines), precomputed fixed-point Benford probabilities, one
+    9-group aggregate."""
+    from ..operators.audit import benford_first_digit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford_first_digit(li, "l_extendedprice")

@@ -127,6 +127,9 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q201_group_split",
         "q202_winsorize",
         "q203_crawl_frontier",
+        "q204_fuzzy_name_join",
+        "q205_mad_outliers",
+        "q206_benford_audit",
     }
 )
 

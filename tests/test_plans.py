@@ -85,6 +85,8 @@ ALLOWED_BNLJ = {
     "q191_rrf_fusion": "1-row corpus-stats scalar broadcast (BM25 leg)",
     # 1-row (tt, tr) feature-total scalar broadcast into the 64-row model
     "q198_dsir_weights": "1-row feature-totals scalar broadcast",
+    # 1-row digit-total scalar broadcast into the expected counts
+    "q206_benford_audit": "1-row total-count scalar broadcast",
     # same counts core as q168: two 1-row side-total scalar broadcasts
     "q175_category_monitor_replay": "1-row side-total scalar broadcasts",
 }

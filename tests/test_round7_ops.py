@@ -551,3 +551,67 @@ def test_crawl_frontier_decision_table(spark, sf_dir):
         else:  # /blog/sitemap-tips-N
             n = r.url.rsplit("-", 1)[1]
             assert r.allowed is n.startswith("1")
+
+
+# ------------------------------------------------- q204-q206 (batch G)
+
+
+def test_fuzzy_join_finds_one_edit_pairs_within_blocks_only(spark):
+    from pos_data_insertion_etl_spark.operators.fuzzy import (
+        edit_distance_join,
+    )
+
+    rows = [
+        (1, "blue bolt", 5),
+        (2, "blue belt", 5),    # dist 1, same block
+        (3, "blue bolt", 9),    # identical name, DIFFERENT block
+        (4, "red widget", 5),   # far from everything
+        (5, "blue bolts", 5),   # dist 1 via insert
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk int")
+    out = {(r.id_a, r.id_b): r.dist for r in edit_distance_join(
+        df, "id", "name", "blk", max_dist=2).collect()}
+    assert out[(1, 2)] == 1 and out[(1, 5)] == 1 and out[(2, 5)] == 2
+    assert not any(3 in pair for pair in out), "cross-block pair leaked"
+    assert not any(4 in pair for pair in out)
+
+
+def test_mad_outliers_fixture(spark):
+    from pos_data_insertion_etl_spark.operators.quantiles import (
+        grouped_mad_outlier_stats,
+    )
+
+    # values 1..9 plus an extreme outlier; median=5(rank5 of 10),
+    # devs sorted: 0,1,1,2,2,3,3,4,4,995 -> mad = rank-5 dev = 2
+    rows = [("s", v, i) for i, v in enumerate([1,2,3,4,5,6,7,8,9,1000])]
+    df = spark.createDataFrame(rows, "key string, v long, id long")
+    r = grouped_mad_outlier_stats(df, "key", "v", "id", 3).collect()[0]
+    assert (r.n, r.med, r.mad) == (10, 5, 2)
+    # outliers: dev > 6 -> only the 1000 (dev 995)
+    assert r.n_outliers == 1
+
+
+def test_benford_digits_partition_and_bound(spark, sf_dir):
+    from pos_data_insertion_etl_spark.operators.audit import (
+        benford_first_digit,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = benford_first_digit(li, "l_extendedprice").collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    total = sum(r.observed for r in rows)
+    assert total == li.filter(F.abs(F.col("l_extendedprice")) >= 1).count()
+    for r in rows:
+        assert r.dev_milli == abs(r.observed * 1000 - r.expected_milli)
+
+
+def test_first_digit_ladder_exact(spark):
+    from pos_data_insertion_etl_spark.operators.audit import (
+        benford_first_digit,
+    )
+
+    vals = [1.0, 9.99, 10.5, 99.0, 123456789.5, 7e13, -456.2]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = benford_first_digit(df, "x").collect()
+    got = {r.digit: r.observed for r in rows}
+    assert got == {1: 3, 9: 2, 7: 1, 4: 1}
