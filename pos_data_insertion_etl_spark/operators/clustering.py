@@ -38,7 +38,7 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 VEC_SCALE = 10_000_000  # 1e-7 fixed-point (functions.vectors.SCALE)
