@@ -444,3 +444,115 @@ def knn_outlier_scores(
             ).alias("is_outlier"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    iters: int = 10,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to a SEED set
+    instead of uniformly -- the seed-expansion primitive ("find
+    documents/pages relevant to this trusted set") that turns a link
+    or kNN graph into a curation signal, the way DSIR turns n-gram
+    statistics into one.
+
+    Same exact-integer fixed-point contract as ``pagerank`` (per-node
+    integer division with remainder kept, damping as a rational via
+    integer div, one contribution shuffle per iteration, lineage cut
+    per round); the only change is the teleport term:
+    (1-d) * PR_SCALE * N / den div |S| on seed nodes, 0 elsewhere
+    (total teleport mass matches the uniform variant, so ranks stay
+    comparable across the two operators).
+
+    ``seeds``: one column [node]. Returns [node, rank_fp, rank,
+    is_seed].
+    """
+    sym = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct()
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    seed_nodes = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .join(nodes, "node", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("seed set shares no node with the graph")
+    out_deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (
+        nodes.join(out_deg, nodes.node == out_deg.src, "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .join(
+            seed_nodes.withColumn("_is_seed", F.lit(True)), "node", "left"
+        )
+        .select(
+            "node", "deg", F.coalesce("_is_seed", F.lit(False)).alias(
+                "is_seed"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    # total teleport mass = N * (1-d)/den * PR_SCALE, split across seeds
+    teleport_seed = (
+        (damping_den - damping_num) * PR_SCALE * n_nodes
+    ) // (damping_den * n_seeds)
+    ranks = base.select(
+        "node", F.lit(PR_SCALE).cast("long").alias("rank_fp")
+    )
+    for _ in range(iters):
+        state = base.join(ranks, "node").select(
+            "node",
+            "deg",
+            "rank_fp",
+            F.expr(
+                "CASE WHEN deg > 0 THEN rank_fp div deg ELSE 0 END"
+            ).alias("contrib"),
+        )
+        kept = state.select(
+            "node",
+            (F.col("rank_fp") - F.col("deg") * F.col("contrib")).alias(
+                "kept_fp"
+            ),
+        )
+        inflow = (
+            sym.join(
+                state.select(F.col("node").alias("src"), "contrib"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("in_fp"))
+        )
+        ranks = (
+            base.select("node", "is_seed")
+            .join(kept, "node")
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"(CASE WHEN is_seed THEN {teleport_seed} ELSE 0 END)"
+                    f" + ((kept_fp + coalesce(in_fp, 0))"
+                    f" * {damping_num}) div {damping_den}"
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        base.select("node", "is_seed")
+        .join(ranks, "node")
+        .select(
+            "node",
+            "rank_fp",
+            (F.col("rank_fp").cast("double") / PR_SCALE).alias("rank"),
+            "is_seed",
+        )
+    )

@@ -615,3 +615,69 @@ def test_first_digit_ladder_exact(spark):
     rows = benford_first_digit(df, "x").collect()
     got = {r.digit: r.observed for r in rows}
     assert got == {1: 3, 9: 2, 7: 1, 4: 1}
+
+
+# --------------------------------------------- round-8 queue operators
+
+
+def test_personalized_pagerank_concentrates_on_seed_side(spark):
+    from pos_data_insertion_etl_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    # two triangles bridged by one edge; seeds in the left triangle
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4)]
+    g = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    ppr = {r.node: r for r in personalized_pagerank(g, seeds, iters=10).collect()}
+    assert all(ppr[n].is_seed is (n in (1, 2)) for n in ppr)
+    left = sum(ppr[n].rank_fp for n in (1, 2, 3))
+    right = sum(ppr[n].rank_fp for n in (4, 5, 6))
+    assert left > right  # teleport pulls mass to the seed side
+    # uniform pagerank on the same graph is much more balanced
+    pr = {r.node: r.rank_fp for r in pagerank(g, iters=10).collect()}
+    left_u = sum(pr[n] for n in (1, 2, 3))
+    right_u = sum(pr[n] for n in (4, 5, 6))
+    assert left / max(right, 1) > left_u / max(right_u, 1)
+    # total mass conserved within truncation drift (< iters * N units)
+    total = sum(r.rank_fp for r in ppr.values())
+    assert abs(total - 6 * 1_000_000_000) < 10 * 6 * 100
+
+
+def test_personalized_pagerank_requires_overlapping_seeds(spark):
+    import pytest as _pytest
+
+    from pos_data_insertion_etl_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    g = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(g, seeds)
+
+
+def test_sorted_neighborhood_join_catches_cross_block_pairs(spark):
+    from pos_data_insertion_etl_spark.operators.fuzzy import (
+        sorted_neighborhood_join,
+    )
+
+    rows = [
+        (1, "blue bolt"),
+        (2, "blue belt"),     # 1 edit, sorts adjacent
+        (3, "blue bolts"),    # 1 edit from #1
+        (4, "red widget"),
+        (5, "zzz far away"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {(r.id_a, r.id_b): r.dist for r in sorted_neighborhood_join(
+        df, "id", "name", window=3, max_dist=2).collect()}
+    pairs = {frozenset(p) for p in out}
+    assert frozenset({1, 2}) in pairs
+    assert frozenset({1, 3}) in pairs
+    assert not any(5 in p for p in pairs)
+    # determinism across runs (two-phase rank + sampling-independent)
+    again = {(r.id_a, r.id_b): r.dist for r in sorted_neighborhood_join(
+        df, "id", "name", window=3, max_dist=2).collect()}
+    assert out == again
