@@ -277,3 +277,49 @@ def sample_video_frames(
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
         sample, FRAME_SCHEMA
     )
+
+
+def audio_frame_energy(
+    df: DataFrame, id_col: str, content_col: str, frame_len: int = 250
+) -> DataFrame:
+    """Windowed audio analysis through the real WAV codec: decode each
+    payload, split samples into fixed-length frames, emit one row per
+    frame with its exact integer energy (sum of squared samples) and
+    peak -- the spectrogram-proxy framing every audio-quality /
+    silence-detection pipeline starts from (int16 squares * frame_len
+    stay far inside int64).
+
+    Same Arrow-batch contract as extract_audio_features: media bytes
+    are decoded and reduced inside one mapInPandas pass; only
+    (id, frame_idx, small ints) ever shuffle.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav_codec import decode_wav
+
+        for pdf in batches:
+            ids, idxs, ns, energies, peaks = [], [], [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                samples, _rate = decode_wav(bytes(content))
+                arr = samples.astype(np.int64)
+                for f in range(0, len(arr), frame_len):
+                    w = arr[f : f + frame_len]
+                    ids.append(doc_id)
+                    idxs.append(f // frame_len)
+                    ns.append(len(w))
+                    energies.append(int((w * w).sum()))
+                    peaks.append(int(np.abs(w).max()) if len(w) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_samples": ns,
+                    "energy": energies,
+                    "peak": peaks,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        frames,
+        "doc_id long, frame_idx long, n_samples long, energy long, peak long",
+    )

@@ -79,3 +79,66 @@ def binned_range_join(
         )
         .drop("_bin")
     )
+
+
+def interval_overlap_join(
+    df: "DataFrame",
+    key_col: str,
+    lo_col: str,
+    hi_col: str,
+    order_cols: list[str],
+) -> "DataFrame":
+    """Interval-interval OVERLAP self-join within a partition key: all
+    pairs of rows sharing ``key_col`` whose [lo, hi] ranges intersect
+    (temporal-DB overlap semantics: a.lo <= b.hi AND b.lo <= a.hi),
+    plus the overlap length in days. The third member of the range
+    family: binned_range_join covers point-in-interval, asof covers
+    nearest-preceding; this covers interval x interval.
+
+    Pairs are canonicalized by strict lexicographic order over
+    ``order_cols`` (struct comparison -- identical in Spark and
+    DuckDB), so fully duplicate rows pair once-or-never identically
+    in any engine (the lineitem duplicate-(orderkey, linenumber)
+    hazard).
+
+    Scale: one equi-join on the partition key -- fan-out is
+    size-choose-2 per key, bounded by the key's group size (orders
+    hold a handful of lines); an unkeyed overlap join would need the
+    binned machinery instead.
+    """
+    cols = [F.col(c) for c in order_cols]
+    a = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(lo_col).alias("lo_a"),
+        F.col(hi_col).alias("hi_a"),
+        F.struct(*cols).alias("_oa"),
+        *[F.col(c).alias(f"{c}_a") for c in order_cols],
+    )
+    b = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(lo_col).alias("lo_b"),
+        F.col(hi_col).alias("hi_b"),
+        F.struct(*cols).alias("_ob"),
+        *[F.col(c).alias(f"{c}_b") for c in order_cols],
+    )
+    return (
+        a.join(b, "_k")
+        .filter(
+            (F.col("_oa") < F.col("_ob"))
+            & (F.col("lo_a") <= F.col("hi_b"))
+            & (F.col("lo_b") <= F.col("hi_a"))
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            *[F.col(f"{c}_a") for c in order_cols],
+            *[F.col(f"{c}_b") for c in order_cols],
+            (
+                F.datediff(
+                    F.least("hi_a", "hi_b"), F.greatest("lo_a", "lo_b")
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+    )

@@ -868,3 +868,133 @@ def q206_benford_audit(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return benford_first_digit(li, "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# q207: interval-interval overlap join
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH li AS (
+  -- the synthetic lineitem has no receiptdate; derive a deterministic
+  -- fulfillment window end: shipdate + (quantity % 10 + 1) days
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         CAST(l_shipdate AS DATE) AS l_shipdate,
+         CAST(l_shipdate AS DATE)
+             + CAST(CAST(l_quantity AS BIGINT) % 10 + 1 AS INTEGER)
+             AS l_receiptdate
+  FROM lineitem
+)
+SELECT a.l_orderkey,
+       a.l_linenumber AS l_linenumber_a, a.l_partkey AS l_partkey_a,
+       b.l_linenumber AS l_linenumber_b, b.l_partkey AS l_partkey_b,
+       CAST(date_diff('day', GREATEST(a.l_shipdate, b.l_shipdate),
+                      LEAST(a.l_receiptdate, b.l_receiptdate)) + 1
+            AS BIGINT) AS overlap_days
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey
+ AND (a.l_linenumber, a.l_partkey) < (b.l_linenumber, b.l_partkey)
+ AND a.l_shipdate <= b.l_receiptdate
+ AND b.l_shipdate <= a.l_receiptdate
+"""
+
+
+@query(
+    "q207_interval_overlap",
+    oracle=_OVERLAP_ORACLE,
+    tags=("range_join", "temporal", "relational"),
+)
+def q207_interval_overlap(spark, sf_dir):
+    """Interval x interval OVERLAP join (operators/rangejoin
+    .interval_overlap_join): pairs of lineitems in the same order
+    whose ship->receipt windows intersect, with exact overlap days --
+    the temporal-DB shape binned_range_join (point-in-interval) and
+    asof (nearest-preceding) don't cover. One equi-join on the order
+    key; fan-out bounded by order size. Pairs canonicalize by strict
+    struct comparison, so duplicate (orderkey, linenumber) rows
+    behave identically in both engines."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("l_shipdate", F.to_date("l_shipdate"))
+        .withColumn(
+            "l_receiptdate",
+            F.date_add(
+                F.col("l_shipdate"),
+                (F.col("l_quantity").cast("long") % 10 + 1).cast("int"),
+            ),
+        )
+    )
+    return interval_overlap_join(
+        li,
+        "l_orderkey",
+        "l_shipdate",
+        "l_receiptdate",
+        ["l_linenumber", "l_partkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208: audio frame-energy windows (real codec chain)
+# ---------------------------------------------------------------------------
+
+_AUDIO_DOCS = 120
+_FRAME_LEN = 250
+
+_FRAME_ENERGY_ORACLE = f"""
+SELECT d.doc_id,
+       CAST(i // {_FRAME_LEN} AS BIGINT) AS frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CAST(((d.doc_id * 31 + i * 17) % 4001) - 2000 AS BIGINT)
+                * CAST(((d.doc_id * 31 + i * 17) % 4001) - 2000 AS BIGINT))
+            AS BIGINT) AS energy,
+       CAST(MAX(ABS(((d.doc_id * 31 + i * 17) % 4001) - 2000)) AS BIGINT)
+           AS peak
+FROM documents d CROSS JOIN range(0, 1000) t(i)
+WHERE d.doc_id < {_AUDIO_DOCS}
+GROUP BY d.doc_id, i // {_FRAME_LEN}
+"""
+
+
+@query(
+    "q208_audio_frame_energy",
+    oracle=_FRAME_ENERGY_ORACLE,
+    tags=("multimodal", "audio", "windowing"),
+)
+def q208_audio_frame_energy(spark, sf_dir):
+    """Windowed audio energy through the REAL WAV chain
+    (multimodal/binary_ops.audio_frame_energy): q62's formula samples
+    are wave-encoded, decoded back, framed into 250-sample windows,
+    and reduced to exact integer energy/peak per frame inside one
+    Arrow pass. The closed-form oracle certifies the codec round-trip
+    AND the framing arithmetic."""
+    from ..multimodal.binary_ops import audio_frame_energy
+    from ..multimodal.wav_codec import encode_wav
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _AUDIO_DOCS)
+    )
+
+    def to_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        encode_wav(
+                            (
+                                ((int(d) * 31 + np.arange(1000) * 17) % 4001)
+                                - 2000
+                            ).astype(np.int16),
+                            8000,
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    wavs = docs.mapInPandas(to_wav, "doc_id long, content binary")
+    return audio_frame_energy(wavs, "doc_id", "content", _FRAME_LEN)

@@ -130,6 +130,8 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q204_fuzzy_name_join",
         "q205_mad_outliers",
         "q206_benford_audit",
+        "q207_interval_overlap",
+        "q208_audio_frame_energy",
     }
 )
 

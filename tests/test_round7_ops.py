@@ -681,3 +681,62 @@ def test_sorted_neighborhood_join_catches_cross_block_pairs(spark):
     again = {(r.id_a, r.id_b): r.dist for r in sorted_neighborhood_join(
         df, "id", "name", window=3, max_dist=2).collect()}
     assert out == again
+
+
+# ------------------------------------------------- q207-q208 (batch H)
+
+
+def test_interval_overlap_fixture(spark):
+    from datetime import date
+
+    from pos_data_insertion_etl_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        (1, 1, date(2026, 1, 1), date(2026, 1, 5)),
+        (1, 2, date(2026, 1, 4), date(2026, 1, 8)),   # overlaps line 1
+        (1, 3, date(2026, 1, 9), date(2026, 1, 10)),  # disjoint
+        (2, 1, date(2026, 1, 1), date(2026, 1, 5)),   # other key
+    ]
+    df = spark.createDataFrame(rows, "k long, line long, lo date, hi date")
+    out = interval_overlap_join(df, "k", "lo", "hi", ["line"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.k, r.line_a, r.line_b) == (1, 1, 2)
+    assert r.overlap_days == 2  # Jan 4-5
+
+
+def test_interval_overlap_duplicate_rows_pair_never(spark):
+    from datetime import date
+
+    from pos_data_insertion_etl_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        (1, 7, date(2026, 1, 1), date(2026, 1, 5)),
+        (1, 7, date(2026, 1, 1), date(2026, 1, 5)),  # exact duplicate
+    ]
+    df = spark.createDataFrame(rows, "k long, line long, lo date, hi date")
+    assert interval_overlap_join(df, "k", "lo", "hi", ["line"]).count() == 0
+
+
+def test_audio_frame_energy_framing(spark):
+    import numpy as np
+
+    from pos_data_insertion_etl_spark.multimodal.binary_ops import (
+        audio_frame_energy,
+    )
+    from pos_data_insertion_etl_spark.multimodal.wav_codec import encode_wav
+
+    samples = np.array([1, -2, 3, 0, 5], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(samples, 8000)))],
+        "doc_id long, content binary",
+    )
+    rows = {r.frame_idx: r for r in
+            audio_frame_energy(df, "doc_id", "content", frame_len=2).collect()}
+    assert rows[0].energy == 1 + 4 and rows[0].n_samples == 2
+    assert rows[1].energy == 9 + 0 and rows[1].peak == 3
+    assert rows[2].energy == 25 and rows[2].n_samples == 1  # tail frame
