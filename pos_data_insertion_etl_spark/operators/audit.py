@@ -31,8 +31,10 @@ BENFORD_FP = {
     d: int(round(math.log10(1 + 1 / d) * 1_000_000)) for d in range(1, 10)
 }
 
-#: CASE ladder covering integral parts up to 10^14
-_LADDER = [10**k for k in range(14, 0, -1)]
+#: CASE ladder covering the full int64 range (first power 10^18:
+#: floor of any double that fits a BIGINT is < 9.3e18, so no value
+#: can fall through to a multi-digit ELSE branch)
+_LADDER = [10**k for k in range(18, 0, -1)]
 
 
 def _first_digit_expr():

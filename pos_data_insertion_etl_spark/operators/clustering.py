@@ -11,11 +11,11 @@ semantic bucketing / topic sharding of a training corpus).
 
 Determinism design (the q124/q169 fixed-point convention):
 
-* Components quantize to 1e-7 fixed-point BIGINT, then SHIFT into the
-  positive range (distances are shift-invariant, and all-positive sums
-  make integer mean truncation identical across engines -- BIGINT `div`
-  truncates toward zero in Spark and `//` does in DuckDB, which only
-  agree on non-negative operands).
+* Components quantize to 1e-7 fixed-point BIGINT, then SHIFT toward
+  the positive range (distances are shift-invariant); the centroid
+  update divides with EXPLICIT truncate-toward-zero semantics, the
+  rule Spark `div` and DuckDB `//` share for either sign, so the SQL
+  replay holds even for inputs outside the shift's positive range.
 * Init is RNG-free: the k corpus vectors with the smallest
   (md5(id), id) key, clusters numbered 1..k in that order.
 * Assignment distance is an exact integer sum of squared component
@@ -120,10 +120,13 @@ def lloyd_kmeans(
         )  # k*dim rows, independent of N
         upd: dict[int, dict[int, int]] = {}
         for r in partials:
-            # all-positive sums: Python // == truncation == SQL int div
-            upd.setdefault(r["cluster"], {})[r["i"]] = int(r["s"]) // int(
-                r["n"]
-            )
+            # SQL-semantics integer division (truncate toward zero):
+            # matches Spark `div` and DuckDB `//` for EITHER sign, so
+            # the oracle replay holds even when a caller feeds
+            # components outside the shift's positive range
+            s_, n_ = int(r["s"]), int(r["n"])
+            q = -((-s_) // n_) if s_ < 0 else s_ // n_
+            upd.setdefault(r["cluster"], {})[r["i"]] = q
         centroids = {
             j: [upd[j][i] for i in range(len(c))] if j in upd else c
             for j, c in centroids.items()

@@ -746,9 +746,11 @@ def _position_grams(
 def _merge_position_islands(
     pos_df: DataFrame, n: int, id_col: str
 ) -> DataFrame:
-    """Gaps-and-islands merge of overlapping [pos, pos+n) windows into
-    maximal spans per document (running-max window to detect island
-    starts, one per-document shuffle). Input [id, n_tokens, pos];
+    """Gaps-and-islands merge of overlapping OR ABUTTING [pos, pos+n)
+    windows into maximal spans per document (running-max window to
+    detect island starts, one per-document shuffle): a window starting
+    at prev_end + 1 continues contiguous coverage, so only a true gap
+    (pos > prev_end + 1) starts a new span. Input [id, n_tokens, pos];
     output [id, span_start, span_end, span_tokens, n_tokens], 1-based
     inclusive token indices."""
     from pyspark.sql.window import Window as W
@@ -759,7 +761,8 @@ def _merge_position_islands(
         + (n - 1)
     )
     staged = pos_df.withColumn(
-        "_new", (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
+        "_new",
+        (prev_end.isNull() | (F.col("pos") > prev_end + 1)).cast("int"),
     ).withColumn(
         "_island",
         F.sum("_new").over(

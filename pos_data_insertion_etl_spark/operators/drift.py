@@ -36,13 +36,17 @@ from ..functions.vectors import quantize_vec
 
 def _centroid_sums(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
     """[group, i, s, n]: exact integer component sums + row count per
-    group. posexplode keeps the component index; sums are associative
+    group. posexplode (STRICT, not _outer) keeps the component index
+    and drops NULL/empty-vector rows entirely, so n counts the rows
+    that actually participate in the sums -- an _outer explode would
+    emit an i=NULL row whose count competes in the MAX(n) downstream
+    and misreport group sizes on dirty data. Sums are associative
     BIGINTs (|component| <= ~2^25, so 2^38 rows per group fit int64)."""
     q = quantize_vec(F.col(vec_col))
     return (
         df.select(
             F.col(group_col).alias("group"),
-            F.posexplode_outer(q).alias("i", "c"),
+            F.posexplode(q).alias("i", "c"),
         )
         .groupBy("group", "i")
         .agg(

@@ -164,5 +164,5 @@ def sorted_neighborhood_join(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b",
                 F.col("dist").cast("long").alias("dist"))
-        .distinct()
-    )
+    )  # no distinct needed: b carries ONE block key and a's two
+    #    exploded keys differ, so each pair matches in at most one block

@@ -96,17 +96,18 @@ def interval_overlap_join(
     nearest-preceding; this covers interval x interval.
 
     Pairs are canonicalized by strict lexicographic order over
-    ``order_cols`` (struct comparison -- identical in Spark and
-    DuckDB), so fully duplicate rows pair once-or-never identically
-    in any engine (the lineitem duplicate-(orderkey, linenumber)
-    hazard).
+    (``order_cols``, lo, hi) -- the interval bounds are appended to
+    the comparison struct automatically, so rows whose order_cols tie
+    but whose intervals differ STILL pair (only rows identical in key,
+    order columns, and interval drop, identically in any engine --
+    the lineitem duplicate-(orderkey, linenumber) hazard).
 
     Scale: one equi-join on the partition key -- fan-out is
     size-choose-2 per key, bounded by the key's group size (orders
     hold a handful of lines); an unkeyed overlap join would need the
     binned machinery instead.
     """
-    cols = [F.col(c) for c in order_cols]
+    cols = [F.col(c) for c in order_cols] + [F.col(lo_col), F.col(hi_col)]
     a = df.select(
         F.col(key_col).alias("_k"),
         F.col(lo_col).alias("lo_a"),

@@ -41,13 +41,19 @@ def logistic_score(
     z_fp = bias_fp + (sum x_fp*w_fp) div W_SCALE (exact integer),
     p_fp = round(sigmoid(z_fp / W_SCALE) * W_SCALE), and
     accepted = p_fp >= threshold_fp. Features missing a weight
-    contribute nothing (inner join -- the model's vocabulary IS the
-    weight table)."""
+    contribute nothing (coalesced-zero LEFT join), and an id whose
+    features ALL miss the vocabulary still scores -- z_fp = bias_fp --
+    so every input id gets a row and a keep/drop decision (an inner
+    join would silently drop out-of-vocabulary documents)."""
     scored = (
-        features.join(F.broadcast(weights), "feature")
+        features.join(F.broadcast(weights), "feature", "left")
         .groupBy(id_col)
         .agg(
-            F.sum(F.col("x_fp") * F.col("w_fp")).cast("long").alias("_dot")
+            F.sum(
+                F.col("x_fp") * F.coalesce(F.col("w_fp"), F.lit(0))
+            )
+            .cast("long")
+            .alias("_dot")
         )
         .select(
             F.col(id_col),

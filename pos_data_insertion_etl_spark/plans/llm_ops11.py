@@ -893,7 +893,8 @@ SELECT a.l_orderkey,
             AS BIGINT) AS overlap_days
 FROM li a JOIN li b
   ON a.l_orderkey = b.l_orderkey
- AND (a.l_linenumber, a.l_partkey) < (b.l_linenumber, b.l_partkey)
+ AND (a.l_linenumber, a.l_partkey, a.l_shipdate, a.l_receiptdate)
+     < (b.l_linenumber, b.l_partkey, b.l_shipdate, b.l_receiptdate)
  AND a.l_shipdate <= b.l_receiptdate
  AND b.l_shipdate <= a.l_receiptdate
 """

@@ -960,7 +960,7 @@ WITH tokd AS (
   SELECT doc_id, n_tokens, pos FROM g JOIN dup USING (gram)
 ), isl AS (
   SELECT doc_id, n_tokens, pos,
-         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY doc_id ORDER BY pos
                  ROWS UNBOUNDED PRECEDING) AS island
@@ -1019,7 +1019,7 @@ WITH tokd AS (
     AND EXISTS (SELECT 1 FROM bench b WHERE b.gram = g.gram)
 ), isl AS (
   SELECT doc_id, n_tokens, pos,
-         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY doc_id ORDER BY pos
                  ROWS UNBOUNDED PRECEDING) AS island

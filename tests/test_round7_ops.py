@@ -740,3 +740,101 @@ def test_audio_frame_energy_framing(spark):
     assert rows[0].energy == 1 + 4 and rows[0].n_samples == 2
     assert rows[1].energy == 9 + 0 and rows[1].peak == 3
     assert rows[2].energy == 25 and rows[2].n_samples == 1  # tail frame
+
+
+# ----------------------------------------- self-review regression pins
+
+
+def test_duplicate_spans_merges_abutting_windows(spark):
+    """Two duplicated 5-gram windows at pos 1 and 6 cover tokens 1-10
+    contiguously -> ONE maximal span, not two."""
+    from pos_data_insertion_etl_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "x y z w v u t s r q")],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, n=5).collect()
+    mine = [r for r in spans if r.doc_id == 1]
+    assert len(mine) == 1
+    assert (mine[0].span_start, mine[0].span_end, mine[0].span_tokens) == (
+        1, 10, 10,
+    )
+
+
+def test_kmeans_truncates_toward_zero_on_negative_sums(spark):
+    """Components <= -1.0 make centroid sums negative even after the
+    shift; the update must truncate toward zero (SQL div semantics),
+    not floor."""
+    from pos_data_insertion_etl_spark.operators.clustering import lloyd_kmeans
+
+    pts = [(1, [-3.0]), (2, [-3.0]), (3, [-2.9999999])]
+    df = spark.createDataFrame(pts, "id long, v array<double>")
+    out = {r.id: r.dist for r in lloyd_kmeans(df, "id", "v", k=1, iters=1).collect()}
+    # quantized: -2e7, -2e7, -19999999; trunc mean = -19999999
+    # (floor would give -20000000 and dists {1: 1, 2: 1, 3: 0} -> {0,0,1})
+    assert out == {1: 1, 2: 1, 3: 0}
+
+
+def test_logistic_score_keeps_out_of_vocabulary_ids(spark):
+    from pos_data_insertion_etl_spark.operators.scoring import logistic_score
+
+    feats = spark.createDataFrame(
+        [(1, "known", 1_000_000), (2, "unknown", 5_000_000)],
+        "id long, feature string, x_fp long",
+    )
+    weights = spark.createDataFrame(
+        [("known", 2_000_000)], "feature string, w_fp long"
+    )
+    out = {r.id: r for r in logistic_score(
+        feats, weights, "id", bias_fp=-500_000).collect()}
+    assert set(out) == {1, 2}  # OOV doc 2 still scored
+    assert out[2].z_fp == -500_000  # bias only
+    assert out[1].z_fp == -500_000 + 2_000_000
+
+
+def test_interval_overlap_tied_order_cols_still_pair(spark):
+    from datetime import date
+
+    from pos_data_insertion_etl_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    # duplicate (line) key but DIFFERENT windows -> must pair
+    rows = [
+        (1, 7, date(2026, 1, 1), date(2026, 1, 5)),
+        (1, 7, date(2026, 1, 3), date(2026, 1, 9)),
+    ]
+    df = spark.createDataFrame(rows, "k long, line long, lo date, hi date")
+    out = interval_overlap_join(df, "k", "lo", "hi", ["line"]).collect()
+    assert len(out) == 1 and out[0].overlap_days == 3  # Jan 3-5
+
+
+def test_benford_ladder_covers_large_magnitudes(spark):
+    from pos_data_insertion_etl_spark.multimodal import binary_ops  # noqa: F401
+    from pos_data_insertion_etl_spark.operators.audit import (
+        benford_first_digit,
+    )
+
+    df = spark.createDataFrame(
+        [(2.5e15,), (9.2e17,), (7.0,)], "x double"
+    )
+    got = {r.digit: r.observed for r in benford_first_digit(df, "x").collect()}
+    assert got == {2: 1, 9: 1, 7: 1}  # no multi-digit fallthrough rows
+
+
+def test_centroid_drift_counts_participants_not_empty_vectors(spark):
+    from pos_data_insertion_etl_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    old = spark.createDataFrame(
+        [("g", [1.0, 0.0]), ("g", [0.0, 1.0]), ("g", [])],
+        "grp string, vec array<double>",
+    )
+    new = spark.createDataFrame(
+        [("g", [1.0, 1.0])], "grp string, vec array<double>"
+    )
+    r = embedding_centroid_drift(old, new, "grp", "vec").collect()[0]
+    assert r.n_old == 2  # the empty vector is not a participant
+    assert r.n_new == 1
