@@ -75,7 +75,9 @@ def bm25_topk(
         toks.join(F.broadcast(terms.select("_w").distinct()), "_w")
         .groupBy("_doc", "_w")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
+        .localCheckpoint(eager=False)
+    )  # matched-term counts feed df_ AND the scoring join: one
+    #    corpus tokenization instead of two
     df_ = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("df"))
     scored_terms = (
         tf.join(F.broadcast(df_), "_w")

@@ -85,12 +85,17 @@ def prefix_filter_jaccard_join(
     )
     # prefix length = sz - ceil(t*sz) + 1; ceil(sz*p/q) on positive
     # ints = (sz*p + q - 1) div q -- exact in any engine
-    prefix = ranked.filter(
-        F.col("_pos")
-        <= F.col("_sz")
-        - F.expr(f"(_sz * {t_num} + {t_den} - 1) div {t_den}")
-        + F.lit(1)
-    ).select("_id", "_d", "_sz")
+    prefix = (
+        ranked.filter(
+            F.col("_pos")
+            <= F.col("_sz")
+            - F.expr(f"(_sz * {t_num} + {t_den} - 1) div {t_den}")
+            + F.lit(1)
+        )
+        .select("_id", "_d", "_sz")
+        .localCheckpoint(eager=False)
+    )  # both candidate sides read the SAME ranked prefix: one freq
+    #    join + one rank window instead of two
     # PREFIX x PREFIX candidates (Chaudhuri/Xiao): if J(x,y) >= t the
     # required overlap is >= ceil(t*max(|x|,|y|)) >= ceil(t*|x|) and
     # >= ceil(t*|y|), so BOTH canonical prefixes must share an element
