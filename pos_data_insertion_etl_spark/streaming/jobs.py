@@ -805,3 +805,77 @@ def compact_quantile_store(
         tmp + "/batch=0"
     )
     swap_table(spark, out_dir, tmp)
+
+
+def heavyhitter_monitor_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    key_col: str,
+    k: int = 16,
+) -> None:
+    """Persist one micro-batch's Misra-Gries heavy-hitter summary
+    ([value, count_lb, max_err], operators/heavyhitters.heavy_hitters)
+    to a batch-keyed directory -- the quantile/category monitors'
+    idempotent replay contract applied to the frequent-keys sketch.
+    Footprint: <= k rows per batch regardless of stream volume."""
+    import os
+
+    if not batch.head(1):
+        return
+    from ..operators.heavyhitters import heavy_hitters
+
+    (
+        heavy_hitters(batch, key_col, k=k)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+    )
+
+
+def heavyhitter_monitor_stream(
+    values_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    k: int = 16,
+):
+    """Maintain frequent-key candidates over a stream; per-batch MG
+    summaries persist idempotently and merge at read time
+    (load_heavyhitter_counts)."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        heavyhitter_monitor_batch(batch, batch_id, out_dir, key_col, k)
+
+    return (
+        values_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def load_heavyhitter_counts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merged candidate table with a certified envelope: per batch the
+    MG summary guarantees count_lb <= true_in_batch <= count_lb +
+    max_err for listed values and true_in_batch <= max_err for absent
+    ones, so summing count_lb over the batches where a value appears
+    and adding EVERY batch's max_err gives
+    count_min <= true_total <= count_max for every candidate --
+    bounds add across merges exactly like the quantile store's."""
+    from pyspark.sql import functions as F
+
+    summaries = spark.read.parquet(out_dir)
+    total_err = (
+        summaries.groupBy("batch")
+        .agg(F.max("max_err").alias("e"))
+        .agg(F.sum("e").cast("long").alias("total_err"))
+    )
+    merged = summaries.groupBy("value").agg(
+        F.sum("count_lb").cast("long").alias("count_min")
+    )
+    return merged.crossJoin(F.broadcast(total_err)).select(
+        "value",
+        "count_min",
+        (F.col("count_min") + F.col("total_err")).cast("long").alias(
+            "count_max"
+        ),
+    )

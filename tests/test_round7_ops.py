@@ -838,3 +838,33 @@ def test_centroid_drift_counts_participants_not_empty_vectors(spark):
     r = embedding_centroid_drift(old, new, "grp", "vec").collect()[0]
     assert r.n_old == 2  # the empty vector is not a participant
     assert r.n_new == 1
+
+
+def test_heavyhitter_monitor_replay_and_envelope(spark, sf_dir):
+    """Round-8 queue: per-batch MG summaries persist idempotently
+    (duplicate batch write changes nothing) and the merged envelope
+    brackets every candidate's true total count."""
+    import shutil
+
+    from pos_data_insertion_etl_spark.streaming.jobs import (
+        heavyhitter_monitor_batch,
+        load_heavyhitter_counts,
+    )
+
+    out = "/tmp/graft_test_hh_monitor"
+    shutil.rmtree(out, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    b0 = ev.filter(F.hour("ts") < 12)
+    b1 = ev.filter(F.hour("ts") >= 12)
+    heavyhitter_monitor_batch(b0, 0, out, "event_type", k=8)
+    heavyhitter_monitor_batch(b1, 1, out, "event_type", k=8)
+    heavyhitter_monitor_batch(b0, 0, out, "event_type", k=8)  # replay
+    merged = {r.value: r for r in load_heavyhitter_counts(spark, out).collect()}
+    assert merged, "expected candidates"
+    truth = {
+        r.event_type: r.c
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for v, r in merged.items():
+        assert r.count_min <= truth[v] <= r.count_max, (v, r, truth[v])
+    shutil.rmtree(out, ignore_errors=True)
