@@ -556,3 +556,82 @@ def personalized_pagerank(
             "is_seed",
         )
     )
+
+
+#: BFS sentinel: "not yet reached" (any real hop count is far below).
+BFS_UNREACHED = 1 << 20
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS hop distances, the graph primitive behind
+    "how far is every page/document from a trusted seed set" (crawl
+    frontier depth, citation distance, kNN-graph locality audits).
+
+    Exact integer relaxation: dist starts 0 on seeds and a sentinel
+    elsewhere; each round does ONE contribution shuffle
+    (edges join dist on src, min(dist+1) per dst) and a keyed min
+    merge -- the q141 pagerank loop shape with min() instead of sum().
+    After `max_hops` rounds every node within that radius holds its
+    true hop count (BFS layers are monotone), so the result is
+    engine-portable and an unrolled-CTE oracle replays it exactly.
+
+    Scale: per-round cost is one equi-join + one groupBy on dst --
+    both map-side combinable; lineage cut per round (localCheckpoint)
+    keeps the plan linear in rounds, not exponential. Unreached nodes
+    report dist = -1, reached = false.
+
+    ``edges``: [src, dst] (direct the edges both ways upstream for an
+    undirected graph). ``seeds``: one column of node ids.
+    """
+    sym = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct()
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_nodes = seeds.select(
+        F.col(seeds.columns[0]).cast("long").alias("node")
+    ).distinct()
+    dist = nodes.join(
+        seed_nodes.withColumn("_seed", F.lit(True)), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("_seed"), F.lit(0))
+        .otherwise(F.lit(BFS_UNREACHED))
+        .cast("long")
+        .alias("dist"),
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            sym.join(
+                dist.select(F.col("node").alias("src"), "dist"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + 1).alias("md"))
+        )
+        dist = (
+            dist.join(relaxed, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"),
+                    F.coalesce("md", F.lit(BFS_UNREACHED)),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        "node",
+        F.when(F.col("dist") >= BFS_UNREACHED, F.lit(-1))
+        .otherwise(F.col("dist"))
+        .cast("long")
+        .alias("dist"),
+        (F.col("dist") < BFS_UNREACHED).alias("reached"),
+    )

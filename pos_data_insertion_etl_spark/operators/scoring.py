@@ -72,3 +72,143 @@ def logistic_score(
         p_fp.alias("p_fp"),
         (p_fp >= F.lit(threshold_fp)).alias("accepted"),
     )
+
+
+def auc_rank_sum(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank-sum identity -- the
+    classifier-evaluation step that closes the scoring loop
+    (logistic_score assigns, auc_rank_sum grades against labels)
+    without ever materializing a threshold sweep.
+
+    Ties are handled with average ranks kept INTEGER by doubling:
+    for a tie group at one score, min_rank + max_rank = 2*avg_rank,
+    so u2 = sum over positives of (min+max) - npos*(npos+1) equals
+    2*U exactly, and auc_fp = u2 * 500000 div (npos*nneg) is an exact
+    1e-6 fixed-point integer. No doubles -> engine-portable.
+
+    Scale: ONE groupBy on score (distinct-score cardinality, not row
+    count), one global window over those groups ordered by score (the
+    grouped table is sketch-sized for fixed-point scores; for truly
+    continuous scores pre-quantize upstream), one 1-row reduce.
+
+    Output: single row [npos, nneg, u2, auc_fp].
+    """
+    from pyspark.sql.window import Window as W
+
+    g = (
+        df.select(
+            F.col(score_col).alias("_s"),
+            F.when(F.col(label_col), 1).otherwise(0).alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum("_y").alias("_cp"),
+        )
+    )
+    cum = g.select(
+        "_s",
+        "_c",
+        "_cp",
+        F.sum("_c")
+        .over(
+            W.orderBy("_s").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("_cum"),
+    )
+    return cum.agg(
+        F.sum("_cp").cast("long").alias("npos"),
+        (F.sum("_c") - F.sum("_cp")).cast("long").alias("nneg"),
+        F.sum(F.col("_cp") * (2 * F.col("_cum") - F.col("_c") + 1))
+        .cast("long")
+        .alias("_ranksum2"),
+    ).select(
+        "npos",
+        "nneg",
+        (F.col("_ranksum2") - F.col("npos") * (F.col("npos") + 1))
+        .cast("long")
+        .alias("u2"),
+        F.expr(
+            "(( _ranksum2 - npos * (npos + 1)) * 500000)"
+            " div (npos * nneg)"
+        )
+        .cast("long")
+        .alias("auc_fp"),
+    )
+
+
+def rank_metrics(
+    ranked: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    rel_totals: DataFrame,
+    p_k: int = 5,
+    r_k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval metrics (MRR, precision@k, recall@k) over
+    an already-ranked candidate list -- the evaluation harness for the
+    engine's BM25/ANN retrieval stack, exact-integer throughout.
+
+    ``ranked``: [query, rank (1-based within query), is_rel bool].
+    ``rel_totals``: [query, n_rel] -- the per-query relevant-universe
+    size for recall denominators (computed on the FULL corpus, not the
+    ranked cut, by the caller).
+
+    mrr_fp = 1e6 div first_rel_rank (0 when no relevant candidate is
+    ranked); p@k and r@k are integer-div fixed point. One groupBy per
+    query; the totals join is broadcast-sized (queries are few).
+
+    Output: [query, first_rel_rank, mrr_fp, p_at_k_fp, r_at_k_fp,
+    n_rel] with first_rel_rank = -1 when nothing relevant ranked.
+    """
+    agg = (
+        ranked.select(
+            F.col(query_col).alias("query"),
+            F.col(rank_col).alias("_rk"),
+            F.col(rel_col).alias("_rel"),
+        )
+        .groupBy("query")
+        .agg(
+            F.min(F.when(F.col("_rel"), F.col("_rk"))).alias("_first"),
+            F.sum(
+                F.when(F.col("_rel") & (F.col("_rk") <= p_k), 1).otherwise(0)
+            ).alias("_hits_p"),
+            F.sum(
+                F.when(F.col("_rel") & (F.col("_rk") <= r_k), 1).otherwise(0)
+            ).alias("_hits_r"),
+        )
+    )
+    return agg.join(
+        F.broadcast(
+            rel_totals.select(
+                F.col(rel_totals.columns[0]).alias("query"),
+                F.col(rel_totals.columns[1]).cast("long").alias("n_rel"),
+            )
+        ),
+        "query",
+        "left",
+    ).select(
+        "query",
+        F.coalesce(F.col("_first"), F.lit(-1)).cast("long").alias(
+            "first_rel_rank"
+        ),
+        F.coalesce(
+            F.expr("1000000 div _first"), F.lit(0)
+        )
+        .cast("long")
+        .alias("mrr_fp"),
+        F.expr(f"(_hits_p * 1000000) div {p_k}").cast("long").alias(
+            "p_at_k_fp"
+        ),
+        F.coalesce(
+            F.expr("(_hits_r * 1000000) div nullif(n_rel, 0)"), F.lit(0)
+        )
+        .cast("long")
+        .alias("r_at_k_fp"),
+        F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+    )

@@ -261,3 +261,90 @@ def token_entropy(
             F.expr("-(_s div n_tokens)").cast("long").alias("entropy_fp"),
         )
     )
+
+
+def chi2_token_class(
+    docs: DataFrame,
+    text_col: str,
+    label_col,
+    min_df_pct: int = 5,
+) -> DataFrame:
+    """Chi-squared token/class association: which tokens are over- or
+    under-represented in a document class -- the classic feature-
+    selection signal for quality/contamination classifiers and the
+    fastest way to surface class-leaking shortcuts in training data.
+
+    Per token the 2x2 contingency (a = class docs containing it,
+    b = other docs containing it, c/d = the complements) is built from
+    ONE distinct-(doc,token) explode + one groupBy; the class totals
+    are a 1-row broadcast. chi2 = n*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    is evaluated in doubles cast from exact integers in one fixed
+    expression order -- at oracle scale every sub-product is below
+    2^53 so the value is exact; at corpus scale it stays deterministic
+    IEEE (identical operands, identical order) even once products
+    round. Integer arithmetic would ANSI-overflow first (counts^4).
+
+    Tokens must appear in >= min_df_pct% of docs (relative threshold
+    -- scale-free) and NOT in every doc (degenerate (c+d)=0 row).
+
+    Output: [token, n_class, n_rest, chi2] with chi2 rounded 1e-6.
+    """
+    lab = docs.select(
+        F.col("doc_id"),
+        label_col.alias("_is_class"),
+        F.col(text_col).alias("_text"),
+    )
+    tok_docs = (
+        lab.select(
+            "doc_id",
+            "_is_class",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.trim(F.col("_text"))), r"\s+"),
+                        lambda x: x != "",
+                    )
+                )
+            ).alias("token"),
+        )
+    )
+    totals = lab.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum(F.when(F.col("_is_class"), 1).otherwise(0)).alias(
+            "_n_class"
+        ),
+    )
+    counts = tok_docs.groupBy("token").agg(
+        F.sum(F.when(F.col("_is_class"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("_is_class"), 0).otherwise(1))
+        .cast("long")
+        .alias("b"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(
+            ((F.col("a") + F.col("b")) * 100 >= F.lit(min_df_pct) * F.col("_n_docs"))
+            & (F.col("a") + F.col("b") < F.col("_n_docs"))
+        )
+        .select(
+            "token",
+            F.col("a").alias("n_class"),
+            F.col("b").alias("n_rest"),
+            F.round(
+                F.expr(
+                    "CAST(_n_docs AS DOUBLE)"
+                    " * (CAST(a AS DOUBLE) * CAST(_n_docs - _n_class - b AS DOUBLE)"
+                    "    - CAST(b AS DOUBLE) * CAST(_n_class - a AS DOUBLE))"
+                    " * (CAST(a AS DOUBLE) * CAST(_n_docs - _n_class - b AS DOUBLE)"
+                    "    - CAST(b AS DOUBLE) * CAST(_n_class - a AS DOUBLE))"
+                    " / (CAST(a + b AS DOUBLE)"
+                    "    * CAST(_n_docs - a - b AS DOUBLE)"
+                    "    * CAST(_n_class AS DOUBLE)"
+                    "    * CAST(_n_docs - _n_class AS DOUBLE))"
+                ),
+                6,
+            ).alias("chi2"),
+        )
+    )

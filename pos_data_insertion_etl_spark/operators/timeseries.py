@@ -57,3 +57,103 @@ def ewma_dyadic(
         "ewma",
         F.when(rn >= taps, acc / F.lit(norm)).otherwise(F.lit(None)),
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """First-order Markov transition table over per-key event
+    sequences: the session-modeling primitive (what follows what, and
+    how often) behind next-event prediction features and synthetic
+    session generation.
+
+    Each key's events are ordered by ``order_cols`` (callers MUST pass
+    a total order -- e.g. [ts, event_id] -- or LEAD is
+    nondeterministic); LEAD pairs consecutive states, the pair counts
+    aggregate with map-side combine, and the per-source row
+    probability is an exact 1e-6 fixed-point integer division
+    (engine-portable; no doubles anywhere).
+
+    Scale: ONE hash partition by key + per-key sort for the window,
+    then one (from,to) groupBy whose cardinality is |states|^2 --
+    tiny. The per-from totals join is a broadcast of |states| rows.
+
+    Output: [from_state, to_state, n, prob_fp].
+    """
+    lead = F.lead(state_col).over(
+        W.partitionBy(key_col).orderBy(*order_cols)
+    )
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            lead.alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(
+        F.sum("n").alias("_tot")
+    )
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("long").alias("n"),
+        F.expr("(n * 1000000) div _tot").cast("long").alias("prob_fp"),
+    )
+
+
+def dow_seasonal_residuals(
+    daily: DataFrame,
+    day_col: str,
+    n_col: str,
+    anomaly_pct: int = 20,
+) -> DataFrame:
+    """Day-of-week seasonal profile + residual anomalies over a daily
+    count series: the load-monitoring decomposition (is today's
+    volume off for a Tuesday?) that feeds ingest alerting.
+
+    The weekday key is epoch-day mod 7 (datediff from 1970-01-01 --
+    identical integer arithmetic in Spark and DuckDB; no locale- or
+    engine-dependent DAYOFWEEK numbering). Per-dow means are exact
+    1e-3 fixed point (sum*1000 div count), residuals are exact
+    integer differences, and a day is anomalous when
+    |residual| * 100 > anomaly_pct * dow_mean -- all-integer, so the
+    flag never flips on a rounding boundary.
+
+    Scale: the input is already one row per day (pre-aggregated
+    upstream); the 7-row dow profile broadcasts back. Output:
+    [day, dow, n, dow_mean_milli, resid_milli, is_anomaly].
+    """
+    base = daily.select(
+        F.col(day_col).alias("day"),
+        F.col(n_col).cast("long").alias("n"),
+        (
+            F.datediff(F.col(day_col), F.lit("1970-01-01").cast("date"))
+            % 7
+        )
+        .cast("long")
+        .alias("dow"),
+    )
+    means = base.groupBy("dow").agg(
+        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("_cnt")
+    )
+    return base.join(F.broadcast(means), "dow").select(
+        "day",
+        "dow",
+        "n",
+        F.expr("(_tot * 1000) div _cnt").cast("long").alias(
+            "dow_mean_milli"
+        ),
+        (
+            F.col("n") * 1000 - F.expr("(_tot * 1000) div _cnt")
+        ).cast("long").alias("resid_milli"),
+        (
+            F.abs(F.col("n") * 1000 - F.expr("(_tot * 1000) div _cnt"))
+            * 100
+            > F.lit(anomaly_pct) * F.expr("(_tot * 1000) div _cnt")
+        ).alias("is_anomaly"),
+    )

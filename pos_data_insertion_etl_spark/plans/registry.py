@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops9,
         llm_ops10,
         llm_ops11,
+        llm_ops12,
         media_ops,
         pos_ops,
         relational,

@@ -132,6 +132,15 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q206_benford_audit",
         "q207_interval_overlap",
         "q208_audio_frame_energy",
+        "q209_personalized_pagerank",
+        "q210_sorted_neighborhood",
+        "q211_heavyhitter_monitor_replay",
+        "q212_bfs_distances",
+        "q213_markov_transitions",
+        "q214_chi2_token_class",
+        "q215_retrieval_eval",
+        "q216_dow_seasonality",
+        "q217_score_auc",
     }
 )
 
