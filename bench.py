@@ -95,6 +95,11 @@ HEADLINE = [
     "q182_kmeans_lloyd",
     "q189_setsim_prefix_join",
     "q198_dsir_weights",
+    # round 7 batch I: the checkpointed-edge-list iterative BFS over the
+    # 1.8M-edge co-purchase graph, and the explode + window + broadcast
+    # retrieval-evaluation harness
+    "q212_bfs_distances",
+    "q215_retrieval_eval",
 ]
 
 

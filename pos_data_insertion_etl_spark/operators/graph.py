@@ -587,9 +587,14 @@ def bfs_distances(
     ``edges``: [src, dst] (direct the edges both ways upstream for an
     undirected graph). ``seeds``: one column of node ids.
     """
-    sym = edges.select(
-        F.col("src").cast("long"), F.col("dst").cast("long")
-    ).distinct()
+    # The edge list is scanned once per relaxation round: cut its
+    # construction lineage (often a self-join) so rounds rescan a
+    # materialized table instead of replaying the build N times.
+    sym = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))

@@ -89,6 +89,11 @@ ALLOWED_BNLJ = {
     "q206_benford_audit": "1-row total-count scalar broadcast",
     # same counts core as q168: two 1-row side-total scalar broadcasts
     "q175_category_monitor_replay": "1-row side-total scalar broadcasts",
+    # 1-row token-total (guarantee threshold) + 1-row merged-error
+    # envelope scalar broadcasts
+    "q211_heavyhitter_monitor_replay": "1-row total/error scalar broadcasts",
+    # 1-row (n_docs, n_class) contingency-totals scalar broadcast
+    "q214_chi2_token_class": "1-row class-totals scalar broadcast",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at
