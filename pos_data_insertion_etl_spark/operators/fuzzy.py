@@ -166,3 +166,61 @@ def sorted_neighborhood_join(
                 F.col("dist").cast("long").alias("dist"))
     )  # no distinct needed: b carries ONE block key and a's two
     #    exploded keys differ, so each pair matches in at most one block
+
+
+def golden_records(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    window: int = 4,
+    max_dist: int = 2,
+) -> DataFrame:
+    """End-to-end entity resolution: sorted-neighborhood candidate
+    pairs -> connected-component entity clusters -> one canonical
+    ("golden") record per entity. The survivorship rule is the
+    deterministic minimum id within the cluster (swap in a
+    completeness score upstream by re-keying the id).
+
+    Scale composition: the pair stage is sorted_neighborhood_join's
+    block equi-join (never all-pairs); the match graph is tiny
+    relative to the input (pairs ~ duplicates), so clustering uses
+    connected_components' adaptive driver/pointer-jumping path;
+    singletons never enter the graph and join back as their own
+    entity (left join + coalesce).
+
+    Output: [id, name, entity_id, is_canonical, entity_size].
+    """
+    from .graph import connected_components
+
+    pairs = sorted_neighborhood_join(
+        df, id_col, str_col, window=window, max_dist=max_dist
+    )
+    comp = connected_components(
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(str_col).alias("name"),
+    )
+    labeled = base.join(
+        comp.select(F.col("node").alias("id"), "component"),
+        "id",
+        "left",
+    ).select(
+        "id",
+        "name",
+        F.coalesce("component", F.col("id")).alias("entity_id"),
+    )
+    sizes = labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("entity_size"),
+        F.min("id").alias("_canon"),
+    )
+    return labeled.join(sizes, "entity_id").select(
+        "id",
+        "name",
+        "entity_id",
+        (F.col("id") == F.col("_canon")).alias("is_canonical"),
+        "entity_size",
+    )

@@ -413,3 +413,59 @@ def trigram_lm_scores(
             F.round(ce, 6).alias("cross_entropy"),
         )
     )
+
+
+def min_k_prob_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_v: int = 20,
+    k_pct: int = 20,
+) -> DataFrame:
+    """Min-K% prob membership score: per document, the mean log-prob of
+    its k% LEAST-probable tokens under the corpus unigram model -- the
+    published membership-inference / contamination heuristic (a
+    memorized or template document has suspiciously few low-probability
+    tokens, so its min-k%% mean sits far above the corpus norm).
+
+    Exactness contract: token log-probs are the unigram_model 1e-6
+    fixed-point integers; the per-doc cut keeps the m =
+    ceil(n_tokens * k_pct / 100) smallest by (fp, tok) -- ties share
+    one fp value, so the SUM over any tie-breaking choice of m rows is
+    identical and the result is partitioning-invariant; the mean is
+    one integer division. An oracle replays it with the same window.
+
+    Scale: the model join is broadcast (top_v-capped); the only
+    per-doc state is a window partitioned by doc (same envelope as
+    any per-document sort); output is one row per doc.
+
+    Output: [id, n_tokens, m_tokens, mink_mean_fp].
+    """
+    toks = tokenize(df, text_col, id_col)
+    model, scalars = unigram_model(toks, top_v)
+    scored = (
+        toks.join(F.broadcast(model), "tok", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.col("tok"),
+            F.coalesce(F.col("lp_fp"), F.col("oov_fp")).alias("fp"),
+        )
+    )
+    w = W.partitionBy(id_col)
+    ranked = scored.select(
+        F.col(id_col),
+        "fp",
+        F.row_number().over(w.orderBy("fp", "tok")).alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("n_tokens"),
+    )
+    kept = ranked.withColumn(
+        "_m", F.expr(f"(n_tokens * {k_pct} + 99) div 100")
+    ).filter(F.col("_rn") <= F.col("_m"))
+    return kept.groupBy(id_col).agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.max("_m").cast("long").alias("m_tokens"),
+        F.expr("CAST(sum(fp) div max(_m) AS BIGINT)").alias(
+            "mink_mean_fp"
+        ),
+    )

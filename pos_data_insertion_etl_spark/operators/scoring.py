@@ -212,3 +212,67 @@ def rank_metrics(
         .alias("r_at_k_fp"),
         F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    p_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a
+    probability-scored classifier (the q200 serving path's companion
+    audit: a quality filter whose 0.9 bucket is right 60% of the time
+    needs retraining before it gates a corpus).
+
+    ``p_col`` is a 1e-6 fixed-point probability (0..1e6). Bins are
+    FIXED-WIDTH probability buckets (bin = min(p*n_bins div 1e6,
+    n_bins-1)) -- not quantile bins, so no global sort/window; per-bin
+    observed rate and mean confidence are exact integer divisions, the
+    |gap| is integer, and ece_fp = sum(gap*n) div N rides a 1-row
+    total broadcast. Everything replays exactly in SQL.
+
+    Output: one row per non-empty bin
+    [bin, n, n_pos, conf_fp, obs_fp, gap_fp, ece_fp] (ece_fp repeated
+    per row, the q175 tv_distance convention).
+    """
+    binned = df.select(
+        F.least(
+            F.expr(f"{p_col} * {n_bins} div 1000000"),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        F.col(p_col).alias("_p"),
+        F.when(F.col(label_col), 1).otherwise(0).alias("_y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum("_p").cast("long").alias("_psum"),
+    )
+    enriched = per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("_psum div n").cast("long").alias("conf_fp"),
+        F.expr("(n_pos * 1000000) div n").cast("long").alias("obs_fp"),
+        F.abs(
+            F.expr("_psum div n") - F.expr("(n_pos * 1000000) div n")
+        )
+        .cast("long")
+        .alias("gap_fp"),
+    )
+    total = enriched.agg(
+        F.sum("n").alias("_nt"),
+        F.sum(F.col("gap_fp") * F.col("n")).alias("_gsum"),
+    )
+    return enriched.crossJoin(F.broadcast(total)).select(
+        "bin",
+        "n",
+        "n_pos",
+        "conf_fp",
+        "obs_fp",
+        "gap_fp",
+        F.expr("_gsum div _nt").cast("long").alias("ece_fp"),
+    )

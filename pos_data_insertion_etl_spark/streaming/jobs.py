@@ -879,3 +879,63 @@ def load_heavyhitter_counts(spark: SparkSession, out_dir: str) -> DataFrame:
             "count_max"
         ),
     )
+
+
+def kmv_monitor_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    value_col: str,
+    k: int = 256,
+) -> None:
+    """Persist one micro-batch's KMV distinct-count summary
+    ([hv], operators/sketches.kmv_summary) to a batch-keyed directory
+    under the monitors' idempotent-replay contract. Footprint: <= k
+    longs per batch regardless of stream volume; KMV merge is
+    union + k-smallest, so replayed batches are absorbed exactly."""
+    import os
+
+    if not batch.head(1):
+        return
+    from ..operators.sketches import kmv_summary
+
+    (
+        kmv_summary(batch, value_col, k=k)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+    )
+
+
+def kmv_monitor_stream(
+    values_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    k: int = 256,
+):
+    """Maintain a mergeable distinct-count sketch over a stream;
+    per-batch summaries persist idempotently and merge at read time
+    (load_kmv_distinct)."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        kmv_monitor_batch(batch, batch_id, out_dir, value_col, k)
+
+    return (
+        values_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def load_kmv_distinct(
+    spark: SparkSession, out_dir: str, k: int = 256
+) -> DataFrame:
+    """Merged distinct-count estimate from the batch summaries:
+    [n_kept, kth_hv, distinct_est]. Unlike probabilistic sketch
+    stores, the merged state here is a pure function of the distinct
+    value set (union of k-smallest-hash sets), so a SQL oracle
+    replays it exactly from the raw stream."""
+    from ..operators.sketches import kmv_estimate, kmv_merge
+
+    summaries = spark.read.parquet(out_dir)
+    return kmv_estimate(kmv_merge(summaries, k=k), k=k)
