@@ -469,3 +469,109 @@ def min_k_prob_scores(
             "mink_mean_fp"
         ),
     )
+
+
+def kneser_ney_bigram_scores(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document cross-entropy under an (interpolated) KNESER-NEY
+    bigram model with absolute discount d = 3/4 -- the smoothing that
+    actually wins LM evaluations, next to q130's add-one baseline:
+
+        P(w|u) = max(c(u,w) - d, 0)/c(u) + lam(u) * Pcont(w)
+        lam(u) = d * N1+(u,.) / c(u)
+        Pcont(w) = N1+(., w) / (T + 1)
+
+    (T = distinct bigram types; the +1 reserves one continuation class
+    for unseen words, keeping every probability > 0.)
+
+    Determinism: with the rational discount the probability collapses
+    to one exact fraction of integer counts --
+    p = (max(4c - 3, 0) * T1 + 3 * n1u * n1w) / (4 * c_u * T1) --
+    evaluated as one fixed-order IEEE division (numerator terms are
+    exact in doubles at oracle scale), then ln, rounded to 1e-6 (the
+    lm_score libm convention). A SQL oracle replays it bit-for-bit.
+
+    Scale: the three count lookups are ORDINARY SHUFFLE equi-joins on
+    (prev,tok) / prev / tok -- the bigram-count table is corpus-
+    vocabulary-sized and deliberately NOT broadcast (the r6 trigram
+    advice); only the 1-row type-count scalar broadcasts. The
+    head-capped broadcast serving shape stays available via
+    bigram_lm_scores.
+
+    Output: [id, n_bigrams, cross_entropy].
+    """
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    bigrams = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), arr.alias("_a"))
+        .filter(F.size(F.col("_a")) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_a"), 1, F.size(F.col("_a")) - 1).alias(
+                        "prev"
+                    ),
+                    F.slice(F.col("_a"), 2, F.size(F.col("_a")) - 1).alias(
+                        "tok"
+                    ),
+                )
+            ).alias("_bg"),
+        )
+        .select(F.col(id_col), F.col("_bg.prev"), F.col("_bg.tok"))
+    )
+    counts = bigrams.groupBy("prev", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ctx = counts.groupBy("prev").agg(
+        F.sum("c").alias("c_u"),
+        F.count(F.lit(1)).alias("n1u"),  # N1+(u, .)
+    )
+    cont = counts.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n1w")  # N1+(., w)
+    )
+    types = counts.agg(
+        (F.count(F.lit(1)) + F.lit(1)).alias("t1")  # T + 1
+    )
+    p = (
+        (
+            F.greatest(F.lit(0), 4 * F.col("c") - 3).cast("double")
+            * F.col("t1").cast("double")
+            + F.lit(3.0)
+            * F.col("n1u").cast("double")
+            * F.col("n1w").cast("double")
+        )
+        / (
+            F.lit(4.0)
+            * F.col("c_u").cast("double")
+            * F.col("t1").cast("double")
+        )
+    )
+    scored = (
+        bigrams.join(counts, ["prev", "tok"])
+        .join(ctx, "prev")
+        .join(cont, "tok")
+        .crossJoin(F.broadcast(types))
+        .select(
+            F.col(id_col),
+            F.round(F.log(p) * LP_SCALE).cast("long").alias("fp"),
+        )
+    )
+    ce = (
+        -F.col("sum_fp").cast("double")
+        / F.lit(LP_SCALE)
+        / F.col("n_bigrams").cast("double")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("fp").alias("sum_fp"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.round(ce, 6).alias("cross_entropy"),
+        )
+    )

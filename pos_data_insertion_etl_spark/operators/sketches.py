@@ -128,3 +128,56 @@ def kmv_estimate_grouped(
         .cast("long")
         .alias("distinct_est"),
     )
+
+
+def kmv_intersect_estimate(
+    summary_a: DataFrame, summary_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Set-overlap estimation from two KMV summaries WITHOUT touching
+    the raw sets -- the sketch-level join-cardinality / audience-
+    overlap primitive: merge to the union's k smallest, count how many
+    of those appear in BOTH input summaries (any union-k-smallest
+    element of the intersection necessarily survives in each side's
+    own k-smallest, so the count is well-defined), and scale.
+
+        jaccard_fp     = n_inter * 1e6 div n_kept
+        intersect_est  = floor(union_est * n_inter / n_kept)
+
+    All-integer and exactly SQL-replayable like the base sketch; the
+    usual KMV caveat applies (error ~ 1/sqrt(k) on the Jaccard).
+    ANSI sizing: union_est * n_inter can exceed 2^63 (union_est alone
+    reaches (k-1)*2^52), so the floor is computed by quotient/remainder
+    decomposition -- u div n * i + (u % n) * i div n, exactly
+    floor(u*i/n) for positives -- whose terms are bounded by union_est
+    (n_inter <= n_kept) and n_kept^2 respectively.
+
+    Output: single row [n_kept, union_est, n_inter, jaccard_fp,
+    intersect_est].
+    """
+    merged = kmv_merge(
+        summary_a.select("hv").unionByName(summary_b.select("hv")), k=k
+    ).localCheckpoint(eager=False)
+    both = merged.join(
+        summary_a.select("hv").distinct(), "hv", "left_semi"
+    ).join(summary_b.select("hv").distinct(), "hv", "left_semi")
+    u = kmv_estimate(merged, k=k).select(
+        "n_kept", F.col("distinct_est").alias("union_est")
+    )
+    i = both.agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    return (
+        u.crossJoin(F.broadcast(i))
+        .select(
+            "n_kept",
+            "union_est",
+            "n_inter",
+            F.expr("(n_inter * 1000000) div n_kept")
+            .cast("long")
+            .alias("jaccard_fp"),
+            F.expr(
+                "(union_est div n_kept) * n_inter"
+                " + ((union_est % n_kept) * n_inter) div n_kept"
+            )
+            .cast("long")
+            .alias("intersect_est"),
+        )
+    )

@@ -195,3 +195,139 @@ def test_calibration_p_one_lands_in_top_bin(spark):
     assert out[0].n == 2 and out[0].gap_fp == pytest.approx(
         1_000_000 - (1_000_000 + 999_999) // 2
     )
+
+
+# ------------------------------------------------- Kneser-Ney bigram
+
+
+def test_kneser_ney_exact_tiny_fixture(spark):
+    import math
+
+    from pos_data_insertion_etl_spark.operators.lm_score import (
+        kneser_ney_bigram_scores,
+    )
+
+    # one doc "a b a b": bigram stream is (a,b), (b,a), (a,b)
+    docs = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    r = kneser_ney_bigram_scores(docs, "text", "doc_id").collect()[0]
+    assert r.n_bigrams == 3
+    # counts: c(a,b)=2, c(b,a)=1; c_a=2, c_b=1; n1u(a)=1, n1u(b)=1;
+    # n1w(b)=1, n1w(a)=1; T1=3
+    def p(c, cu, n1u, n1w, t1=3):
+        return (max(4 * c - 3, 0) * t1 + 3 * n1u * n1w) / (4 * cu * t1)
+
+    fp_ab = round(math.log(p(2, 2, 1, 1)) * 1_000_000)
+    fp_ba = round(math.log(p(1, 1, 1, 1)) * 1_000_000)
+    expect_ce = round(-(2 * fp_ab + fp_ba) / 1_000_000 / 3, 6)
+    assert r.cross_entropy == expect_ce
+
+
+def test_kneser_ney_orders_template_docs_lower(spark, sf_dir):
+    from pos_data_insertion_etl_spark.catalog import load_table
+    from pos_data_insertion_etl_spark.operators.lm_score import (
+        kneser_ney_bigram_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = kneser_ney_bigram_scores(docs, "text", "doc_id")
+    rows = out.collect()
+    assert len(rows) == docs.filter(
+        F.size(F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                        lambda x: x != "")) >= 2).count()
+    assert all(r.cross_entropy > 0 for r in rows)
+    # determinism under a different partitioning
+    again = kneser_ney_bigram_scores(
+        docs.repartition(7), "text", "doc_id").collect()
+    assert {(r.doc_id, r.cross_entropy) for r in rows} == {
+        (r.doc_id, r.cross_entropy) for r in again
+    }
+
+
+# ------------------------------------------------- KMV intersection
+
+
+def test_kmv_intersect_disjoint_and_nested(spark):
+    from pos_data_insertion_etl_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_summary,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(400)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(400)], "v string")
+    k = 128
+    sa, sb = kmv_summary(a, "v", k=k), kmv_summary(b, "v", k=k)
+    r = kmv_intersect_estimate(sa, sb, k=k).collect()[0]
+    assert r.n_inter == 0 and r.intersect_est == 0
+    # identical sets: jaccard exactly 1, intersection ~= set size
+    r2 = kmv_intersect_estimate(sa, sa, k=k).collect()[0]
+    assert r2.jaccard_fp == 1_000_000
+    assert abs(r2.intersect_est - 400) < 0.25 * 400
+
+
+def test_kmv_intersect_half_overlap(spark):
+    from pos_data_insertion_etl_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_summary,
+    )
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(600)], "v string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(300, 900)], "v string"
+    )
+    k = 256
+    r = kmv_intersect_estimate(
+        kmv_summary(a, "v", k=k), kmv_summary(b, "v", k=k), k=k
+    ).collect()[0]
+    # true jaccard = 300/900 = 1/3; generous sketch envelope
+    assert 180_000 < r.jaccard_fp < 500_000
+    assert 150 < r.intersect_est < 500
+
+
+def test_kmv_monitor_stream_e2e(spark, tmp_path):
+    """Drive the STREAM flavor through a real Structured Streaming
+    query (parquet source, availableNow): the checkpointed foreachBatch
+    persists per-batch sketches and a restart re-ingests nothing --
+    the merged estimate equals the direct single-pass sketch."""
+    import pandas as pd
+
+    from pos_data_insertion_etl_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_summary,
+    )
+    from pos_data_insertion_etl_spark.streaming.jobs import (
+        kmv_monitor_stream,
+        load_kmv_distinct,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"v": [f"u{i}" for i in range(500)]}).to_parquet(
+        src / "b0.parquet"
+    )
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    k = 128
+
+    def run_once():
+        stream = spark.readStream.schema("v string").parquet(str(src))
+        q = kmv_monitor_stream(stream, store, ckpt, "v", k=k).start()
+        q.awaitTermination()
+
+    run_once()
+    # second file lands; restart picks up ONLY the new batch
+    pd.DataFrame({"v": [f"w{i}" for i in range(300)]}).to_parquet(
+        src / "b1.parquet"
+    )
+    run_once()
+    run_once()  # no new data: restart is a no-op
+
+    merged = load_kmv_distinct(spark, store, k=k).collect()[0]
+    full = spark.createDataFrame(
+        [(f"u{i}",) for i in range(500)] + [(f"w{i}",) for i in range(300)],
+        "v string",
+    )
+    direct = kmv_estimate(kmv_summary(full, "v", k=k), k=k).collect()[0]
+    assert merged.kth_hv == direct.kth_hv
+    assert merged.distinct_est == direct.distinct_est
