@@ -319,3 +319,96 @@ def group_stable_split(
         .when(h2 < F.lit(test_hex), F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def ipf_raking(
+    cells: DataFrame,
+    row_col: str,
+    col_col: str,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Iterative proportional fitting (raking): reweight a two-way
+    contingency table (e.g. language x source document counts) so its
+    weighted marginals approach BOTH target profiles -- the classic
+    survey-statistics balancer, and the principled way to hit a
+    curation spec like "40% en / uniform sources" simultaneously
+    instead of per-axis quota sampling.
+
+    Exact-integer contract: weights are 1e6 fixed point; each
+    half-iteration computes per-group factors target*1e6 div
+    current_sum and applies w*factor div 1e6 -- truncating but
+    deterministic, so an unrolled-CTE oracle replays every iteration
+    bit-for-bit (the q141/q182 convention). Weighted sums use
+    w*n products (bounded by 1e6 * cell totals; size targets so
+    tgt*1e6*n stays under 2^63 -- at 1e12-row cells switch the scale
+    to 1e3).
+
+    Scale: ``cells`` is already the AGGREGATED contingency table
+    (|rows| x |cols| cells -- build it with one groupBy upstream);
+    every iteration is two tiny groupBys + two broadcast joins back.
+    Never applied per-document: apply the final cell weights to the
+    corpus with one broadcast join on (row, col).
+
+    Output: [row, col, n, w_fp] after ``iters`` full iterations
+    (row pass then column pass each).
+    """
+    w = cells.select(
+        F.col(row_col).alias("row"),
+        F.col(col_col).alias("col"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(1_000_000).cast("long").alias("w_fp"),
+    )
+    rt = F.broadcast(
+        row_targets.select(
+            F.col(row_targets.columns[0]).alias("row"),
+            F.col(row_targets.columns[1]).cast("long").alias("tgt"),
+        )
+    )
+    ct = F.broadcast(
+        col_targets.select(
+            F.col(col_targets.columns[0]).alias("col"),
+            F.col(col_targets.columns[1]).cast("long").alias("tgt"),
+        )
+    )
+    for _ in range(iters):
+        rsum = w.groupBy("row").agg(
+            F.sum(F.expr("(w_fp * n) div 1000000")).alias("cur")
+        )
+        w = (
+            w.join(F.broadcast(rsum), "row")
+            .join(rt, "row")
+            .select(
+                "row",
+                "col",
+                "n",
+                F.expr(
+                    "(w_fp * ((tgt * 1000000) div cur)) div 1000000"
+                )
+                .cast("long")
+                .alias("w_fp"),
+            )
+        )
+        csum = w.groupBy("col").agg(
+            F.sum(F.expr("(w_fp * n) div 1000000")).alias("cur")
+        )
+        w = (
+            w.join(F.broadcast(csum), "col")
+            .join(ct, "col")
+            .select(
+                "row",
+                "col",
+                "n",
+                F.expr(
+                    "(w_fp * ((tgt * 1000000) div cur)) div 1000000"
+                )
+                .cast("long")
+                .alias("w_fp"),
+            )
+            # lineage cut per iteration (the pagerank/k-means loop
+            # convention): 2*iters chained joins otherwise blow up
+            # Catalyst analysis time exponentially
+            .localCheckpoint(eager=True)
+        )
+    return w

@@ -644,3 +644,103 @@ def sitemap_urls(df: DataFrame, xml_col: str, id_col: str) -> DataFrame:
         )
         .filter(F.col("url") != "")
     )
+
+
+def code_switch_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 20,
+) -> DataFrame:
+    """Per-document code-switch / language-consistency screen: slice
+    the token stream into fixed windows, language-ID each window with
+    the q53 stopword-overlap heuristic, and report how consistent the
+    document is -- mixed-language pages are poison for monolingual
+    training mixes yet pass whole-document langid easily (the majority
+    language still wins globally).
+
+    Everything is JVM higher-order functions on ONE explode: windows
+    come from slice() over the token array, per-window stopword hits
+    from size(filter(...)), the window label from q53's deterministic
+    argmax (fixed en>es>de>fr tie order). Majority share is an exact
+    1e-6 integer division; ties on the majority label break
+    lexicographically.
+
+    Output: [id, n_windows, n_langs, majority_lang,
+    majority_share_fp, is_code_switched] (is_code_switched = more
+    than one NON-'und' window label present).
+    """
+    from ..functions.text import STOPWORDS
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("_t")
+    ).filter(F.size("_t") > 0)
+    n_win = (F.size("_t") + F.lit(window_tokens - 1)).cast("long") / F.lit(
+        window_tokens
+    )
+    windows = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(n_win).cast("int") - F.lit(1),
+                ),
+                lambda i: F.slice(
+                    F.col("_t"), i * window_tokens + 1, window_tokens
+                ),
+            )
+        ).alias("_w"),
+    )
+    hits = {
+        lang: F.size(
+            F.filter(F.col("_w"), lambda x: x.isin(*STOPWORDS[lang]))
+        )
+        for lang in STOPWORDS
+    }
+    e, s, d, f_ = (hits[lang] for lang in ("en", "es", "de", "fr"))
+    label = (
+        F.when((e >= s) & (e >= d) & (e >= f_) & (e > 0), "en")
+        .when((s >= d) & (s >= f_) & (s > 0), "es")
+        .when((d >= f_) & (d > 0), "de")
+        .when(f_ > 0, "fr")
+        .otherwise("und")
+    )
+    labeled = windows.select("id", label.alias("_lang"))
+    per_lang = labeled.groupBy("id", "_lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql.window import Window as W
+
+    best = F.row_number().over(
+        W.partitionBy("id").orderBy(F.desc("c"), "_lang")
+    )
+    agg = per_lang.withColumn("_rn", best)
+    stats = agg.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_lang"))).alias(
+            "majority_lang"
+        ),
+        F.max(F.when(F.col("_rn") == 1, F.col("c"))).alias("_mc"),
+        F.sum(
+            F.when(F.col("_lang") != "und", 1).otherwise(0)
+        ).alias("_n_real"),
+        F.countDistinct(
+            F.when(F.col("_lang") != "und", F.col("_lang"))
+        ).alias("_n_real_langs"),
+    )
+    return stats.select(
+        "id",
+        "n_windows",
+        "n_langs",
+        "majority_lang",
+        F.expr("(_mc * 1000000) div n_windows")
+        .cast("long")
+        .alias("majority_share_fp"),
+        (F.col("_n_real_langs") > 1).alias("is_code_switched"),
+    )

@@ -331,3 +331,78 @@ def test_kmv_monitor_stream_e2e(spark, tmp_path):
     direct = kmv_estimate(kmv_summary(full, "v", k=k), k=k).collect()[0]
     assert merged.kth_hv == direct.kth_hv
     assert merged.distinct_est == direct.distinct_est
+
+
+# ---------------------------------------------------------- IPF raking
+
+
+def test_ipf_raking_converges_both_marginals(spark):
+    from pos_data_insertion_etl_spark.operators.mixture import ipf_raking
+
+    # 2x2 table heavily skewed; targets: rows 60/40, cols 50/50
+    cells = spark.createDataFrame(
+        [("en", "web", 80), ("en", "book", 10),
+         ("fr", "web", 5), ("fr", "book", 5)],
+        "lang string, src string, n long",
+    )
+    rt = spark.createDataFrame([("en", 60), ("fr", 40)], "lang string, t long")
+    ct = spark.createDataFrame([("web", 50), ("book", 50)], "src string, t long")
+    out = ipf_raking(cells, "lang", "src", rt, ct, iters=6)
+    rows = out.collect()
+    assert all(r.w_fp > 0 for r in rows)
+    # weighted marginals within 2% of targets after 6 iterations
+    wsum = {}
+    for r in rows:
+        wsum[r.row] = wsum.get(r.row, 0) + r.w_fp * r.n / 1_000_000
+        wsum[r.col] = wsum.get(r.col, 0) + r.w_fp * r.n / 1_000_000
+    assert abs(wsum["en"] - 60) < 2 and abs(wsum["fr"] - 40) < 2
+    assert abs(wsum["web"] - 50) < 2 and abs(wsum["book"] - 50) < 2
+
+
+def test_ipf_raking_identity_when_already_balanced(spark):
+    from pos_data_insertion_etl_spark.operators.mixture import ipf_raking
+
+    cells = spark.createDataFrame(
+        [("a", "x", 10), ("a", "y", 10), ("b", "x", 10), ("b", "y", 10)],
+        "r string, c string, n long",
+    )
+    rt = spark.createDataFrame([("a", 20), ("b", 20)], "r string, t long")
+    ct = spark.createDataFrame([("x", 20), ("y", 20)], "c string, t long")
+    out = ipf_raking(cells, "r", "c", rt, ct, iters=2).collect()
+    assert all(r.w_fp == 1_000_000 for r in out)  # exact fixed point
+
+
+# -------------------------------------------------------- code switch
+
+
+def test_code_switch_detects_mixed_doc(spark):
+    from pos_data_insertion_etl_spark.operators.quality import (
+        code_switch_report,
+    )
+
+    en = "the cat is in the house and a dog " * 3          # ~30 en tokens
+    fr = "le chat est un animal et les chiens des " * 3    # ~30 fr tokens
+    docs = spark.createDataFrame(
+        [(1, en + fr), (2, en * 2), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in code_switch_report(
+        docs, "text", "doc_id", window_tokens=10).collect()}
+    assert out[1].is_code_switched and out[1].n_langs >= 2
+    assert not out[2].is_code_switched
+    assert out[2].majority_lang == "en"
+    assert out[2].majority_share_fp == 1_000_000
+    assert 3 not in out  # empty doc drops (no tokens)
+
+
+def test_code_switch_window_count_and_tail(spark):
+    from pos_data_insertion_etl_spark.operators.quality import (
+        code_switch_report,
+    )
+
+    # 25 tokens at window 10 -> 3 windows (tail window of 5)
+    docs = spark.createDataFrame(
+        [(1, " ".join(["the"] * 25))], "doc_id long, text string"
+    )
+    r = code_switch_report(docs, "text", "doc_id", window_tokens=10).collect()[0]
+    assert r.n_windows == 3 and r.majority_lang == "en"
