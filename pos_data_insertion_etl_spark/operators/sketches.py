@@ -181,3 +181,53 @@ def kmv_intersect_estimate(
             .alias("intersect_est"),
         )
     )
+
+
+def encoding_advisor(
+    df: DataFrame, cols: list[str], k: int = 256
+) -> DataFrame:
+    """Columnar-layout advisor: estimate each column's distinct-value
+    ratio with ONE scan (a KMV sketch per column, stacked before the
+    shuffle) and recommend dictionary vs plain encoding -- the
+    maintenance-time signal that decides parquet dictionary pages and
+    whether a join key is worth bucketing.
+
+    One select explodes each row into (col, hv) pairs -- |cols| rows
+    per input row but only 8-byte hashes ever shuffle; the per-column
+    k-smallest ride the grouped-sketch window. distinct_ratio_fp is
+    min(est, n_rows) * 1e6 div n_rows (the estimator can overshoot
+    n_rows at small n); the threshold (dict-encode under 10%) is the
+    classic parquet heuristic, exposed in the output rather than
+    hidden.
+
+    Output: [column, n_rows, distinct_est, distinct_ratio_fp,
+    recommend_dictionary].
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("group"),
+                        kmv_hash(F.col(c).cast("string")).alias("hv"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.group", "_p.hv")
+    # pairs are already hashed: feed the grouped estimator directly
+    # (kmv_estimate_grouped re-dedups and re-cuts to k internally)
+    est = kmv_estimate_grouped(pairs, k=k)
+    n = df.count()
+    return est.select(
+        F.col("group").alias("column"),
+        F.lit(n).cast("long").alias("n_rows"),
+        "distinct_est",
+        F.expr(f"(least(distinct_est, {n}) * 1000000) div {max(n, 1)}")
+        .cast("long")
+        .alias("distinct_ratio_fp"),
+        (
+            F.least(F.col("distinct_est"), F.lit(n)) * 10 < F.lit(n)
+        ).alias("recommend_dictionary"),
+    )

@@ -406,3 +406,23 @@ def test_code_switch_window_count_and_tail(spark):
     )
     r = code_switch_report(docs, "text", "doc_id", window_tokens=10).collect()[0]
     assert r.n_windows == 3 and r.majority_lang == "en"
+
+
+# --------------------------------------------------- encoding advisor
+
+
+def test_encoding_advisor_on_lineitem(spark, sf_dir):
+    from pos_data_insertion_etl_spark.catalog import load_table
+    from pos_data_insertion_etl_spark.operators.sketches import (
+        encoding_advisor,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = {r.column: r for r in encoding_advisor(
+        li, ["l_returnflag", "l_orderkey"], k=256).collect()}
+    # 3ish flag values -> dictionary; near-unique orderkey -> plain
+    assert out["l_returnflag"].recommend_dictionary
+    assert out["l_returnflag"].distinct_est < 10
+    assert not out["l_orderkey"].recommend_dictionary
+    assert out["l_orderkey"].distinct_ratio_fp > 100_000
+    assert all(r.n_rows == li.count() for r in out.values())
