@@ -489,8 +489,12 @@ def kneser_ney_bigram_scores(
     to one exact fraction of integer counts --
     p = (max(4c - 3, 0) * T1 + 3 * n1u * n1w) / (4 * c_u * T1) --
     evaluated as one fixed-order IEEE division (numerator terms are
-    exact in doubles at oracle scale), then ln, rounded to 1e-6 (the
-    lm_score libm convention). A SQL oracle replays it bit-for-bit.
+    exact in doubles at oracle scale), then ln rounded PER TERM at
+    1e-9 -- the finer scale the repo reserves for operators where a
+    libm ulp difference once landed a 1e-6 term on a .5 rounding
+    boundary (this one did, at sf0.01). The per-document mean is then
+    an EXACT integer division to micro-nats, so no double ever leaves
+    the operator. A SQL oracle replays it bit-for-bit.
 
     Scale: the three count lookups are ORDINARY SHUFFLE equi-joins on
     (prev,tok) / prev / tok -- the bigram-count table is corpus-
@@ -499,7 +503,8 @@ def kneser_ney_bigram_scores(
     head-capped broadcast serving shape stays available via
     bigram_lm_scores.
 
-    Output: [id, n_bigrams, cross_entropy].
+    Output: [id, n_bigrams, ce_micro] (mean -ln P in micro-nats,
+    exact integer).
     """
     arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     bigrams = (
@@ -555,23 +560,20 @@ def kneser_ney_bigram_scores(
         .crossJoin(F.broadcast(types))
         .select(
             F.col(id_col),
-            F.round(F.log(p) * LP_SCALE).cast("long").alias("fp"),
+            F.round(F.log(p) * 1_000_000_000).cast("long").alias("fp"),
         )
-    )
-    ce = (
-        -F.col("sum_fp").cast("double")
-        / F.lit(LP_SCALE)
-        / F.col("n_bigrams").cast("double")
     )
     return (
         scored.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.sum("fp").alias("sum_fp"),
         )
         .select(
             F.col(id_col),
             "n_bigrams",
-            F.round(ce, 6).alias("cross_entropy"),
+            F.expr("(-sum_fp) div (1000 * n_bigrams)")
+            .cast("long")
+            .alias("ce_micro"),
         )
     )

@@ -63,6 +63,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops10,
         llm_ops11,
         llm_ops12,
+        llm_ops13,
         media_ops,
         pos_ops,
         relational,

@@ -141,6 +141,15 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
         "q215_retrieval_eval",
         "q216_dow_seasonality",
         "q217_score_auc",
+        "q218_kmv_distinct_replay",
+        "q219_golden_records",
+        "q220_min_k_prob",
+        "q221_calibration_ece",
+        "q222_kneser_ney_ce",
+        "q223_ipf_raking",
+        "q224_code_switch",
+        "q225_kmv_overlap",
+        "q226_encoding_advisor",
     }
 )
 

@@ -94,6 +94,14 @@ ALLOWED_BNLJ = {
     "q211_heavyhitter_monitor_replay": "1-row total/error scalar broadcasts",
     # 1-row (n_docs, n_class) contingency-totals scalar broadcast
     "q214_chi2_token_class": "1-row class-totals scalar broadcast",
+    # q129's unigram model: 1-row OOV-floor scalar broadcast
+    "q220_min_k_prob": "1-row OOV-scalar broadcast (q129 model shape)",
+    # 1-row (total, gap-sum) ECE scalar broadcast back onto the bins
+    "q221_calibration_ece": "1-row ECE-totals scalar broadcast",
+    # 1-row bigram-type-count scalar broadcast into every probability
+    "q222_kneser_ney_ce": "1-row type-count scalar broadcast",
+    # 1-row union-estimate x 1-row intersection-count scalar cross
+    "q225_kmv_overlap": "1-row sketch-scalar broadcasts",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at

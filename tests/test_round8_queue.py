@@ -218,10 +218,10 @@ def test_kneser_ney_exact_tiny_fixture(spark):
     def p(c, cu, n1u, n1w, t1=3):
         return (max(4 * c - 3, 0) * t1 + 3 * n1u * n1w) / (4 * cu * t1)
 
-    fp_ab = round(math.log(p(2, 2, 1, 1)) * 1_000_000)
-    fp_ba = round(math.log(p(1, 1, 1, 1)) * 1_000_000)
-    expect_ce = round(-(2 * fp_ab + fp_ba) / 1_000_000 / 3, 6)
-    assert r.cross_entropy == expect_ce
+    fp_ab = round(math.log(p(2, 2, 1, 1)) * 1_000_000_000)
+    fp_ba = round(math.log(p(1, 1, 1, 1)) * 1_000_000_000)
+    expect = (-(2 * fp_ab + fp_ba)) // (1000 * 3)
+    assert r.ce_micro == expect
 
 
 def test_kneser_ney_orders_template_docs_lower(spark, sf_dir):
@@ -236,12 +236,12 @@ def test_kneser_ney_orders_template_docs_lower(spark, sf_dir):
     assert len(rows) == docs.filter(
         F.size(F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
                         lambda x: x != "")) >= 2).count()
-    assert all(r.cross_entropy > 0 for r in rows)
+    assert all(r.ce_micro > 0 for r in rows)
     # determinism under a different partitioning
     again = kneser_ney_bigram_scores(
         docs.repartition(7), "text", "doc_id").collect()
-    assert {(r.doc_id, r.cross_entropy) for r in rows} == {
-        (r.doc_id, r.cross_entropy) for r in again
+    assert {(r.doc_id, r.ce_micro) for r in rows} == {
+        (r.doc_id, r.ce_micro) for r in again
     }
 
 
