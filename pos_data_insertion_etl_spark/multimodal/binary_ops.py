@@ -323,3 +323,66 @@ def audio_frame_energy(
         frames,
         "doc_id long, frame_idx long, n_samples long, energy long, peak long",
     )
+
+
+def audio_zero_crossings(
+    df: DataFrame, id_col: str, content_col: str, frame_len: int = 250
+) -> DataFrame:
+    """Per-frame zero-crossing counts through the real WAV codec --
+    the voiced/unvoiced + noisiness proxy next to audio_frame_energy's
+    loudness: speech segmentation and silence/music discrimination
+    start from exactly this pair of framings.
+
+    A crossing is a strictly sign-changing adjacent pair
+    (s[i-1] * s[i] < 0 -- zeros never cross, so the count is exact
+    integer with no epsilon), counted WITHIN frames only (pairs
+    spanning a frame boundary belong to neither frame), making each
+    frame's [n_pairs, crossings, zcr_fp = crossings * 1e6 div n_pairs]
+    independently recomputable by a closed-form oracle.
+
+    Same Arrow-batch contract as audio_frame_energy: decode + frame +
+    reduce inside one mapInPandas pass; only small ints shuffle.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav_codec import decode_wav
+
+        for pdf in batches:
+            ids, idxs, pairs_n, crossings = [], [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                samples, _rate = decode_wav(bytes(content))
+                arr = samples.astype(np.int64)
+                for f in range(0, len(arr), frame_len):
+                    w = arr[f : f + frame_len]
+                    ids.append(doc_id)
+                    idxs.append(f // frame_len)
+                    if len(w) < 2:
+                        pairs_n.append(0)
+                        crossings.append(0)
+                    else:
+                        prod = w[:-1] * w[1:]
+                        pairs_n.append(len(w) - 1)
+                        crossings.append(int((prod < 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_pairs": pairs_n,
+                    "crossings": crossings,
+                }
+            )
+
+    out = df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        frames,
+        schema="doc_id long, frame_idx long, n_pairs long, crossings long",
+    )
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "n_pairs",
+        "crossings",
+        F.when(F.col("n_pairs") > 0, F.expr("(crossings * 1000000) div n_pairs"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("zcr_fp"),
+    )

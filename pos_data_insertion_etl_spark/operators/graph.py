@@ -640,3 +640,120 @@ def bfs_distances(
         .alias("dist"),
         (F.col("dist") < BFS_UNREACHED).alias("reached"),
     )
+
+
+HITS_SCALE = 1_000_000
+
+
+def hits_scores(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities over a directed edge list -- the
+    link-analysis complement to PageRank (a node can matter as a
+    POINTER to good content without being pointed at): crawl-seed
+    selection uses hubs, content ranking uses authorities.
+
+    Integer-portable variant: scores live in 1e-6 fixed point; each
+    half-step aggregates neighbor scores exactly, then renormalizes
+    the total mass back to N * HITS_SCALE through a 1e-6 fixed-point
+    factor (two integer divisions -- truncating but deterministic, so
+    an unrolled-CTE oracle replays it). Overflow-safe for any graph:
+    raw(v) <= total, so raw * factor <= N * HITS_SCALE * 1e6 ~ 2.5e19
+    / N ... bounded by total * (N*SCALE*1e6/total) = N * SCALE * 1e6
+    < 2^63 whenever N * 1e12 < 2^63 (N < 9e6 nodes per connected
+    normalization scope; shard larger graphs by component).
+
+    One contribution shuffle per half-step; lineage cut per round.
+    Output: [node, hub_fp, auth_fp].
+    """
+    sym = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    mass = n_nodes * HITS_SCALE
+
+    def normalize(raw: DataFrame, col: str) -> DataFrame:
+        # The scaled-mass literal is pre-multiplied in Python: written
+        # as `mass * 1000000` Spark parses two INT literals and ANSI-
+        # overflows in 32-bit; a single >2^31 literal parses as BIGINT.
+        total = raw.agg(F.sum(col).alias("_t"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.expr(
+                f"({col} * ({mass * 1_000_000} div _t)) div 1000000"
+            )
+            .cast("long")
+            .alias(col),
+        )
+
+    hub = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            sym.join(hub.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = normalize(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("auth", F.lit(0)).alias("auth")
+            ),
+            "auth",
+        ).localCheckpoint(eager=True)
+        h_raw = (
+            sym.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = normalize(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0)).alias("hub")
+            ),
+            "hub",
+        ).localCheckpoint(eager=True)
+    return (
+        nodes.join(hub, "node")
+        .join(auth, "node")
+        .select(
+            "node",
+            F.col("hub").alias("hub_fp"),
+            F.col("auth").alias("auth_fp"),
+        )
+    )
+
+
+def mutual_knn_pairs(
+    graph: DataFrame,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    sim: str = "cos_sim",
+) -> DataFrame:
+    """Reciprocal (mutual) kNN filter over a directed kNN edge list:
+    keep only pairs where EACH side ranks the other in its own top-k
+    -- the standard high-precision cut before semantic-dedup merges
+    (one-directional neighbors are asymmetric-density artifacts).
+
+    One self-equi-join on the reversed key; pairs canonicalize as
+    id_a < id_b so each mutual pair emits exactly once, with both
+    directed similarities (equal for cosine, kept as a sanity
+    column). Output: [id_a, id_b, sim_ab, sim_ba].
+    """
+    fwd = graph.select(
+        F.col(src).alias("id_a"),
+        F.col(dst).alias("id_b"),
+        F.col(sim).alias("sim_ab"),
+    )
+    rev = graph.select(
+        F.col(dst).alias("id_a"),
+        F.col(src).alias("id_b"),
+        F.col(sim).alias("sim_ba"),
+    )
+    return fwd.join(rev, ["id_a", "id_b"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )

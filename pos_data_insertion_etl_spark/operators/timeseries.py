@@ -157,3 +157,49 @@ def dow_seasonal_residuals(
             > F.lit(anomaly_pct) * F.expr("(_tot * 1000) div _cnt")
         ).alias("is_anomaly"),
     )
+
+
+def centered_moving_trend(
+    daily: DataFrame,
+    day_col: str,
+    n_col: str,
+    half_window: int = 3,
+) -> DataFrame:
+    """Centered moving-average trend + detrended residual over a daily
+    count series -- the trend half of an STL-style decomposition
+    (pair with dow_seasonal_residuals for the seasonal half).
+
+    The frame is ROW-based over days ordered by date (edges shrink to
+    the available rows; with gaps in the calendar the window covers
+    the nearest PRESENT days -- callers wanting strict calendar frames
+    gap-fill first with operators/gapfill). trend_milli =
+    sum(n)*1000 div count over the frame -- exact integers, so an
+    OVER ... ROWS BETWEEN oracle replays it bit-for-bit.
+
+    Scale: one global sort over the DAILY series (one row per day --
+    thousands of rows at any corpus size; the heavy groupBy happened
+    upstream). Output: [day, n, n_frame, trend_milli, detrended_milli].
+    """
+    w = W.orderBy(day_col).rowsBetween(-half_window, half_window)
+    return daily.select(
+        F.col(day_col).alias("day"),
+        F.col(n_col).cast("long").alias("n"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_frame"),
+        F.expr(
+            f"(sum({n_col}) over (order by {day_col} rows between"
+            f" {half_window} preceding and {half_window} following)"
+            f" * 1000) div (count(1) over (order by {day_col} rows"
+            f" between {half_window} preceding and {half_window}"
+            f" following))"
+        )
+        .cast("long")
+        .alias("trend_milli"),
+    ).select(
+        "day",
+        "n",
+        "n_frame",
+        "trend_milli",
+        (F.col("n") * 1000 - F.col("trend_milli"))
+        .cast("long")
+        .alias("detrended_milli"),
+    )

@@ -64,6 +64,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops11,
         llm_ops12,
         llm_ops13,
+        llm_ops14,
         media_ops,
         pos_ops,
         relational,
