@@ -219,9 +219,32 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "4"))
+    # Route ALL Spark JVM logging to a file (VERDICT r7 item 5): the
+    # driver parses the LAST ~2000 stdout bytes as the metric line, and
+    # r7's capture opened with a DAGScheduler updateAccumulators stack
+    # trace (a finished localCheckpoint stage reporting into a
+    # cancelled SQL-metrics accumulator -- benign, but it races the
+    # capture window). With a file appender nothing but this script
+    # writes to stdout.
+    import tempfile
+
+    from pos_data_insertion_etl_spark.session import write_log4j_file_config
+
+    spark_log = os.path.join(tempfile.gettempdir(), "bench_spark_jvm.log")
     # Pinned session config: shuffle partitions explicit, not inherited
     # from whatever session a prior tool left behind.
-    spark = get_session("pos-etl-bench", shuffle_partitions=cpus)
+    spark = get_session(
+        "pos-etl-bench",
+        shuffle_partitions=cpus,
+        log4j_config=write_log4j_file_config(spark_log),
+    )
+    # Console progress bars write to stderr, but suppress them anyway:
+    # a bar racing JVM teardown is the one remaining writer that could
+    # interleave with the final line on a combined-stream capture.
+    try:
+        spark.conf.set("spark.ui.showConsoleProgress", "false")
+    except Exception:
+        pass  # core conf not runtime-settable on this build
 
     registry = all_queries()
 
@@ -297,8 +320,13 @@ def main() -> None:
         if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
     ]
     nxt = (max(rounds) + 1) if rounds else 1
+    # Provenance naming (VERDICT r7 item 6): the driver's own run owns
+    # the bare BENCH_DETAIL_r{N}; builder-side interim runs must set
+    # SPARK_GRAFT_BENCH_TAG (e.g. "b") so their detail file never
+    # shadows or post-dates the driver artifact of the same round.
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
     with open(
-        os.path.join(here, f"BENCH_DETAIL_r{nxt:02d}.json"), "w"
+        os.path.join(here, f"BENCH_DETAIL_r{nxt:02d}{tag}.json"), "w"
     ) as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     if len(line) > 1800:  # keep headroom under the 2000-byte window
@@ -307,7 +335,14 @@ def main() -> None:
             "or shorten keys before the driver capture truncates it.",
             file=sys.stderr,
         )
+    # Tear the JVM down BEFORE printing: any shutdown-time log noise
+    # (executor reaper, accumulator warnings) lands ahead of -- never
+    # after -- the metric line, so the driver's tail capture always
+    # ends with parseable JSON.
+    spark.stop()
+    sys.stdout.flush()
     print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -39,6 +39,7 @@ def budgeted_mixture_sample(
     text_col: str = "text",
     source_col: str = "source",
     score_col: str | None = None,
+    size_col: str | None = None,
 ) -> DataFrame:
     """Select documents to fill per-source token budgets.
 
@@ -46,6 +47,17 @@ def budgeted_mixture_sample(
     for every SELECTED document. ``weights`` need not sum to 1 -- each
     source's budget is round(weight * total_tokens) independently, so
     callers can oversample a source without renormalizing the rest.
+
+    ``size_col`` selects the budget unit: when given, document size is
+    that precomputed integer column (chars, bytes, pre-tokenized
+    counts) and ``text_col`` is never read; when None, size is the
+    library's whitespace token count of ``text_col``. Budget math is
+    unit-agnostic -- `n_tokens` in the output is "size in the chosen
+    unit". Certified-path note: cross-engine checks should prefer a
+    precomputed ``size_col`` -- regex tokenization is engine-version-
+    sensitive at the boundary level (`\\s` class membership differs
+    across RE2/JVM builds), which three rounds of driver evidence on
+    q131 established cannot be patched from inside the regex.
     """
     if not weights:
         raise ValueError("weights must name at least one source")
@@ -62,19 +74,24 @@ def budgeted_mixture_sample(
     )
     w_rank = W.partitionBy(source_col).orderBy(*order)
     w_sum = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
+    size = (
+        F.col(size_col).cast("long")
+        if size_col is not None
+        # Count NON-EMPTY tokens explicitly: bare size(split(..))
+        # counts the empty fragments regex engines emit for
+        # leading/trailing whitespace, and those edge semantics are
+        # engine-version-sensitive (the q131 r6 driver mismatch).
+        # Filtering empties makes the count portable across Spark
+        # and DuckDB builds -- the q144 funnel-oracle convention.
+        else F.size(
+            F.filter(tokens(text_col), lambda x: x != F.lit(""))
+        ).cast("long")
+    )
     return (
         docs.select(
             F.col(id_col),
             F.col(source_col),
-            # Count NON-EMPTY tokens explicitly: bare size(split(..))
-            # counts the empty fragments regex engines emit for
-            # leading/trailing whitespace, and those edge semantics are
-            # engine-version-sensitive (the q131 r6 driver mismatch).
-            # Filtering empties makes the count portable across Spark
-            # and DuckDB builds -- the q144 funnel-oracle convention.
-            F.size(F.filter(tokens(text_col), lambda x: x != F.lit("")))
-            .cast("long")
-            .alias("n_tokens"),
+            size.alias("n_tokens"),
             *( [F.col(score_col)] if score_col is not None else [] ),
         )
         .withColumn("source_budget", budget)

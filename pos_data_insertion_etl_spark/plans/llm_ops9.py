@@ -203,7 +203,13 @@ def _tar_fixture_path(spark, sf_dir: str) -> str:
     """Build (once per sf_dir) a deterministic two-member tar of
     fixed-width lineitem records. Driver-side FIXTURE synthesis, not a
     data path: the subset is ~n/37 records and the write is atomic
-    (tmp + rename), so concurrent/bench-rep calls reuse one file."""
+    (tmp + rename), so concurrent/bench-rep calls reuse one file.
+
+    The full-row .collect() below builds the TEST ARCHIVE once --
+    bounded by the SF fixture's subset size -- and is NOT part of the
+    measured read path (q170 times tarsource's streamed member read,
+    which starts from the finished file). The operator under test
+    never collects."""
     import hashlib
     import io
     import tarfile

@@ -382,6 +382,33 @@ def test_budgeted_mixture_sample_matches_oracle(spark, sf_dir, duck):
     assert ok, msg
 
 
+def test_budgeted_mixture_sample_size_col(spark, sf_dir):
+    """size_col switches the budget unit to a precomputed column: the
+    n_tokens output IS that column (no tokenization), selection order
+    is unchanged, and the strict-prefix budget rule still holds -- the
+    q131 certified path (regex tokenization is engine-version-sensitive
+    at \\s boundaries; driver rounds 5-7)."""
+    from pos_data_insertion_etl_spark.operators.mixture import (
+        budgeted_mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = budgeted_mixture_sample(
+        docs,
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total_tokens=10_000,
+        size_col="n_chars",
+    )
+    chars = {r.doc_id: r.n_chars for r in docs.collect()}
+    rows = sel.collect()
+    assert rows and all(r.n_tokens == chars[r.doc_id] for r in rows)
+    budgets = {"src0": 5000, "src1": 3000, "src2": 2000}
+    assert {r.source for r in rows} <= set(budgets)
+    for r in rows:
+        assert r.source_budget == budgets[r.source]
+        assert r.cum_before < r.source_budget
+
+
 def test_budgeted_mixture_sample_budget_contract(spark, sf_dir):
     """Budgets fill to the strict-prefix rule: selected tokens reach at
     least the budget (unless the source ran out of documents) and

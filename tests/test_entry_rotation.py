@@ -153,6 +153,37 @@ _NEW_SINCE_R6: frozenset[str] = frozenset(
     }
 )
 
+#: Batch K: registered at round-7 CLOSE (end-of-round snapshot commit,
+#: after the last full-suite run) -- its own bookkeeping set per
+#: VERDICT r7 item 2, so the r4/r5 reconstructions exclude it and the
+#: meta-test below pins every future registration to exactly one set.
+_NEW_SINCE_R7: frozenset[str] = frozenset(
+    {
+        "q227_hits",
+        "q228_mutual_knn",
+        "q229_association_rules",
+        "q230_trend_ma",
+        "q231_audio_zcr",
+    }
+)
+
+#: Round-8 registrations (keep in sync as batches land).
+_NEW_SINCE_R8: frozenset[str] = frozenset()
+
+#: Every post-r4 bookkeeping set, for the reconstruction filters and
+#: the registration meta-test. ADD NEW ROUNDS HERE.
+_ALL_NEW_SINCE: dict[str, frozenset[str]] = {
+    "_NEW_SINCE_R4": _NEW_SINCE_R4,
+    "_NEW_SINCE_R5": _NEW_SINCE_R5,
+    "_NEW_SINCE_R6": _NEW_SINCE_R6,
+    "_NEW_SINCE_R7": _NEW_SINCE_R7,
+    "_NEW_SINCE_R8": _NEW_SINCE_R8,
+}
+
+#: The round-4 registry was exactly q01..q123 -- a closed historical
+#: fact, pinned by number so the meta-test needs no 123-name list.
+_R4_BASE_MAX_NUM = 123
+
 
 def _entry_module():
     spec = importlib.util.spec_from_file_location("_entry_under_test", _ENTRY)
@@ -179,11 +210,9 @@ def test_r4_artifact_confirms_insertion_order_selection():
         f"00r4_{n}" if n in rotated else n for n in sorted(all_queries())
     ]
     # Names added after round 4 (if any) can't appear in the r4 dict.
+    post_r4 = frozenset().union(*_ALL_NEW_SINCE.values())
     r4_exports = [
-        k
-        for k in r4_exports
-        if _ALIAS.sub("", k)
-        not in (_NEW_SINCE_R4 | _NEW_SINCE_R5 | _NEW_SINCE_R6)
+        k for k in r4_exports if _ALIAS.sub("", k) not in post_r4
     ]
     assert len(observed) == 50
     assert observed == r4_exports[:50]
@@ -196,11 +225,10 @@ def test_r5_artifact_confirms_pending_first_selection():
     round-5 ordering mechanism against the newest committed artifact,
     exactly as test_r4_... pins the round-4 one (VERDICT r5 item 8)."""
     observed = list(_artifact(5))
-    r5_registry = sorted(
-        n
-        for n in all_queries()
-        if n not in (_NEW_SINCE_R5 | _NEW_SINCE_R6)
+    post_r5 = frozenset().union(
+        *(v for k, v in _ALL_NEW_SINCE.items() if k != "_NEW_SINCE_R4")
     )
+    r5_registry = sorted(n for n in all_queries() if n not in post_r5)
     certified_pre_r5: set[str] = set()
     for rnd in range(1, 5):
         certified_pre_r5 |= {_ALIAS.sub("", k) for k in _artifact(rnd)}
@@ -251,6 +279,38 @@ def test_exports_are_canonical_and_identity():
     # queries() and oracle_sql() agree on ordering for their shared keys.
     q_order = [n for n in exported if n in oracles]
     assert q_order == list(oracles)
+
+
+def test_every_registration_has_bookkeeping():
+    """Registration meta-test (VERDICT r7 item 3): every registry name
+    belongs to EXACTLY ONE `_NEW_SINCE_R{N}` set, or to the closed
+    round-4 base (q01..q123, pinned by number). A new registration
+    without its bookkeeping-set update fails HERE, at registration
+    time, with a message naming the missing set -- the round-6/round-7
+    failure mode (work landing at round close without the test-set
+    update) cannot silently recur."""
+    num = re.compile(r"^q(\d+)_")
+    names = set(all_queries())
+    for name in sorted(names):
+        m = num.match(name)
+        assert m, f"registry name {name!r} is not q<num>_<slug>"
+        member = sorted(k for k, v in _ALL_NEW_SINCE.items() if name in v)
+        if int(m.group(1)) <= _R4_BASE_MAX_NUM:
+            assert not member, (
+                f"{name} is in the round-4 base (q01..q{_R4_BASE_MAX_NUM}) "
+                f"but also listed in {member}"
+            )
+        else:
+            assert len(member) == 1, (
+                f"{name} must appear in exactly one _NEW_SINCE_R{{N}} set "
+                f"in tests/test_entry_rotation.py; found {member or 'NONE'}"
+                " -- add it to the set for the round that registered it"
+                " (and _ALL_NEW_SINCE if the round is new)"
+            )
+    # No stale bookkeeping: every listed name still exists.
+    for key, val in _ALL_NEW_SINCE.items():
+        stale = sorted(val - names)
+        assert not stale, f"{key} lists unregistered names: {stale}"
 
 
 def test_certified_union_matches_artifacts():
