@@ -1,0 +1,559 @@
+"""Exact distribution statistics: KS two-sample, Spearman rank
+correlation, Gini concentration, grouped OLS, Pareto skyline, lagged
+autocorrelation, CUSUM drift, grouped ECDF, categorical KL.
+
+The monitoring/QA layer a 100 TB training-data pipeline runs NEXT TO
+curation: "did this source's length distribution shift" (KS, ECDF),
+"is quality correlated with length" (Spearman, OLS), "how concentrated
+is the corpus on few domains" (Gini), "is ingest volume drifting"
+(CUSUM, ACF), "which config is strictly better" (skyline).
+
+Cross-engine contract (the registry convention): every aggregate is an
+exact integer/decimal sum; ratios leave the engine either as 1e-6/1e-9
+fixed point (integer div, truncating, identical both engines) or as ONE
+closed-form double expression over those exact integer operands --
+chained IEEE double ops on identical scalar inputs are bitwise
+deterministic across engines; only reassociated SUMs of doubles are
+not, and none of these operators sums doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D statistic between the
+    ``value_col`` distributions of two groups.
+
+    D = max_x |F_a(x) - F_b(x)| evaluated at every distinct pooled
+    value -- exact, no binning: the integer numerator
+    |cum_a(x) * n_b - cum_b(x) * n_a| over the common denominator
+    n_a * n_b. Exact while n_a * n_b < 2^63 (~3e9 rows per side);
+    beyond that pre-aggregate to value counts (this operator already
+    does) or rescale to the 1e-9 fractional form.
+
+    Scale: one groupBy(value) with map-side combine collapses the scan
+    to DISTINCT VALUES (bounded by the value domain, not the corpus),
+    then one single-partition window over that tiny table -- the same
+    shape as certified quantile summaries. Output one row:
+    [n_a, n_b, d_num, d_denom, d_fp, d] with d_fp = d_num * 1e6 div
+    (n_a * n_b) and d the one-division double.
+    """
+    tagged = df.select(
+        F.col(value_col).cast("long").alias("v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
+    ).filter((F.col("ia") == 1) | (F.col("ib") == 1))
+    per_value = tagged.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("na_v"),
+        F.sum("ib").cast("long").alias("nb_v"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_value.select(
+        F.sum("na_v").over(w).alias("cum_a"),
+        F.sum("nb_v").over(w).alias("cum_b"),
+    )
+    totals = tagged.agg(
+        F.sum("ia").cast("long").alias("n_a"),
+        F.sum("ib").cast("long").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            ).alias("_diff"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("_diff").cast("long").alias("d_num"))
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("d_denom"),
+            F.expr("d_num * 1000000 div (n_a * n_b)")
+            .cast("long")
+            .alias("d_fp"),
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("d"),
+        )
+    )
+
+
+def _avg_rank2(value: Column, part: list[str]) -> Column:
+    """Doubled average rank (exact integer): 2*RANK + ties - 1.
+
+    Average ranks are half-integers; doubling keeps them in BIGINT and
+    cancels in the Pearson ratio. RANK() needs no tiebreak -- equal
+    values share a rank by definition, and the +ties-1 term makes the
+    result order-independent.
+    """
+    w_rank = W.partitionBy(*part).orderBy(value)
+    w_ties = W.partitionBy(*part, value)
+    return (
+        2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1
+    ).cast("long")
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact Spearman rank correlation (tie-corrected): Pearson over
+    AVERAGE ranks, computed on doubled ranks (2*rank + ties - 1, exact
+    BIGINT -- the doubling cancels in the ratio).
+
+    All five sums (n, Sx, Sy, Sxy, Sxx, Syy) are exact integers; rho is
+    the ONE closed-form double expression
+    (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)) evaluated
+    on those integers -- identical IEEE steps both engines. Doubled
+    ranks <= 2n, so Sxy <= 4n^3: exact below ~1.3e6 rows per group;
+    this operator is built for SERIES-level frames (daily aggregates,
+    per-source profiles), not raw corpora -- aggregate first.
+
+    Scale: ranks are two windows per group; sums one groupBy. Output
+    [group?, n, sxy_num, rho] where sxy_num = n*Sxy - Sx*Sy (the exact
+    integer covariance numerator, sign-stable) and rho the double.
+    """
+    part = [group_col] if group_col else []
+    ranked = df.select(
+        *part,
+        _avg_rank2(F.col(x_col), part).alias("rx"),
+        _avg_rank2(F.col(y_col), part).alias("ry"),
+    )
+    agg = ranked.groupBy(*part).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        *part,
+        "n",
+        num.cast("long").alias("sxy_num"),
+        (
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double"))
+        ).alias("rho"),
+    )
+
+
+def gini_coefficient(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
+    """Exact Gini concentration of an integer value column (cents,
+    tokens, bytes): G = sum((2i - n - 1) * x_i) / (n * sum(x)) with
+    x ascending, i the 1-based global rank. Tie-safe -- swapping equal
+    values permutes coefficients over identical x, leaving the sum
+    unchanged -- so any total order (value, id) works.
+
+    Scale: the global rank is the two-phase range-partition sequence
+    (operators/combine.with_global_sequence), never a single-partition
+    sort; the weighted sum is one agg. Exact while 2n * max_x < 2^63
+    -- at a trillion rows of cent values switch to pre-grouped value
+    counts. Output [n, total, gini_num, gini] (gini_num exact integer,
+    gini the one-division double).
+    """
+    from .combine import with_global_sequence
+
+    seq = with_global_sequence(
+        df.select(F.col(value_col).cast("long").alias("x"), F.col(id_col)),
+        [F.col("x"), F.col(id_col)],
+        seq_col="_seq",
+    )
+    n = seq.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = (
+        seq.crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            F.col("x"),
+            ((2 * (F.col("_seq") + 1) - F.col("n") - 1) * F.col("x")).alias(
+                "_w"
+            ),
+        )
+        .groupBy("n")
+        .agg(
+            F.sum("x").cast("long").alias("total"),
+            F.sum("_w").cast("long").alias("gini_num"),
+        )
+    )
+    return agg.select(
+        "n",
+        "total",
+        "gini_num",
+        (
+            F.col("gini_num").cast("double")
+            / (F.col("n") * F.col("total")).cast("double")
+        ).alias("gini"),
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group simple OLS y = a + b*x over INTEGER columns (quantize
+    upstream: quantities, cents, token counts): slope, intercept, R^2
+    as closed-form double expressions over the six exact integer sums
+    -- the regression-as-aggregation form that needs one shuffle and no
+    iteration at any scale.
+
+    Exactness bound: the SUMS must stay in int64 -- sum(y^2) < 2^63,
+    so quantize y to the coarsest unit the analysis tolerates (floor
+    dollars, not cents, for 1e9-row price regressions). The DERIVED
+    stats (slope/intercept/r2) are computed in double -- their cross
+    terms (n*Syy, Sy^2) overflow int64 long before the sums do, and
+    double products of exact integer operands are deterministic IEEE
+    on both engines (the oracle mirrors the same cast-then-multiply
+    order). Output [grp, n, sx, sy, sxy, sxx, syy, slope, intercept,
+    r2] (sums exact integers; doubles NULL when degenerate: vertical
+    line or zero variance).
+    """
+    agg = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    dx = d("n") * d("sxx") - d("sx") * d("sx")
+    dy = d("n") * d("syy") - d("sy") * d("sy")
+    slope = num / F.nullif(dx, F.lit(0.0))
+    return agg.select(
+        "grp",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        (num * num / F.nullif(dx * dy, F.lit(0.0))).alias("r2"),
+    )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Strict-dominance 2D skyline: keep rows where NO other row has
+    strictly lower cost AND strictly higher gain.
+
+    O(n log n), join-free: sort by cost, running max of gain over the
+    RANGE frame of strictly-cheaper rows (RANGE, not ROWS -- cost ties
+    must not dominate each other); a row survives iff that max is NULL
+    or <= its own gain. Both engines share exact RANGE semantics over
+    integer costs. Output: the surviving rows
+    [id, cost, gain, best_cheaper_gain].
+    """
+    w = W.orderBy(F.col("c")).rangeBetween(W.unboundedPreceding, -1)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(cost_col).cast("long").alias("c"),
+            F.col(gain_col).cast("long").alias("g"),
+        )
+        .withColumn("best_cheaper_gain", F.max("g").over(w))
+        .filter(
+            F.col("best_cheaper_gain").isNull()
+            | (F.col("best_cheaper_gain") <= F.col("g"))
+        )
+        .select(
+            id_col,
+            F.col("c").alias("cost"),
+            F.col("g").alias("gain"),
+            "best_cheaper_gain",
+        )
+    )
+
+
+def acf_pearson(
+    daily: DataFrame,
+    day_col: str,
+    n_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lagged autocorrelation of a daily integer series: for each lag
+    1..max_lag, the exact Pearson correlation between (x_t, x_{t+lag})
+    pairs joined on the CALENDAR offset (gap-aware: a missing day
+    contributes no pair, it does not shift the series).
+
+    One explode(1..max_lag) + one equi-join on (day + lag) -- the
+    series is a daily aggregate (tiny at any corpus size), so this is
+    a broadcast-scale op certified by the same closed-form-double
+    contract as spearman_corr. Output [lag, n_pairs, sxy_num, r].
+    """
+    base = daily.select(
+        F.col(day_col).alias("day"), F.col(n_col).cast("long").alias("x")
+    )
+    lags = base.select(
+        "day",
+        F.col("x").alias("x0"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, max_lag + 1)])
+        ).alias("lag"),
+    ).withColumn("day2", F.date_add(F.col("day"), F.col("lag")))
+    paired = lags.join(
+        base.select(F.col("day").alias("day2"), F.col("x").alias("x1")),
+        "day2",
+    )
+    agg = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x0").cast("long").alias("sx"),
+        F.sum("x1").cast("long").alias("sy"),
+        F.sum(F.col("x0") * F.col("x1")).cast("long").alias("sxy"),
+        F.sum(F.col("x0") * F.col("x0")).cast("long").alias("sxx"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("syy"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        num.cast("long").alias("sxy_num"),
+        (
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double"))
+        ).alias("r"),
+    )
+
+
+def cusum_scores(
+    daily: DataFrame,
+    day_col: str,
+    n_col: str,
+    slack_milli: int = 0,
+) -> DataFrame:
+    """Two-sided CUSUM drift scores over a daily count series, window-
+    expressible through the prefix-min identity: the recursive
+    s+_t = max(0, s+_{t-1} + dev_t) equals P_t - min(0, min_{j<=t} P_j)
+    with P the running sum of deviations -- so the whole chart is two
+    running aggregates, no recursion, no collect.
+
+    Deviations are exact milli fixed point against the global integer
+    mean (total*1000 div n_days) with +-slack_milli allowance per side.
+    Output [day, n, dev_milli, cusum_pos_milli, cusum_neg_milli].
+    """
+    base = daily.select(
+        F.col(day_col).alias("day"), F.col(n_col).cast("long").alias("n")
+    )
+    tot = base.agg(
+        F.sum("n").cast("long").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_days"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    scored = (
+        base.crossJoin(F.broadcast(tot))
+        .withColumn("_mean_milli", F.expr("_tot * 1000 div _days"))
+        .withColumn(
+            "dev_milli", F.col("n") * 1000 - F.col("_mean_milli")
+        )
+        .withColumn(
+            "_pp", F.sum(F.col("dev_milli") - slack_milli).over(w)
+        )
+        .withColumn(
+            "_pn", F.sum(F.col("dev_milli") + slack_milli).over(w)
+        )
+        .withColumn("_pp_min", F.min("_pp").over(w))
+        .withColumn("_pn_max", F.max("_pn").over(w))
+    )
+    return scored.select(
+        "day",
+        "n",
+        "dev_milli",
+        (F.col("_pp") - F.least(F.lit(0).cast("long"), F.col("_pp_min")))
+        .cast("long")
+        .alias("cusum_pos_milli"),
+        (
+            F.greatest(F.lit(0).cast("long"), F.col("_pn_max"))
+            - F.col("_pn")
+        )
+        .cast("long")
+        .alias("cusum_neg_milli"),
+    )
+
+
+def ecdf_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group exact ECDF transform: each row's value mapped to
+    count(v <= x)/n_group in 1e-6 fixed point -- the quantile
+    normalization that makes length/quality scores comparable ACROSS
+    sources before mixing (a raw n_chars=2000 is long for src A,
+    median for src B).
+
+    One RANGE-frame window per group (count over value <= current --
+    ties all receive the full tied mass, the right ECDF semantics) and
+    one partition count. Output [id, group, value, n_le, n_group,
+    ecdf_fp].
+    """
+    w_le = (
+        W.partitionBy(group_col)
+        .orderBy(F.col(value_col).cast("long"))
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy(group_col)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col).cast("long").alias("value"),
+        F.count(F.lit(1)).over(w_le).cast("long").alias("n_le"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_group"),
+    ).withColumn(
+        "ecdf_fp", F.expr("n_le * 1000000 div n_group").cast("long")
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    anchor_date: str,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    price_col: str = "o_totalprice",
+    k: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation: recency (days from last order to the
+    pinned ``anchor_date`` -- parameterized, never wall-clock, the q145
+    clock convention), frequency (order count), monetary (exact cent
+    sum via DECIMAL), each quantile-binned 1..k with exact NTILE
+    semantics, segment code = r*100 + f*10 + m.
+
+    Bins come from operators/mixture.ntile_bins -- the two-phase
+    range-partition global sequence, NEVER a single-partition NTILE
+    window -- run on the CUSTOMER-level aggregate (corpus-scale input
+    collapses in the first groupBy). Order is total (metric, custkey),
+    so bins are engine-reproducible. Bins ascend with the metric:
+    r_bin 1 = most recent, f_bin/m_bin k = most active/valuable.
+
+    Output [custkey, recency_days, frequency, monetary_cents, r_bin,
+    f_bin, m_bin, segment].
+    """
+    from .mixture import ntile_bins
+
+    per_cust = orders.groupBy(F.col(cust_col).alias("custkey")).agg(
+        F.datediff(
+            F.lit(anchor_date).cast("date"),
+            F.max(F.col(date_col).cast("date")),
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col(price_col).cast("decimal(18,2)"))
+        .cast("decimal(20,2)")
+        .alias("_rev"),
+    ).withColumn(
+        "monetary_cents",
+        (F.col("_rev") * 100).cast("long"),
+    ).drop("_rev")
+    binned = per_cust
+    for metric, bin_col in (
+        ("recency_days", "r_bin"),
+        ("frequency", "f_bin"),
+        ("monetary_cents", "m_bin"),
+    ):
+        binned = ntile_bins(
+            binned, [F.col(metric), F.col("custkey")], k, bin_col=bin_col
+        )
+    return binned.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_bin",
+        "f_bin",
+        "m_bin",
+        (
+            F.col("r_bin") * 100 + F.col("f_bin") * 10 + F.col("m_bin")
+        ).cast("long").alias("segment"),
+    )
+
+
+def categorical_kl(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-group KL divergence of its categorical distribution from the
+    corpus-wide distribution -- "how unusual is this source's language
+    mix": KL(g || all) = sum_c (c_gc/n_g) * ln((c_gc * N)/(n_g * C_c)).
+
+    Exact-integer contract: each log-ratio is nano fixed point
+    (round(ln * 1e9) -- the q129 LM convention; ln takes ONE double
+    quotient of exact integer products, identical both engines), the
+    weighted sum runs in integers (sum of c_gc * lnr_nano, exact), and
+    the division by n_g is one truncating div. Categories present in
+    the group are present in the corpus by construction, so no
+    smoothing term is needed.
+
+    Scale: two groupBys over (group, cat) -- output is category-table
+    sized. Output [group, n_rows, n_cats, kl_nano].
+    """
+    gc = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c_gc"))
+    g = gc.groupBy("grp").agg(F.sum("c_gc").cast("long").alias("n_g"))
+    c = gc.groupBy("cat").agg(F.sum("c_gc").cast("long").alias("c_all"))
+    n = gc.agg(F.sum("c_gc").cast("long").alias("n_all"))
+    lnr = F.round(
+        F.log(
+            (F.col("c_gc") * F.col("n_all")).cast("double")
+            / (F.col("n_g") * F.col("c_all")).cast("double")
+        )
+        * 1_000_000_000
+    ).cast("long")
+    return (
+        gc.join(g, "grp")
+        .join(c, "cat")
+        .crossJoin(F.broadcast(n))
+        .select("grp", "n_g", (F.col("c_gc") * lnr).alias("_term"))
+        .groupBy("grp", "n_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cats"),
+            F.sum("_term").cast("long").alias("_num"),
+        )
+        .select(
+            "grp",
+            F.col("n_g").alias("n_rows"),
+            "n_cats",
+            F.expr("_num div n_g").cast("long").alias("kl_nano"),
+        )
+    )

@@ -65,6 +65,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops12,
         llm_ops13,
         llm_ops14,
+        llm_ops15,
         media_ops,
         pos_ops,
         relational,

@@ -168,7 +168,19 @@ _NEW_SINCE_R7: frozenset[str] = frozenset(
 )
 
 #: Round-8 registrations (keep in sync as batches land).
-_NEW_SINCE_R8: frozenset[str] = frozenset()
+_NEW_SINCE_R8: frozenset[str] = frozenset(
+    {
+        # batch L: exact-statistics suite (plans/llm_ops15.py)
+        "q232_ks_two_sample",
+        "q233_spearman_daily",
+        "q234_gini_revenue",
+        "q235_grouped_ols",
+        "q236_pareto_frontier",
+        "q237_rfm_segments",
+        "q238_acf_daily",
+        "q239_cusum_drift",
+    }
+)
 
 #: Every post-r4 bookkeeping set, for the reconstruction filters and
 #: the registration meta-test. ADD NEW ROUNDS HERE.
