@@ -152,3 +152,70 @@ def projection_distortion(
             "ratio_milli"
         ),
     )
+
+
+#: Matryoshka audit quantization: 1e4 keeps the squared-norm sums small
+#: enough that head_fp * 1e6 stays inside BIGINT at any dim <= 4096
+#: (dim * (1e4)^2 * 1e6 = dim * 1e14).
+MRL_SCALE = 10_000
+
+
+def matryoshka_truncation_report(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_dims: int | None = None,
+) -> DataFrame:
+    """Matryoshka/truncation audit: how much of each vector's squared
+    norm survives keeping only the first ``keep_dims`` components
+    (default d/2) -- the acceptance gate before shipping truncated
+    embeddings (MRL-style serving cuts index cost 2-4x IF the energy
+    actually concentrates in the prefix).
+
+    Exact-integer contract: components quantize to 1e-4 ints (both
+    engines round identically: away from zero on the .5 boundary), the
+    two squared-norm sums are exact BIGINTs via JVM HOF folds, and
+    energy_ppm = head_fp * 1e6 div full_fp -- one truncating integer
+    division, NULL for the zero vector.
+
+    Scale: pure projection -- no shuffle, no join, whole-stage codegen;
+    runs at corpus width. Output [id, dim, keep_dims, full_fp, head_fp,
+    energy_ppm].
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * MRL_SCALE).cast("long"),
+    )
+    sumsq = lambda col: F.aggregate(  # noqa: E731
+        col,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc + r * r,
+    )
+    out = emb.select(
+        F.col(id_col),
+        F.size(vec_col).cast("long").alias("dim"),
+        q.alias("_q"),
+    )
+    keep = (
+        F.lit(keep_dims).cast("long")
+        if keep_dims is not None
+        else (F.col("dim") / 2).cast("long")
+    )
+    return (
+        out.withColumn("keep_dims", keep)
+        .select(
+            id_col,
+            "dim",
+            "keep_dims",
+            sumsq(F.col("_q")).alias("full_fp"),
+            sumsq(
+                F.slice(F.col("_q"), 1, F.col("keep_dims").cast("int"))
+            ).alias("head_fp"),
+        )
+        .withColumn(
+            "energy_ppm",
+            F.expr("head_fp * 1000000 div nullif(full_fp, 0)").cast(
+                "long"
+            ),
+        )
+    )

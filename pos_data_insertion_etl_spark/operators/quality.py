@@ -744,3 +744,129 @@ def code_switch_report(
         .alias("majority_share_fp"),
         (F.col("_n_real_langs") > 1).alias("is_code_switched"),
     )
+
+
+def char_class_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-class composition per document: letters, digits,
+    spaces, other -- the alphabet-level quality signal under langid
+    and mojibake checks (a "text" document that is 40% non-alnum bytes
+    is markup, a dump, or a decode casualty).
+
+    Classes are EXPLICIT ASCII ranges ([A-Za-z], [0-9], literal space)
+    via the length-difference idiom -- never \\s / \\w / POSIX classes,
+    whose membership is engine- and version-dependent (the q131
+    lesson). Counts are exact; ratios are 1e-6 fixed point over the
+    character length. Pure projection: no shuffle, codegen end to end.
+
+    Output [id, n_chars, n_letters, n_digits, n_spaces, n_other,
+    letter_ppm, alnum_ppm].
+    """
+    t = F.col(text_col)
+    n = F.length(t).cast("long")
+    letters = (n - F.length(F.regexp_replace(t, "[A-Za-z]", ""))).cast(
+        "long"
+    )
+    digits = (n - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("long")
+    spaces = (n - F.length(F.regexp_replace(t, " ", ""))).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        letters.alias("n_letters"),
+        digits.alias("n_digits"),
+        spaces.alias("n_spaces"),
+        (n - letters - digits - spaces).cast("long").alias("n_other"),
+    ).select(
+        id_col,
+        "n_chars",
+        "n_letters",
+        "n_digits",
+        "n_spaces",
+        "n_other",
+        F.expr("n_letters * 1000000 div nullif(n_chars, 0)")
+        .cast("long")
+        .alias("letter_ppm"),
+        F.expr(
+            "(n_letters + n_digits) * 1000000 div nullif(n_chars, 0)"
+        )
+        .cast("long")
+        .alias("alnum_ppm"),
+    )
+
+
+def compression_gate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    overhead_bytes: int = 64,
+) -> DataFrame:
+    """DEFLATE-compressibility gate: compress each document with zlib
+    (stdlib, deterministic for a fixed level) inside one Arrow
+    mapInPandas pass -- the classic cheap redundancy detector
+    (boilerplate dumps and generator spam compress far below prose;
+    near-random noise barely compresses at all).
+
+    Certification is INVARIANT-FORM (the q63/q64 pattern): zlib has no
+    SQL replica, so the certified columns are the exact anchors
+    (doc_id, raw UTF-8 byte length) plus booleans a theorem pins TRUE
+    -- DEFLATE stored-block framing bounds output <= input +
+    overhead_bytes, compression never emits empty output for nonempty
+    input, and decompress(compress(x)) == x. The compressed size
+    itself stays library-side (``compressed_bytes`` is returned for
+    pipeline use but NOT part of the oracle contract -- register gates
+    over the booleans).
+
+    Scale: whole-batch Arrow transfer, per-doc CPU, zero shuffle.
+    Output [id, raw_bytes, compressed_bytes, ratio_ppm,
+    compressed_nonempty, bounded_overhead, roundtrip_ok].
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            ids, raws, comps, ne, bo, rt = [], [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = ("" if text is None else str(text)).encode("utf-8")
+                z = zlib.compress(data, level)
+                ids.append(doc_id)
+                raws.append(len(data))
+                comps.append(len(z))
+                ne.append(len(z) > 0)
+                bo.append(len(z) <= len(data) + overhead_bytes)
+                rt.append(zlib.decompress(z) == data)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "raw_bytes": raws,
+                    "compressed_bytes": comps,
+                    "compressed_nonempty": ne,
+                    "bounded_overhead": bo,
+                    "roundtrip_ok": rt,
+                }
+            )
+
+    out = docs.select(id_col, text_col).mapInPandas(
+        gate,
+        f"{id_col} long, raw_bytes long, compressed_bytes long, "
+        "compressed_nonempty boolean, bounded_overhead boolean, "
+        "roundtrip_ok boolean",
+    )
+    return out.select(
+        id_col,
+        "raw_bytes",
+        "compressed_bytes",
+        F.expr("compressed_bytes * 1000000 div nullif(raw_bytes, 0)")
+        .cast("long")
+        .alias("ratio_ppm"),
+        "compressed_nonempty",
+        "bounded_overhead",
+        "roundtrip_ok",
+    )

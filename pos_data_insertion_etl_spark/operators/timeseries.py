@@ -203,3 +203,53 @@ def centered_moving_trend(
         .cast("long")
         .alias("detrended_milli"),
     )
+
+
+def fano_burstiness(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Per-group Fano factor (variance / mean) of daily counts -- the
+    burstiness monitor: ~1e6 ppm for Poisson-like steady arrivals,
+    far above for bursty spam/incident traffic, below for throttled
+    feeds. The dispersion complement to q239's CUSUM level drift.
+
+    Exact contract over OBSERVED days (a day with zero rows for the
+    group contributes no count -- gapfill upstream if absent days must
+    count as zeros): with population variance,
+    fano = var/mean = (n * sum(x^2) - S^2) / (n * S) -- all-integer,
+    emitted as 1e6 fixed point via one truncating div. Exact while
+    n * sum(x^2) < 2^63 (centuries of daily data at millions/day).
+
+    Scale: one groupBy(group, day) with map-side combine, then one
+    tiny groupBy(group). Output [group, n_days, total,
+    mean_milli, fano_ppm].
+    """
+    day = F.col(day_col) if ts_col is None else F.to_date(ts_col)
+    daily = df.groupBy(
+        F.col(group_col).alias("grp"), day.alias("_day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return (
+        daily.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("x").cast("long").alias("total"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("_sumsq"),
+        )
+        .select(
+            "grp",
+            "n_days",
+            "total",
+            F.expr("total * 1000 div n_days").cast("long").alias(
+                "mean_milli"
+            ),
+            F.expr(
+                "(n_days * _sumsq - total * total) * 1000000"
+                " div (n_days * total)"
+            )
+            .cast("long")
+            .alias("fano_ppm"),
+        )
+    )

@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops13,
         llm_ops14,
         llm_ops15,
+        llm_ops16,
         media_ops,
         pos_ops,
         relational,

@@ -179,6 +179,13 @@ _NEW_SINCE_R8: frozenset[str] = frozenset(
         "q237_rfm_segments",
         "q238_acf_daily",
         "q239_cusum_drift",
+        # batch M: curation depth (plans/llm_ops16.py)
+        "q240_ecdf_normalize",
+        "q241_lang_kl_divergence",
+        "q242_matryoshka_truncation",
+        "q243_compression_gate",
+        "q244_char_class_profile",
+        "q245_fano_burstiness",
     }
 )
 
