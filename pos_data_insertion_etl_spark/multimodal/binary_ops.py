@@ -386,3 +386,79 @@ def audio_zero_crossings(
         .cast("long")
         .alias("zcr_fp"),
     )
+
+
+def image_value_histogram(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Per-image byte-value histogram through the REAL PNG chain:
+    decode with the stdlib codec, count occurrences of each 0..255
+    value across all channels, emit (id, value, count) rows -- the
+    exact-integer substrate for entropy/contrast/posterization checks.
+
+    The Python side does ONLY decode + integer counting (one
+    np.bincount per image inside the Arrow batch); any floating-point
+    scoring (entropy's ln) belongs downstream in JVM expressions where
+    it hash-certifies like the q129 LM family. Output is <= 256 small
+    rows per image -- bytes never shuffle.
+    """
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png_codec import decode_png
+
+        for pdf in batches:
+            ids, vals, cnts = [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                img = decode_png(bytes(content))
+                counts = np.bincount(
+                    np.asarray(img, dtype=np.uint8).reshape(-1),
+                    minlength=256,
+                )
+                nz = np.nonzero(counts)[0]
+                ids.extend([doc_id] * len(nz))
+                vals.extend(int(v) for v in nz)
+                cnts.extend(int(counts[v]) for v in nz)
+            yield pd.DataFrame(
+                {id_col: ids, "value": vals, "cnt": cnts}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        hist, f"{id_col} long, value long, cnt long"
+    )
+
+
+def image_value_entropy(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Per-image Shannon entropy of byte values (nats, nano fixed
+    point): H = -sum_v (c_v/N) ln(c_v/N) -- flat noise scores ln(256),
+    posterized/synthetic frames score near 0. The real-codec analog of
+    the q196 token-entropy gate.
+
+    Exact contract (the q129/q241 convention): counts are exact
+    integers from image_value_histogram; each ln is ONE JVM double op
+    on an exact integer ratio, rounded to 1e-9 away from zero exactly
+    as DuckDB rounds; the weighted sum is integer; one truncating div
+    by N ends it. Output [id, n_bytes, n_values, entropy_nano].
+    """
+    h = image_value_histogram(df, id_col, content_col)
+    per_doc = h.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    lnr = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("n_bytes").cast("double"))
+        * 1_000_000_000
+    ).cast("long")
+    return (
+        h.join(per_doc, id_col)
+        .select(id_col, "n_bytes", "n_values", (F.col("cnt") * lnr).alias("_t"))
+        .groupBy(id_col, "n_bytes", "n_values")
+        .agg(F.sum("_t").cast("long").alias("_num"))
+        .select(
+            id_col,
+            "n_bytes",
+            "n_values",
+            F.expr("-(_num div n_bytes)").cast("long").alias("entropy_nano"),
+        )
+    )

@@ -276,3 +276,67 @@ def calibration_bins(
         "gap_fp",
         F.expr("_gsum div _nt").cast("long").alias("ece_fp"),
     )
+
+
+def cohens_kappa(
+    labeled: DataFrame,
+    actual_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between two
+    categorical labelings (a classifier vs gold labels, or two
+    annotators/models against each other) -- the eval statistic that
+    punishes majority-class freeloading where raw accuracy does not.
+
+    Exact rational form: kappa = (n*agree - pe_num) / (n^2 - pe_num)
+    with pe_num = sum_k actual_k * pred_k (the chance-agreement
+    numerator over marginal products). All integers up to n^2 -- exact
+    while n < ~3e9 rows -- emitted both as 1e-6 fixed point (truncating
+    div) and as the one-division double.
+
+    Scale: one (actual, pred) contingency groupBy with map-side
+    combine; everything after runs on the category-squared table.
+    Output one row: [n, agree, pe_num, kappa_ppm, kappa].
+    """
+    cells = labeled.groupBy(
+        F.col(actual_col).alias("a"), F.col(pred_col).alias("p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a_marg = cells.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    p_marg = cells.groupBy(F.col("p").alias("a")).agg(
+        F.sum("c").cast("long").alias("cp")
+    )
+    pe = (
+        a_marg.join(p_marg, "a")
+        .agg(F.sum(F.col("ca") * F.col("cp")).cast("long").alias("pe_num"))
+    )
+    base = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("p"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    return (
+        base.crossJoin(F.broadcast(pe))
+        .select(
+            "n",
+            "agree",
+            "pe_num",
+            F.expr(
+                "(n * agree - pe_num) * 1000000"
+                " div nullif(n * n - pe_num, 0)"
+            )
+            .cast("long")
+            .alias("kappa_ppm"),
+            (
+                (
+                    F.col("n").cast("double") * F.col("agree").cast("double")
+                    - F.col("pe_num").cast("double")
+                )
+                / F.nullif(
+                    F.col("n").cast("double") * F.col("n").cast("double")
+                    - F.col("pe_num").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("kappa"),
+        )
+    )

@@ -348,3 +348,176 @@ def chi2_token_class(
             ).alias("chi2"),
         )
     )
+
+
+#: ln fixed point for the log-log fits below: 1e3 keeps
+#: sum((ln*1e3)^2) inside BIGINT out to ~1e9-term vocabularies
+#: ((ln 3e10 * 1e3)^2 * 1e9 ~ 6e17).
+LN_FIT_SCALE = 1_000
+
+
+def space_tokens(col) -> "F.Column":
+    """LITERAL single-space tokenizer, non-empty fragments only.
+
+    For corpus statistics that must hash-certify across engines:
+    splitting on the literal ' ' has identical semantics in Spark and
+    DuckDB (no regex class membership involved -- the q131 \\s lesson),
+    and the non-empty filter makes runs of spaces and edge spaces
+    portable too.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda x: x != F.lit(""))
+
+
+def vocab_stats(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group vocabulary profile: token count, vocabulary size,
+    hapax legomena (tokens seen exactly once), type-token ratio and
+    hapax share in 1e-6 fixed point -- the lexical-diversity signal
+    (template spam has tiny TTR; OCR noise has a huge hapax share).
+
+    Scale: one explode + one (group, token) groupBy with map-side
+    combine, then one group-sized groupBy. Tokens shuffle as part of
+    the (group, token) grouping key -- bounded by vocabulary, not
+    corpus, after the combine. Output [group, n_tokens, vocab_size,
+    hapax, ttr_ppm, hapax_ppm].
+    """
+    tok = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(space_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    per_token = tok.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        per_token.groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+        )
+        .select(
+            "grp",
+            "n_tokens",
+            "vocab_size",
+            "hapax",
+            F.expr("vocab_size * 1000000 div n_tokens")
+            .cast("long")
+            .alias("ttr_ppm"),
+            F.expr("hapax * 1000000 div nullif(vocab_size, 0)")
+            .cast("long")
+            .alias("hapax_ppm"),
+        )
+    )
+
+
+def zipf_points(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rank-frequency points for a Zipf log-log fit: corpus token
+    frequencies ranked descending (total order: count desc, token),
+    with ln(rank) and ln(freq) quantized to LN_FIT_SCALE fixed point
+    -- feed to stats.grouped_ols for the slope (Zipf exponent ~ -1 for
+    natural language; far off for generator spam).
+
+    The rank window runs over the VOCABULARY table (already collapsed
+    by the groupBy), not the corpus -- single-partition but
+    vocabulary-sized, the q80 shape. Each ln is ONE double op on an
+    exact integer, rounded away-from-zero identically in both engines.
+    Output [token, freq, rank, x_fp (ln rank), y_fp (ln freq)].
+    """
+    freq = (
+        docs.select(
+            F.explode(space_tokens(F.lower(F.col(text_col)))).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = W.orderBy(F.desc("freq"), F.col("token"))
+    return freq.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(
+        "token",
+        "freq",
+        "rank",
+        F.round(F.log(F.col("rank").cast("double")) * LN_FIT_SCALE)
+        .cast("long")
+        .alias("x_fp"),
+        F.round(F.log(F.col("freq").cast("double")) * LN_FIT_SCALE)
+        .cast("long")
+        .alias("y_fp"),
+    )
+
+
+def heaps_growth_points(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 16,
+) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law V ~ k * N^beta) sampled at
+    bucket granularity: documents bucket by FIXED id ranges (doc_id
+    div bucket_size -- deterministic under any partitioning, and
+    preserves the corpus reading order a growth curve needs), each
+    token's first occurrence charges the bucket of its minimum doc id,
+    and cumulative token/type counts run over the bucket table
+    (corpus_size/bucket_size rows) -- never a corpus-sized window.
+
+    ln columns quantize to LN_FIT_SCALE for a grouped_ols fit of
+    ln(cum_types) on ln(cum_tokens): the slope estimates Heaps' beta
+    (~0.5 for natural text; near 1 means the corpus keeps minting new
+    tokens -- ids/hashes/noise). Output [bucket, n_tokens, new_types,
+    cum_tokens, cum_types, x_fp, y_fp].
+    """
+    bucket = F.expr(f"{id_col} div {bucket_size}").cast("long")
+    tok = docs.select(
+        bucket.alias("bucket"),
+        F.explode(space_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    per_bucket = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    first_seen = (
+        tok.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per_bucket.join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("long").alias(
+                "new_types"
+            ),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn("cum_types", F.sum("new_types").over(w).cast("long"))
+        .select(
+            "bucket",
+            "n_tokens",
+            "new_types",
+            "cum_tokens",
+            "cum_types",
+            F.round(
+                F.log(F.col("cum_tokens").cast("double")) * LN_FIT_SCALE
+            )
+            .cast("long")
+            .alias("x_fp"),
+            F.round(
+                F.log(F.col("cum_types").cast("double")) * LN_FIT_SCALE
+            )
+            .cast("long")
+            .alias("y_fp"),
+        )
+    )

@@ -67,6 +67,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops14,
         llm_ops15,
         llm_ops16,
+        llm_ops17,
         media_ops,
         pos_ops,
         relational,

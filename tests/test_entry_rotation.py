@@ -186,6 +186,12 @@ _NEW_SINCE_R8: frozenset[str] = frozenset(
         "q243_compression_gate",
         "q244_char_class_profile",
         "q245_fano_burstiness",
+        # batch N: corpus forensics (plans/llm_ops17.py)
+        "q246_vocab_stats",
+        "q247_zipf_slope",
+        "q248_cohens_kappa",
+        "q249_image_entropy",
+        "q250_heaps_law",
     }
 )
 

@@ -110,6 +110,10 @@ ALLOWED_BNLJ = {
     "q237_rfm_segments": "1-row tile-count scalar broadcasts (x3)",
     # 1-row (total, days) mean scalar broadcast into the deviations
     "q239_cusum_drift": "1-row mean scalar broadcast",
+    # 1-row corpus-count scalar broadcast into every KL log-ratio
+    "q241_lang_kl_divergence": "1-row corpus-total scalar broadcast",
+    # 1-row chance-agreement numerator x 1-row (n, agree) scalar cross
+    "q248_cohens_kappa": "1-row agreement-scalar broadcasts",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at
