@@ -100,6 +100,12 @@ HEADLINE = [
     # retrieval-evaluation harness
     "q212_bfs_distances",
     "q215_retrieval_eval",
+    # round 8 additions: the single-scan exact KS (distinct-value
+    # window), the triple-NTILE RFM segmentation (three two-phase
+    # global sequences), and the explode-heavy vocabulary profile
+    "q232_ks_two_sample",
+    "q237_rfm_segments",
+    "q246_vocab_stats",
 ]
 
 

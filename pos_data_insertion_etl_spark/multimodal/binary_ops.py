@@ -441,18 +441,26 @@ def image_value_entropy(
     as DuckDB rounds; the weighted sum is integer; one truncating div
     by N ends it. Output [id, n_bytes, n_values, entropy_nano].
     """
-    h = image_value_histogram(df, id_col, content_col)
-    per_doc = h.groupBy(id_col).agg(
-        F.sum("cnt").cast("long").alias("n_bytes"),
-        F.count(F.lit(1)).cast("long").alias("n_values"),
+    from pyspark.sql.window import Window as W
+
+    # Per-doc totals via a keyed window over the histogram rows, NOT a
+    # groupBy + self-join back -- a self-join would re-run the decode
+    # mapInPandas a second time (plan audit: every image decodes once).
+    w = W.partitionBy(id_col)
+    h = image_value_histogram(df, id_col, content_col).select(
+        id_col,
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("n_bytes"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_values"),
     )
     lnr = F.round(
         F.log(F.col("cnt").cast("double") / F.col("n_bytes").cast("double"))
         * 1_000_000_000
     ).cast("long")
     return (
-        h.join(per_doc, id_col)
-        .select(id_col, "n_bytes", "n_values", (F.col("cnt") * lnr).alias("_t"))
+        h.select(
+            id_col, "n_bytes", "n_values", (F.col("cnt") * lnr).alias("_t")
+        )
         .groupBy(id_col, "n_bytes", "n_values")
         .agg(F.sum("_t").cast("long").alias("_num"))
         .select(

@@ -57,18 +57,22 @@ def ks_two_sample(
         F.sum("ia").cast("long").alias("na_v"),
         F.sum("ib").cast("long").alias("nb_v"),
     )
+    # Running AND total counts from the SAME single-partition window
+    # pass over the distinct-value table (one sort, one scan, no
+    # totals self-join/broadcast -- plan audit round 8): the full
+    # frame gives n_a/n_b on every row.
     w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_full = W.orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     cum = per_value.select(
         F.sum("na_v").over(w).alias("cum_a"),
         F.sum("nb_v").over(w).alias("cum_b"),
-    )
-    totals = tagged.agg(
-        F.sum("ia").cast("long").alias("n_a"),
-        F.sum("ib").cast("long").alias("n_b"),
+        F.sum("na_v").over(w_full).cast("long").alias("n_a"),
+        F.sum("nb_v").over(w_full).cast("long").alias("n_b"),
     )
     return (
-        cum.crossJoin(F.broadcast(totals))
-        .select(
+        cum.select(
             "n_a",
             "n_b",
             F.abs(

@@ -482,11 +482,20 @@ def heaps_growth_points(
         bucket.alias("bucket"),
         F.explode(space_tokens(F.lower(F.col(text_col)))).alias("token"),
     )
-    per_bucket = tok.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    # One (bucket, token) count feeds BOTH aggregates; the lineage cut
+    # materializes the collapsed (vocabulary x buckets)-sized table so
+    # the corpus explode+shuffle runs ONCE, not once per consumer
+    # (Catalyst shares no subtrees across the two aggregate branches).
+    bt = (
+        tok.groupBy("bucket", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    per_bucket = bt.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("n_tokens")
     )
     first_seen = (
-        tok.groupBy("token")
+        bt.groupBy("token")
         .agg(F.min("bucket").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("new_types"))

@@ -102,8 +102,6 @@ ALLOWED_BNLJ = {
     "q222_kneser_ney_ce": "1-row type-count scalar broadcast",
     # 1-row union-estimate x 1-row intersection-count scalar cross
     "q225_kmv_overlap": "1-row sketch-scalar broadcasts",
-    # 1-row (n_a, n_b) group-totals scalar broadcast into the KS diff
-    "q232_ks_two_sample": "1-row group-totals scalar broadcast",
     # 1-row corpus-count scalar broadcast into the rank weights
     "q234_gini_revenue": "1-row count scalar broadcast",
     # three ntile_bins passes, each a 1-row count scalar broadcast
