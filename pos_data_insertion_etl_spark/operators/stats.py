@@ -561,3 +561,97 @@ def categorical_kl(
             F.expr("_num div n_g").cast("long").alias("kl_nano"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Exact per-group LOWER weighted median of an integer value
+    column: the smallest value v whose cumulative weight reaches half
+    the group total (2 * cum >= total in integers -- no floating
+    halves). The robust center for weighted corpora ("median document
+    length weighted by token count").
+
+    Scale: groupBy (group, value) collapses to the value domain with
+    map-side combine; one keyed window over that collapsed table emits
+    running AND total weight in a single pass (the q232 full-frame
+    idiom); the median is a one-row-per-group min. Output [group,
+    total_weight, median_value].
+    """
+    pv = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    ).agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+    w_run = (
+        W.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_full = (
+        W.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        pv.select(
+            "grp",
+            "v",
+            F.sum("w").over(w_run).cast("long").alias("cum"),
+            F.sum("w").over(w_full).cast("long").alias("total_weight"),
+        )
+        .filter(2 * F.col("cum") >= F.col("total_weight"))
+        .groupBy("grp", "total_weight")
+        .agg(F.min("v").cast("long").alias("median_value"))
+    )
+
+
+def iqr_outlier_fences(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k_milli: int = 1500,
+) -> DataFrame:
+    """Per-group Tukey fences over exact interpolated quartiles: lo =
+    Q1 - k*(Q3-Q1), hi = Q3 + k*(Q3-Q1) with k in milli units (1500 =
+    the classic 1.5), plus how many rows fall outside each fence --
+    the boxplot outlier report, grouped.
+
+    Quartiles are Spark `percentile` <-> DuckDB `quantile_cont` (the
+    q45-proven exact pair); fence arithmetic is a fixed-order double
+    expression over them. One aggregation pass computes quartiles and
+    counts together via conditional re-aggregation? No -- fences
+    depend on the quartiles, so the op is two passes: one tiny
+    quartile aggregate broadcast back, one counting pass. Output
+    [group, n, q1, q3, lo, hi, n_low, n_high].
+    """
+    v = F.col(value_col).cast("double")
+    quarts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"percentile({value_col}, 0.25)").alias("q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("q3"),
+    )
+    k = F.lit(k_milli).cast("double") / F.lit(1000.0)
+    fenced = quarts.select(
+        "grp",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - k * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + k * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        df.select(F.col(group_col).alias("grp"), v.alias("_v"))
+        .join(F.broadcast(fenced), "grp")
+        .groupBy("grp", "n", "q1", "q3", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("_v") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("_v") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+    )

@@ -68,6 +68,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops15,
         llm_ops16,
         llm_ops17,
+        llm_ops18,
         media_ops,
         pos_ops,
         relational,

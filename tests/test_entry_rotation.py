@@ -192,6 +192,10 @@ _NEW_SINCE_R8: frozenset[str] = frozenset(
         "q248_cohens_kappa",
         "q249_image_entropy",
         "q250_heaps_law",
+        # batch O: ranking agreement + robust centers (plans/llm_ops18.py)
+        "q251_rbo_rankings",
+        "q252_weighted_median",
+        "q253_iqr_outliers",
     }
 )
 

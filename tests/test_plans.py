@@ -112,6 +112,8 @@ ALLOWED_BNLJ = {
     "q241_lang_kl_divergence": "1-row corpus-total scalar broadcast",
     # 1-row chance-agreement numerator x 1-row (n, agree) scalar cross
     "q248_cohens_kappa": "1-row agreement-scalar broadcasts",
+    # bounded k x k depth theta-join (m <= d) over two <= 20-row tables
+    "q251_rbo_rankings": "k x k depth theta-join, both sides <= k rows",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at
