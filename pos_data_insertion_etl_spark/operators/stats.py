@@ -57,6 +57,15 @@ def ks_two_sample(
         F.sum("ia").cast("long").alias("na_v"),
         F.sum("ib").cast("long").alias("nb_v"),
     )
+    return ks_from_value_counts(per_value)
+
+
+def ks_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """KS tail over an already-collapsed value-count table
+    [v, na_v, nb_v] -- shared by ks_two_sample and the streamed KS
+    monitor (per-value counts are mergeable and a pure function of the
+    multiset, so a batch-keyed store replays exactly).
+    """
     # Running AND total counts from the SAME single-partition window
     # pass over the distinct-value table (one sort, one scan, no
     # totals self-join/broadcast -- plan audit round 8): the full

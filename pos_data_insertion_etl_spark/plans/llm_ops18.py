@@ -206,3 +206,86 @@ def q253_iqr_outliers(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return iqr_outlier_fences(docs, "n_chars", "source")
+
+
+# ---------------------------------------------------------------------------
+# q254: streamed KS drift monitor, replay-certified (full oracle)
+# ---------------------------------------------------------------------------
+
+_KS_MONITOR_ORACLE = """
+WITH tagged AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+), per_value AS (
+  SELECT v, CAST(SUM(ia) AS BIGINT) AS na_v, CAST(SUM(ib) AS BIGINT) AS nb_v
+  FROM tagged GROUP BY v
+), cum AS (
+  SELECT SUM(na_v) OVER w AS cum_a, SUM(nb_v) OVER w AS cum_b
+  FROM per_value
+  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+), tot AS (
+  SELECT CAST(SUM(ia) AS BIGINT) AS n_a, CAST(SUM(ib) AS BIGINT) AS n_b
+  FROM tagged
+)
+SELECT n_a, n_b,
+       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+       CAST(n_a * n_b AS BIGINT) AS d_denom,
+       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) * 1000000
+            // (n_a * n_b) AS BIGINT) AS d_fp,
+       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+         / CAST(n_a * n_b AS DOUBLE) AS d
+FROM cum CROSS JOIN tot
+GROUP BY n_a, n_b
+"""
+
+
+@query(
+    "q254_ks_monitor_replay",
+    oracle=_KS_MONITOR_ORACLE,
+    tags=("streaming", "stats", "drift", "monitor"),
+)
+def q254_ks_monitor_replay(spark, sf_dir):
+    """The q232 KS statistic as a STREAMED drift monitor with the
+    monitor-store replay contract (the q175/q176/q211/q218 family):
+    three event micro-batches persist per-value count deltas for the
+    click/view value distributions (streaming/jobs.ks_monitor_batch),
+    one batch is REPLAYED (idempotent overwrite must not double-count),
+    the store merges by plain addition, and the merged counts feed the
+    single-pass KS tail (operators/stats.ks_from_value_counts).
+
+    FULL oracle: per-value counts are a pure function of the multiset
+    -- the monitor's final D must equal DuckDB's straight replay over
+    all events, bit for bit. Values are floor(value*1000) -- floor on
+    a double is exact on every input, no .5-boundary hazard."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.stats import ks_from_value_counts
+    from ..streaming.jobs import ks_monitor_batch, load_ks_counts
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+            "event_type",
+            (F.crc32(F.col("event_id").cast("string")) % 3).alias("b"),
+        )
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    store = os.path.join(tempfile.gettempdir(), f"graft_ks_monitor_{tag}")
+    for bid in (0, 1, 2, 1):  # batch 1 replayed: absorbed, not doubled
+        ks_monitor_batch(
+            ev.filter(F.col("b") == bid),
+            bid,
+            store,
+            "v_milli",
+            "event_type",
+            "click",
+            "view",
+        )
+    return ks_from_value_counts(load_ks_counts(spark, store))

@@ -939,3 +939,59 @@ def load_kmv_distinct(
 
     summaries = spark.read.parquet(out_dir)
     return kmv_estimate(kmv_merge(summaries, k=k), k=k)
+
+
+def ks_monitor_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> None:
+    """Persist one micro-batch's KS sufficient statistic -- per-value
+    counts for the two monitored groups ([v, na_v, nb_v]) -- to a
+    batch-keyed directory under the monitors' idempotent-replay
+    contract (overwrite by batch id: a replayed batch is absorbed
+    exactly, never double-counted).
+
+    Per-value counts are mergeable by plain addition and a pure
+    function of the multiset, so the merged store hash-certifies
+    against a full SQL replay (the q218 KMV property, unlike
+    batching-dependent sketches). Footprint per batch: the batch's
+    value domain, not its row count.
+    """
+    import os
+
+    if not batch.head(1):
+        return
+    counts = (
+        batch.select(
+            F.col(value_col).cast("long").alias("v"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
+            F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
+        )
+        .filter((F.col("ia") == 1) | (F.col("ib") == 1))
+        .groupBy("v")
+        .agg(
+            F.sum("ia").cast("long").alias("na_v"),
+            F.sum("ib").cast("long").alias("nb_v"),
+        )
+    )
+    counts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch={batch_id}")
+    )
+
+
+def load_ks_counts(spark, out_dir: str) -> DataFrame:
+    """Merge every persisted KS batch back to one value-count table
+    [v, na_v, nb_v] (addition merge -- exact)."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("v")
+        .agg(
+            F.sum("na_v").cast("long").alias("na_v"),
+            F.sum("nb_v").cast("long").alias("nb_v"),
+        )
+    )

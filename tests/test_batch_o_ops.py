@@ -110,3 +110,49 @@ def test_iqr_fences_no_outliers(spark):
     r = iqr_outlier_fences(df, "v", "src").collect()[0]
     assert (r.n_low, r.n_high) == (0, 0)
     assert r.lo == r.hi == 10.0
+
+
+# ---------------------------------------------------------------- q254
+
+
+def test_ks_monitor_replay_is_idempotent(spark, tmp_path):
+    from pos_data_insertion_etl_spark.operators.stats import (
+        ks_from_value_counts,
+        ks_two_sample,
+    )
+    from pos_data_insertion_etl_spark.streaming.jobs import (
+        ks_monitor_batch,
+        load_ks_counts,
+    )
+
+    rows = [(v, g) for v in (1, 2, 3) for g in ("a", "b")] + [
+        (9, "a"), (9, "a"), (1, "b"),
+    ]
+    df = spark.createDataFrame(rows, "v long, g string")
+    store = str(tmp_path / "ks_store")
+    # two batches split by value parity; batch 0 written TWICE
+    for bid in (0, 1, 0):
+        ks_monitor_batch(
+            df.filter((df.v % 2) == bid), bid, store, "v", "g", "a", "b"
+        )
+    merged = ks_from_value_counts(load_ks_counts(spark, store)).collect()[0]
+    direct = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert (merged.n_a, merged.n_b, merged.d_num, merged.d_fp) == (
+        direct.n_a, direct.n_b, direct.d_num, direct.d_fp,
+    )
+
+
+def test_ks_monitor_skips_empty_batches(spark, tmp_path):
+    from pos_data_insertion_etl_spark.streaming.jobs import (
+        ks_monitor_batch,
+        load_ks_counts,
+    )
+
+    df = spark.createDataFrame([(5, "a"), (6, "b")], "v long, g string")
+    store = str(tmp_path / "ks_store2")
+    ks_monitor_batch(df, 0, store, "v", "g", "a", "b")
+    ks_monitor_batch(df.filter("v > 100"), 1, store, "v", "g", "a", "b")
+    merged = load_ks_counts(spark, store).collect()
+    assert sorted((r.v, r.na_v, r.nb_v) for r in merged) == [
+        (5, 1, 0), (6, 0, 1),
+    ]

@@ -196,6 +196,7 @@ _NEW_SINCE_R8: frozenset[str] = frozenset(
         "q251_rbo_rankings",
         "q252_weighted_median",
         "q253_iqr_outliers",
+        "q254_ks_monitor_replay",
     }
 )
 
