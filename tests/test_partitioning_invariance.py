@@ -48,6 +48,13 @@ SAMPLE = [
     "q196_token_entropy",            # per-term fixed-point ln sums
     "q198_dsir_weights",             # hashed-bucket model + int weights
     "q199_dedup_ingest_replay",      # persist-path replay analog
+    # round-8 risky shapes
+    "q232_ks_two_sample",            # single-window running + full frame
+    "q234_gini_revenue",             # global-sequence weighted sum
+    "q237_rfm_segments",             # three chained two-phase NTILEs
+    "q250_heaps_law",                # checkpointed explode + bucket window
+    "q251_rbo_rankings",             # global row_number + bounded theta
+    "q254_ks_monitor_replay",        # persisted count-store replay
 ]
 
 #: (shuffle partitions, file split bytes) -- deliberately awkward:
