@@ -664,3 +664,163 @@ def iqr_outlier_fences(
             .alias("n_high"),
         )
     )
+
+
+def theil_index(df: DataFrame, value_col: str) -> DataFrame:
+    """Theil T inequality index of a positive integer value column:
+    T = sum_i (x_i / X) * ln(x_i * n / X) -- the entropy-based
+    complement to gini_coefficient (decomposable across subgroups,
+    which Gini is not).
+
+    Exact contract (the q241/q249 ln convention): each log-ratio
+    round(ln(x_i * n / X) * 1e9) is one double op on exact integer
+    products; the weighted sum runs in integers; one truncating div by
+    X ends it. Bound: x_i * n < 2^63 (shard or rescale units beyond).
+    Zero-value rows are excluded (their Theil contribution is 0 by the
+    x ln x -> 0 limit).
+
+    Scale: one total aggregate broadcast back over one scan. Output
+    one row [n, total, theil_nano].
+    """
+    vals = df.select(F.col(value_col).cast("long").alias("x")).filter(
+        F.col("x") > 0
+    )
+    tot = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    lnr = F.round(
+        F.log(
+            (F.col("x") * F.col("n")).cast("double")
+            / F.col("total").cast("double")
+        )
+        * 1_000_000_000
+    ).cast("long")
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .select("n", "total", (F.col("x") * lnr).alias("_t"))
+        .groupBy("n", "total")
+        .agg(F.sum("_t").cast("long").alias("_num"))
+        .select(
+            "n",
+            "total",
+            F.expr("_num div total").cast("long").alias("theil_nano"),
+        )
+    )
+
+
+def herfindahl_index(df: DataFrame, value_col: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of a positive integer value
+    column: HHI = sum_i (x_i / X)^2 -- the antitrust-style "how close
+    to a monopoly is this distribution" index (1/n for uniform, 1.0
+    for a single holder); in corpus terms, domain concentration.
+
+    sum(x^2) and X are exact BIGINTs (quantize to the coarsest unit
+    that keeps sum(x^2) < 2^63 -- floor dollars, not cents, for price
+    data); hhi is ONE fixed-order double expression over them,
+    mirrored in the oracle; the 1e-6 fixed-point form divides FIRST
+    (((sum_sq div X) * 1e6) div X -- sum_sq div X <= max(x), so
+    nothing squares X, which overflows BIGINT already at ~3e9 units).
+    Output one row [n, total, sum_sq, hhi_ppm, hhi].
+    """
+    agg = (
+        df.select(F.col(value_col).cast("long").alias("x"))
+        .filter(F.col("x") > 0)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("total"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_sq"),
+        )
+    )
+    return agg.select(
+        "n",
+        "total",
+        "sum_sq",
+        # Divide-first form: total^2 overflows BIGINT already at ~3e9
+        # total units (measured at sf0.01 dollars), so the fixed point
+        # is ((sum_sq div total) * 1e6) div total -- sum_sq div total
+        # <= max(x), so the 1e6 product stays small; truncating but
+        # deterministic, mirrored in the oracle.
+        F.expr("((sum_sq div nullif(total, 0)) * 1000000) div nullif(total, 0)")
+        .cast("long")
+        .alias("hhi_ppm"),
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("hhi"),
+    )
+
+
+def topk_share(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    ks: tuple[int, ...] = (10, 100),
+) -> DataFrame:
+    """Concentration-curve points: what share of the total do the
+    top-k holders own, for each requested k -- "the top 100 domains
+    are 40% of the corpus" in one table.
+
+    Rank is a total order (value desc, id); running and full totals
+    come from ONE window pass (the q232 idiom); the requested ks
+    filter the curve. share_ppm = topk_value * 1e6 div total -- exact
+    while total < 9.2e12 in the chosen unit; quantize coarser beyond.
+    Single-partition window over the HOLDER aggregate (callers
+    pre-aggregate corpus rows to holders first). Output [k,
+    topk_value, total, share_ppm].
+    """
+    w_rank = W.orderBy(F.desc(value_col), F.col(id_col))
+    w_run = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_full = w_rank.rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = df.select(
+        F.row_number().over(w_rank).cast("long").alias("k"),
+        F.sum(F.col(value_col).cast("long")).over(w_run)
+        .cast("long")
+        .alias("topk_value"),
+        F.sum(F.col(value_col).cast("long")).over(w_full)
+        .cast("long")
+        .alias("total"),
+    )
+    return ranked.filter(
+        F.col("k").isin([int(k) for k in ks])
+    ).withColumn(
+        "share_ppm",
+        F.expr("topk_value * 1000000 div total").cast("long"),
+    )
+
+
+def share_entropy(df: DataFrame, group_col: str) -> DataFrame:
+    """Shannon diversity of group shares (nats, nano fixed point):
+    H = -sum_g (c_g/N) ln(c_g/N) -- ln(n_groups) for a uniform mix,
+    0 for a single group; the "how diverse is this corpus across
+    sources" dial next to herfindahl_index's concentration dial.
+
+    Same exact contract as categorical_kl/image_value_entropy: integer
+    counts, one double ln per group rounded to 1e-9, integer weighted
+    sum, one truncating div. Output one row [n_groups, n_rows,
+    entropy_nano].
+    """
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+    lnr = F.round(
+        F.log(F.col("c").cast("double") / F.col("n_rows").cast("double"))
+        * 1_000_000_000
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("n_groups", "n_rows", (F.col("c") * lnr).alias("_t"))
+        .groupBy("n_groups", "n_rows")
+        .agg(F.sum("_t").cast("long").alias("_num"))
+        .select(
+            "n_groups",
+            "n_rows",
+            F.expr("-(_num div n_rows)").cast("long").alias("entropy_nano"),
+        )
+    )

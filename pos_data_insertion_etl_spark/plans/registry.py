@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops16,
         llm_ops17,
         llm_ops18,
+        llm_ops19,
         media_ops,
         pos_ops,
         relational,

@@ -197,6 +197,11 @@ _NEW_SINCE_R8: frozenset[str] = frozenset(
         "q252_weighted_median",
         "q253_iqr_outliers",
         "q254_ks_monitor_replay",
+        # batch P: concentration & diversity suite (plans/llm_ops19.py)
+        "q255_theil_index",
+        "q256_herfindahl",
+        "q257_topk_share",
+        "q258_source_diversity",
     }
 )
 

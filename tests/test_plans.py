@@ -114,6 +114,10 @@ ALLOWED_BNLJ = {
     "q248_cohens_kappa": "1-row agreement-scalar broadcasts",
     # bounded k x k depth theta-join (m <= d) over two <= 20-row tables
     "q251_rbo_rankings": "k x k depth theta-join, both sides <= k rows",
+    # 1-row (n, total) scalar broadcast into every Theil log-ratio
+    "q255_theil_index": "1-row totals scalar broadcast",
+    # 1-row (n_groups, n_rows) scalar broadcast into the share entropy
+    "q258_source_diversity": "1-row totals scalar broadcast",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at
