@@ -824,3 +824,148 @@ def share_entropy(df: DataFrame, group_col: str) -> DataFrame:
             F.expr("-(_num div n_rows)").cast("long").alias("entropy_nano"),
         )
     )
+
+
+def page_hinkley(
+    daily: DataFrame,
+    day_col: str,
+    n_col: str,
+    delta_milli: int = 0,
+) -> DataFrame:
+    """Page-Hinkley upward-drift score over a daily count series --
+    CUSUM's sequential sibling that tests against the RUNNING mean
+    (no global-mean pre-pass, so it works online): with
+    mean_t = P_t*1000 div t, M_t = sum_{i<=t}(x_i*1000 - mean_i -
+    delta_milli), PH_t = M_t - min_{j<=t} M_j.
+
+    Window-only via the same prefix-min identity as cusum_scores; the
+    running mean is a truncating milli fixed point, deterministic both
+    engines. Output [day, n, mean_milli, ph_milli].
+    """
+    base = daily.select(
+        F.col(day_col).alias("day"), F.col(n_col).cast("long").alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    staged = (
+        base.withColumn("_t", F.row_number().over(W.orderBy("day")))
+        .withColumn("_p", F.sum("n").over(w))
+        .withColumn("mean_milli", F.expr("_p * 1000 div _t").cast("long"))
+        .withColumn(
+            "_term",
+            F.col("n") * 1000 - F.col("mean_milli") - delta_milli,
+        )
+        .withColumn("_m", F.sum("_term").over(w))
+        .withColumn("_m_min", F.min("_m").over(w))
+    )
+    return staged.select(
+        "day",
+        "n",
+        "mean_milli",
+        (F.col("_m") - F.col("_m_min")).cast("long").alias("ph_milli"),
+    )
+
+
+def mann_kendall(daily: DataFrame, day_col: str, n_col: str) -> DataFrame:
+    """Mann-Kendall monotone-trend statistic over a daily series:
+    S = sum_{i<j} sign(x_j - x_i) -- the nonparametric "is this series
+    trending" test (S near +max for monotone growth, 0 for no trend),
+    tie-aware by construction.
+
+    Exact integers end to end. The pair source is a theta self-join
+    over the DAILY table -- bounded by days^2 (a decade of days is
+    ~13M pairs), never corpus-sized; callers aggregate to the series
+    first. Output one row [n_days, n_pos, n_neg, n_tie, s].
+    """
+    base = daily.select(
+        F.col(day_col).alias("d"), F.col(n_col).cast("long").alias("x")
+    )
+    a = base.select(F.col("d").alias("di"), F.col("x").alias("xi"))
+    b = base.select(F.col("d").alias("dj"), F.col("x").alias("xj"))
+    pairs = a.join(b, F.col("di") < F.col("dj"))
+    agg = pairs.agg(
+        F.sum(F.when(F.col("xj") > F.col("xi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("xj") < F.col("xi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum(F.when(F.col("xj") == F.col("xi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tie"),
+        F.count(F.lit(1)).cast("long").alias("_n_pairs"),
+    )
+    # n_days from n_pairs = n(n-1)/2: exact integer inversion via the
+    # quadratic formula on a perfect square -- avoids a second scan.
+    return agg.select(
+        F.expr(
+            "CAST((1 + CAST(sqrt(CAST(1 + 8 * _n_pairs AS DOUBLE)) AS BIGINT))"
+            " div 2 AS BIGINT)"
+        ).alias("n_days"),
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        (F.col("n_pos") - F.col("n_neg")).cast("long").alias("s"),
+    )
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cramer's V association strength between two categorical
+    columns: V = sqrt(chi^2 / (N * min(r-1, c-1))) -- the effect-size
+    companion to q214's chi-square screen and q248's kappa ("are
+    source and language associated, and how strongly").
+
+    Exact contract: each chi-square term is computed from exact
+    integers (o*N - ra*cb fits BIGINT while N < ~3e9), squared and
+    divided in ONE fixed double sequence, rounded to micro units --
+    the sum is then integer-exact (never a float sum). V is one
+    closed-form double over the integer total. Output one row
+    [n, r, c, chi2_micro, v].
+    """
+    cells = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").cast("long").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("cb"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("r"),
+        F.countDistinct("b").cast("long").alias("c"),
+    )
+    # The FULL r x c category cross: absent cells contribute
+    # (0 - e)^2 / e = e to chi-square and must not be dropped (the
+    # observed-cells-only form understates perfect association by
+    # exactly the missing expected mass -- caught by the unit test).
+    full = ra.crossJoin(cb).join(cells, ["a", "b"], "left").select(
+        "a", "b", "ra", "cb", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    term = F.round(
+        (
+            (F.col("o") * F.col("n") - F.col("ra") * F.col("cb"))
+            .cast("double")
+            * (F.col("o") * F.col("n") - F.col("ra") * F.col("cb"))
+            .cast("double")
+            / (F.col("ra") * F.col("cb")).cast("double")
+            / F.col("n").cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        full.crossJoin(F.broadcast(tot))
+        .select("n", "r", "c", term.alias("_t"))
+        .groupBy("n", "r", "c")
+        .agg(F.sum("_t").cast("long").alias("chi2_micro"))
+        .select(
+            "n",
+            "r",
+            "c",
+            "chi2_micro",
+            F.sqrt(
+                F.col("chi2_micro").cast("double")
+                / F.lit(1_000_000.0)
+                / (
+                    F.col("n")
+                    * F.least(F.col("r") - 1, F.col("c") - 1)
+                ).cast("double")
+            ).alias("v"),
+        )
+    )

@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops17,
         llm_ops18,
         llm_ops19,
+        llm_ops20,
         media_ops,
         pos_ops,
         relational,

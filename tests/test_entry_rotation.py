@@ -202,6 +202,10 @@ _NEW_SINCE_R8: frozenset[str] = frozenset(
         "q256_herfindahl",
         "q257_topk_share",
         "q258_source_diversity",
+        # batch Q: drift / trend / association panels (plans/llm_ops20.py)
+        "q259_page_hinkley",
+        "q260_mann_kendall",
+        "q261_cramers_v",
     }
 )
 

@@ -118,6 +118,10 @@ ALLOWED_BNLJ = {
     "q255_theil_index": "1-row totals scalar broadcast",
     # 1-row (n_groups, n_rows) scalar broadcast into the share entropy
     "q258_source_diversity": "1-row totals scalar broadcast",
+    # bounded days^2 theta self-join over the daily aggregate
+    "q260_mann_kendall": "days x days pair join, series-sized sides",
+    # r x c category cross (marginal tables) + 1-row totals broadcast
+    "q261_cramers_v": "category-cross + 1-row totals broadcasts",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at
