@@ -814,11 +814,14 @@ def compression_gate(
     SQL replica, so the certified columns are the exact anchors
     (doc_id, raw UTF-8 byte length) plus booleans a theorem pins TRUE
     -- DEFLATE stored-block framing bounds output <= input +
-    overhead_bytes, compression never emits empty output for nonempty
-    input, and decompress(compress(x)) == x. The compressed size
-    itself stays library-side (``compressed_bytes`` is returned for
-    pipeline use but NOT part of the oracle contract -- register gates
-    over the booleans).
+    overhead_bytes + input/1000 (stored blocks cost 5 bytes per
+    64 KiB ~ input/13107 plus the 6-byte zlib wrapper, so the
+    input/1000 term holds at ANY document size -- a flat +64 alone
+    would go false past ~760 KB of incompressible input), compression
+    never emits empty output, and decompress(compress(x)) == x. The
+    compressed size itself stays library-side (``compressed_bytes``
+    is returned for pipeline use but NOT part of the oracle contract
+    -- register gates over the booleans).
 
     Scale: whole-batch Arrow transfer, per-doc CPU, zero shuffle.
     Output [id, raw_bytes, compressed_bytes, ratio_ppm,
@@ -840,7 +843,9 @@ def compression_gate(
                 raws.append(len(data))
                 comps.append(len(z))
                 ne.append(len(z) > 0)
-                bo.append(len(z) <= len(data) + overhead_bytes)
+                bo.append(
+                    len(z) <= len(data) + overhead_bytes + len(data) // 1000
+                )
                 rt.append(zlib.decompress(z) == data)
             yield pd.DataFrame(
                 {

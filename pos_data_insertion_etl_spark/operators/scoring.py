@@ -321,9 +321,15 @@ def cohens_kappa(
             "n",
             "agree",
             "pe_num",
+            # Divide-first above 1e6 (q256 pattern): the numerator is
+            # bounded by n^2 already, so multiplying it by 1e6 would
+            # re-overflow three decades under the documented n < ~3e9.
             F.expr(
-                "(n * agree - pe_num) * 1000000"
-                " div nullif(n * n - pe_num, 0)"
+                "CASE WHEN n * n - pe_num >= 1000000"
+                " THEN (n * agree - pe_num)"
+                "      div nullif((n * n - pe_num) div 1000000, 0)"
+                " ELSE ((n * agree - pe_num) * 1000000)"
+                "      div nullif(n * n - pe_num, 0) END"
             )
             .cast("long")
             .alias("kappa_ppm"),
@@ -373,8 +379,12 @@ def rank_biased_overlap(
     """
     if not (0 < p_num < p_den):
         raise ValueError("p must be in (0,1) as p_num/p_den")
-    if p_num ** (k - 1) >= 2**62:
-        raise ValueError("k too deep for exact integer weights")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # Depth weights are computed below in arbitrary-precision Python
+    # and each w_fp <= 1e6 (p < 1), so no engine-side integer ever
+    # holds a raw power -- any k is exact here; the practical k bound
+    # is statistical (w_fp hits 0 once p^(d-1) < 1e-6), not numeric.
     a = ranks_a.select(
         F.col(id_col).alias("_id"), F.col(rank_col).alias("ra")
     ).filter(F.col("ra") <= k)

@@ -95,12 +95,19 @@ def ks_from_value_counts(per_value: DataFrame) -> DataFrame:
             "n_b",
             "d_num",
             (F.col("n_a") * F.col("n_b")).cast("long").alias("d_denom"),
-            F.expr("d_num * 1000000 div (n_a * n_b)")
+            # Divide-first above 1e6: d_num * 1e6 would re-overflow at
+            # ~3e6 rows per side, three decades under the n_a*n_b
+            # bound the d_num form itself honors (q256/q225 pattern).
+            F.expr(
+                "CASE WHEN n_a * n_b >= 1000000"
+                " THEN d_num div ((n_a * n_b) div 1000000)"
+                " ELSE (d_num * 1000000) div (n_a * n_b) END"
+            )
             .cast("long")
             .alias("d_fp"),
             (
                 F.col("d_num").cast("double")
-                / (F.col("n_a") * F.col("n_b")).cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("d"),
         )
     )
@@ -132,16 +139,18 @@ def spearman_corr(
     BIGINT -- the doubling cancels in the ratio).
 
     All five sums (n, Sx, Sy, Sxy, Sxx, Syy) are exact integers; rho is
-    the ONE closed-form double expression
-    (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)) evaluated
-    on those integers -- identical IEEE steps both engines. Doubled
-    ranks <= 2n, so Sxy <= 4n^3: exact below ~1.3e6 rows per group;
-    this operator is built for SERIES-level frames (daily aggregates,
-    per-source profiles), not raw corpora -- aggregate first.
+    (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)) with every
+    cross term computed CAST-THEN-MULTIPLY in double (the grouped_ols
+    convention: n*Sxy in BIGINT would ANSI-overflow near ~39k rows per
+    group, since doubled ranks <= 2n make Sxy <= 4n^3) -- identical
+    IEEE steps both engines. The auxiliary `sxy_num` column stays an
+    exact BIGINT and therefore carries the TIGHTER bound: it overflows
+    past ~39k rows per group; it exists for sign-stable assertions on
+    SERIES-level frames (daily aggregates, per-source profiles), which
+    is this operator's domain -- aggregate corpora first.
 
     Scale: ranks are two windows per group; sums one groupBy. Output
-    [group?, n, sxy_num, rho] where sxy_num = n*Sxy - Sx*Sy (the exact
-    integer covariance numerator, sign-stable) and rho the double.
+    [group?, n, sxy_num, rho].
     """
     part = [group_col] if group_col else []
     ranked = df.select(
@@ -157,17 +166,18 @@ def spearman_corr(
         F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
         F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    num_d = d("n") * d("sxy") - d("sx") * d("sy")
+    dx_d = d("n") * d("sxx") - d("sx") * d("sx")
+    dy_d = d("n") * d("syy") - d("sy") * d("sy")
+    num_i = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     return agg.select(
         *part,
         "n",
-        num.cast("long").alias("sxy_num"),
-        (
-            num.cast("double")
-            / F.sqrt(dx.cast("double") * dy.cast("double"))
-        ).alias("rho"),
+        num_i.cast("long").alias("sxy_num"),
+        (num_d / F.sqrt(dx_d * dy_d)).alias("rho"),
     )
 
 
@@ -180,10 +190,12 @@ def gini_coefficient(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
 
     Scale: the global rank is the two-phase range-partition sequence
     (operators/combine.with_global_sequence), never a single-partition
-    sort; the weighted sum is one agg. Exact while 2n * max_x < 2^63
-    -- at a trillion rows of cent values switch to pre-grouped value
-    counts. Output [n, total, gini_num, gini] (gini_num exact integer,
-    gini the one-division double).
+    sort; the weighted sum is one agg. Exactness bound: |gini_num| <=
+    n * total, so the integer sum holds while n * total < 2^63
+    (~1e7 holders of ~1e5-cent averages; quantize to coarser units
+    beyond -- the same discipline as grouped_ols). The `gini` double
+    divides cast-then-multiplied operands, so it never overflows.
+    Output [n, total, gini_num, gini].
     """
     from .combine import with_global_sequence
 
@@ -212,9 +224,11 @@ def gini_coefficient(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
         "n",
         "total",
         "gini_num",
+        # cast-then-multiply: n * total in BIGINT ANSI-overflows at
+        # ~1e7 customers of ~1e5-cent averages, far inside real scale
         (
             F.col("gini_num").cast("double")
-            / (F.col("n") * F.col("total")).cast("double")
+            / (F.col("n").cast("double") * F.col("total").cast("double"))
         ).alias("gini"),
     )
 
@@ -353,17 +367,25 @@ def acf_pearson(
         F.sum(F.col("x0") * F.col("x0")).cast("long").alias("sxx"),
         F.sum(F.col("x1") * F.col("x1")).cast("long").alias("syy"),
     )
-    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
-    dx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+
+    # Cross terms cast-then-multiply in double (the grouped_ols
+    # convention): n_pairs * Sxy in BIGINT would ANSI-overflow long
+    # before the sums do. sxy_num stays exact BIGINT with the tighter
+    # documented bound (series-level frames).
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    num_d = d("n_pairs") * d("sxy") - d("sx") * d("sy")
+    dx_d = d("n_pairs") * d("sxx") - d("sx") * d("sx")
+    dy_d = d("n_pairs") * d("syy") - d("sy") * d("sy")
+    num_i = (
+        F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    )
     return agg.select(
         F.col("lag").cast("long").alias("lag"),
         "n_pairs",
-        num.cast("long").alias("sxy_num"),
-        (
-            num.cast("double")
-            / F.sqrt(dx.cast("double") * dy.cast("double"))
-        ).alias("r"),
+        num_i.cast("long").alias("sxy_num"),
+        (num_d / F.sqrt(dx_d * dy_d)).alias("r"),
     )
 
 
@@ -883,24 +905,31 @@ def mann_kendall(daily: DataFrame, day_col: str, n_col: str) -> DataFrame:
     b = base.select(F.col("d").alias("dj"), F.col("x").alias("xj"))
     pairs = a.join(b, F.col("di") < F.col("dj"))
     agg = pairs.agg(
-        F.sum(F.when(F.col("xj") > F.col("xi"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("xj") > F.col("xi"), 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_pos"),
-        F.sum(F.when(F.col("xj") < F.col("xi"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("xj") < F.col("xi"), 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_neg"),
-        F.sum(F.when(F.col("xj") == F.col("xi"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("xj") == F.col("xi"), 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_tie"),
-        F.count(F.lit(1)).cast("long").alias("_n_pairs"),
     )
-    # n_days from n_pairs = n(n-1)/2: exact integer inversion via the
-    # quadratic formula on a perfect square -- avoids a second scan.
-    return agg.select(
-        F.expr(
-            "CAST((1 + CAST(sqrt(CAST(1 + 8 * _n_pairs AS DOUBLE)) AS BIGINT))"
-            " div 2 AS BIGINT)"
-        ).alias("n_days"),
+    # n_days from a direct count of the series -- the pair-count
+    # quadratic inversion cannot distinguish 0 days from 1 (both give
+    # 0 pairs) and reported a phantom n_days=1 on an empty input.
+    counts = base.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return agg.crossJoin(F.broadcast(counts)).select(
+        "n_days",
         "n_pos",
         "n_neg",
         "n_tie",

@@ -245,9 +245,15 @@ def fano_burstiness(
             F.expr("total * 1000 div n_days").cast("long").alias(
                 "mean_milli"
             ),
+            # Divide-first above 1e6 (q256 pattern): the variance
+            # numerator is already bounded by n*sum(x^2) < 2^63; its
+            # 1e6 multiple is not.
             F.expr(
-                "(n_days * _sumsq - total * total) * 1000000"
-                " div (n_days * total)"
+                "CASE WHEN n_days * total >= 1000000"
+                " THEN (n_days * _sumsq - total * total)"
+                "      div ((n_days * total) div 1000000)"
+                " ELSE ((n_days * _sumsq - total * total) * 1000000)"
+                "      div (n_days * total) END"
             )
             .cast("long")
             .alias("fano_ppm"),

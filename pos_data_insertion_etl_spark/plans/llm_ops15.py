@@ -57,16 +57,21 @@ WITH tagged AS (
 ), tot AS (
   SELECT CAST(SUM(ia) AS BIGINT) AS n_a, CAST(SUM(ib) AS BIGINT) AS n_b
   FROM tagged
+), maxd AS (
+  SELECT n_a, n_b,
+         CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
+  FROM cum CROSS JOIN tot
+  GROUP BY n_a, n_b
 )
-SELECT n_a, n_b,
-       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+SELECT n_a, n_b, d_num,
        CAST(n_a * n_b AS BIGINT) AS d_denom,
-       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) * 1000000
-            // (n_a * n_b) AS BIGINT) AS d_fp,
-       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
-         / CAST(n_a * n_b AS DOUBLE) AS d
-FROM cum CROSS JOIN tot
-GROUP BY n_a, n_b
+       CAST(CASE WHEN n_a * n_b >= 1000000
+                 THEN d_num // ((n_a * n_b) // 1000000)
+                 ELSE (d_num * 1000000) // (n_a * n_b) END AS BIGINT)
+         AS d_fp,
+       CAST(d_num AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d
+FROM maxd
 """
 
 
@@ -112,9 +117,12 @@ WITH daily AS (
   FROM ranked
 )
 SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS sxy_num,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
 FROM sums
 """
 
@@ -161,7 +169,7 @@ WITH per_cust AS (
 SELECT n, CAST(SUM(x) AS BIGINT) AS total,
        CAST(SUM((2 * i - n - 1) * x) AS BIGINT) AS gini_num,
        CAST(SUM((2 * i - n - 1) * x) AS DOUBLE)
-         / CAST(n * SUM(x) AS DOUBLE) AS gini
+         / (CAST(n AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS gini
 FROM seq CROSS JOIN tot
 GROUP BY n
 """
@@ -362,9 +370,12 @@ WITH daily AS (
 )
 SELECT lag, n_pairs,
        CAST(n_pairs * sxy - sx * sy AS BIGINT) AS sxy_num,
-       CAST(n_pairs * sxy - sx * sy AS DOUBLE)
-         / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
-                * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS r
+       (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
 FROM sums
 """
 

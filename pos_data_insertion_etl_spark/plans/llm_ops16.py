@@ -248,8 +248,11 @@ SELECT grp,
        CAST(COUNT(*) AS BIGINT) AS n_days,
        CAST(SUM(x) AS BIGINT) AS total,
        CAST(SUM(x) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
-       CAST((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * 1000000
-            // (COUNT(*) * SUM(x)) AS BIGINT) AS fano_ppm
+       CAST(CASE WHEN COUNT(*) * SUM(x) >= 1000000
+                 THEN (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                      // ((COUNT(*) * SUM(x)) // 1000000)
+                 ELSE ((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * 1000000)
+                      // (COUNT(*) * SUM(x)) END AS BIGINT) AS fano_ppm
 FROM daily GROUP BY grp
 """
 

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .llm_ops import _langid_oracle, q53_langid
+from ..functions.text import STOPWORDS as _STOPWORDS
 from .media_ops import IMG_N, _img_pixels
 from .registry import query
 
@@ -151,8 +151,67 @@ def q247_zipf_slope(spark, sf_dir):
 # q248: Cohen's kappa, langid vs gold labels
 # ---------------------------------------------------------------------------
 
+def _langid_space_oracle() -> str:
+    """The q53 stopword-argmax prediction re-tokenized with the
+    LITERAL single-space split -- identical semantics on both engines
+    (the q131 \\s lesson): the certified q248 path must not ride on
+    `string_split_regex(text, '\\s+')`, whose boundary behavior is
+    engine-version-sensitive and kept q131 driver-red for three
+    rounds. On this corpus (single-space separated) the predictions
+    equal q53's.
+    """
+    from .llm_ops import _langid_case
+
+    hits = ",\n       ".join(
+        "CAST(len(list_filter(string_split(text, ' '),"
+        f" x -> x IN ({', '.join(repr(w) for w in _STOPWORDS[lang])})))"
+        f" AS BIGINT) AS {lang}_hits"
+        for lang in _STOPWORDS
+    )
+    return f"""
+SELECT doc_id, lang AS actual_lang,
+       {_langid_case('{0}_hits')} AS pred_lang
+FROM (
+  SELECT doc_id, lang,
+       {hits}
+  FROM documents
+)
+"""
+
+
+def _langid_space_pred(docs):
+    """Spark twin of _langid_space_oracle: literal-space tokens into
+    the q53 argmax CASE."""
+    toks = F.split(F.col("text"), " ")
+
+    def hits(lang: str):
+        words = _STOPWORDS[lang]
+        return (
+            F.size(F.filter(toks, lambda x: x.isin(*words)))
+            .cast("long")
+            .alias(f"{lang}_hits")
+        )
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[hits(lang) for lang in _STOPWORDS],
+    )
+    e, s, d, f_ = (
+        F.col(f"{lang}_hits") for lang in ("en", "es", "de", "fr")
+    )
+    pred = (
+        F.when((e >= s) & (e >= d) & (e >= f_) & (e > 0), "en")
+        .when((s >= d) & (s >= f_) & (s > 0), "es")
+        .when((d >= f_) & (d > 0), "de")
+        .when(f_ > 0, "fr")
+        .otherwise("und")
+    )
+    return scored.select("actual_lang", pred.alias("pred_lang"))
+
+
 _KAPPA_ORACLE = f"""
-WITH p AS ({_langid_oracle()}),
+WITH p AS ({_langid_space_oracle()}),
 cells AS (
   SELECT actual_lang AS a, pred_lang AS pr, CAST(COUNT(*) AS BIGINT) AS c
   FROM p GROUP BY 1, 2
@@ -169,8 +228,12 @@ base AS (
   FROM cells
 )
 SELECT n, agree, pe_num,
-       CAST((n * agree - pe_num) * 1000000
-            // NULLIF(n * n - pe_num, 0) AS BIGINT) AS kappa_ppm,
+       CAST(CASE WHEN n * n - pe_num >= 1000000
+                 THEN (n * agree - pe_num)
+                      // NULLIF((n * n - pe_num) // 1000000, 0)
+                 ELSE ((n * agree - pe_num) * 1000000)
+                      // NULLIF(n * n - pe_num, 0) END AS BIGINT)
+         AS kappa_ppm,
        (CAST(n AS DOUBLE) * CAST(agree AS DOUBLE) - CAST(pe_num AS DOUBLE))
          / NULLIF(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                   - CAST(pe_num AS DOUBLE), 0.0) AS kappa
@@ -184,14 +247,19 @@ FROM base CROSS JOIN pe
     tags=("eval", "stats", "langid"),
 )
 def q248_cohens_kappa(spark, sf_dir):
-    """Cohen's kappa between the q53 heuristic language identifier and
-    the gold `lang` column (operators/scoring.cohens_kappa):
+    """Cohen's kappa between the stopword-argmax language identifier
+    and the gold `lang` column (operators/scoring.cohens_kappa):
     chance-corrected agreement in exact rational form -- the
     eval-statistic complement to q155's confusion matrix and q217's
-    AUC."""
+    AUC. The certified prediction re-tokenizes with the LITERAL
+    single-space split (_langid_space_pred) so q248 never rides the
+    engine-version-sensitive `\\s+` regex that kept q131 driver-red
+    (q53's own tokens stay as the library default; on this corpus the
+    predictions coincide)."""
     from ..operators.scoring import cohens_kappa
 
-    pred = q53_langid(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pred = _langid_space_pred(docs)
     return cohens_kappa(pred, "actual_lang", "pred_lang")
 
 

@@ -229,16 +229,21 @@ WITH tagged AS (
 ), tot AS (
   SELECT CAST(SUM(ia) AS BIGINT) AS n_a, CAST(SUM(ib) AS BIGINT) AS n_b
   FROM tagged
+), maxd AS (
+  SELECT n_a, n_b,
+         CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
+  FROM cum CROSS JOIN tot
+  GROUP BY n_a, n_b
 )
-SELECT n_a, n_b,
-       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+SELECT n_a, n_b, d_num,
        CAST(n_a * n_b AS BIGINT) AS d_denom,
-       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) * 1000000
-            // (n_a * n_b) AS BIGINT) AS d_fp,
-       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
-         / CAST(n_a * n_b AS DOUBLE) AS d
-FROM cum CROSS JOIN tot
-GROUP BY n_a, n_b
+       CAST(CASE WHEN n_a * n_b >= 1000000
+                 THEN d_num // ((n_a * n_b) // 1000000)
+                 ELSE (d_num * 1000000) // (n_a * n_b) END AS BIGINT)
+         AS d_fp,
+       CAST(d_num AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d
+FROM maxd
 """
 
 

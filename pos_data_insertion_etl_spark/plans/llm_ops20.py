@@ -86,17 +86,19 @@ WITH daily AS (
   SELECT a.x AS xi, b.x AS xj
   FROM daily a JOIN daily b ON a.d < b.d
 ), agg AS (
-  SELECT CAST(SUM(CASE WHEN xj > xi THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         CAST(SUM(CASE WHEN xj < xi THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-         CAST(SUM(CASE WHEN xj = xi THEN 1 ELSE 0 END) AS BIGINT) AS n_tie,
-         CAST(COUNT(*) AS BIGINT) AS np
+  SELECT CAST(COALESCE(SUM(CASE WHEN xj > xi THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_pos,
+         CAST(COALESCE(SUM(CASE WHEN xj < xi THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_neg,
+         CAST(COALESCE(SUM(CASE WHEN xj = xi THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_tie
   FROM pairs
+), counts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
 )
-SELECT CAST((1 + CAST(sqrt(CAST(1 + 8 * np AS DOUBLE)) AS BIGINT)) // 2
-            AS BIGINT) AS n_days,
-       n_pos, n_neg, n_tie,
+SELECT n_days, n_pos, n_neg, n_tie,
        CAST(n_pos - n_neg AS BIGINT) AS s
-FROM agg
+FROM agg CROSS JOIN counts
 """
 
 
@@ -108,9 +110,8 @@ FROM agg
 def q260_mann_kendall(spark, sf_dir):
     """Mann-Kendall monotone-trend statistic over daily order counts
     (operators/stats.mann_kendall): exact pair-sign sums over the
-    bounded days^2 theta self-join; n_days inverted from the pair
-    count via the (2n-1)^2 perfect square -- sqrt of an exact-integer
-    double is exact, so truncation and rounding casts agree."""
+    bounded days^2 theta self-join; n_days from a direct series
+    count (the pair-count inversion cannot tell 0 days from 1)."""
     from ..operators.stats import mann_kendall
 
     orders = load_table(spark, sf_dir, "orders")

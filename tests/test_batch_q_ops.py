@@ -106,3 +106,17 @@ def test_cramers_v_hand_computed(spark):
     # chi2 = 8*(3*3-1*1)^2/(4*4*4*4) = 8*64/256 = 2 -> 2e6 micro
     assert r.chi2_micro == 2_000_000
     assert abs(r.v - math.sqrt(2 / 8)) < 1e-9
+
+
+def test_mann_kendall_empty_and_single_day(spark):
+    import datetime as dt
+
+    empty = spark.createDataFrame([], "day date, n long")
+    r = mann_kendall(empty, "day", "n").collect()[0]
+    assert (r.n_days, r.n_pos, r.n_neg, r.n_tie, r.s) == (0, 0, 0, 0, 0)
+
+    one = spark.createDataFrame(
+        [(dt.date(2024, 9, 1), 5)], "day date, n long"
+    )
+    r1 = mann_kendall(one, "day", "n").collect()[0]
+    assert (r1.n_days, r1.s) == (1, 0)
