@@ -428,3 +428,107 @@ def rank_biased_overlap(
         .cast("long")
         .alias("rbo_ppm"),
     )
+
+
+def woe_iv_bins(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Weight-of-evidence / information-value screen of one numeric
+    feature against a binary label -- the classical scorecard-era
+    feature-importance panel that LLM-quality-classifier training still
+    uses to rank candidate gates (is document length predictive of the
+    "good" label?).
+
+    Rows are split into k equal-depth bins over a TOTAL order
+    (value, id); bin i holds rows with ((rn-1)*k) div n == i-1, an
+    explicit integer formula (not NTILE) so both engines agree by
+    construction. Per bin, with Laplace-smoothed counts g1 = good+1 /
+    b1 = bad+1 (finite WOE even for pure bins) and class totals
+    G = good_tot + k / B = bad_tot + k:
+
+        woe_micro     = round(ln((g1/G) / (b1/B)) * 1e6)
+        pg_ppm/pb_ppm = (g1*1e6) div G, (b1*1e6) div B
+        iv_term_micro = ((pg_ppm - pb_ppm) * woe_micro) div 1e6
+        iv_micro      = sum over bins (repeated per row)
+
+    Determinism: the WOE double chain is division-then-ln on identical
+    operands in a fixed order (no reassociated sums); everything after
+    the single round() is exact integer. Overflow contract: g1 * 1e6
+    must stay under 2^63 => fine to ~9.2e12 positives per class.
+
+    Scale: one ordered window for (rn, n) -- the running row_number and
+    the full-frame total share a single Window node -- then a k-row
+    groupBy and k-row windows. Only the first window touches the
+    corpus; it is the unavoidable cost of exact equal-depth binning
+    (an approx-quantile cut would avoid the sort but certifies
+    nothing). At 100 TB, pre-aggregate equal values first or accept
+    the range-partitioned sort Spark plans for global windows.
+    """
+    from pyspark.sql.window import Window as W
+
+    ow = W.orderBy(F.col(value_col), F.col(id_col))
+    full = ow.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    binned = df.select(
+        F.col(label_col).cast("long").alias("_y"),
+        (
+            (F.row_number().over(ow) - F.lit(1)).cast("long")
+            * F.lit(k)
+        ).alias("_rnk"),
+        F.count(F.lit(1)).over(full).cast("long").alias("_n"),
+    ).select(
+        (F.expr("_rnk div _n") + F.lit(1)).cast("long").alias("bin"),
+        F.col("_y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("_y").cast("long").alias("good_n"),
+        (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("bad_n"),
+    )
+    bw = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    smoothed = per_bin.select(
+        "bin",
+        "n_rows",
+        "good_n",
+        "bad_n",
+        (F.col("good_n") + F.lit(1)).alias("_g1"),
+        (F.col("bad_n") + F.lit(1)).alias("_b1"),
+        (F.sum("good_n").over(bw) + F.lit(k)).alias("_gt"),
+        (F.sum("bad_n").over(bw) + F.lit(k)).alias("_bt"),
+    )
+    woe = F.round(
+        F.log(
+            (F.col("_g1").cast("double") / F.col("_gt").cast("double"))
+            / (F.col("_b1").cast("double") / F.col("_bt").cast("double"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    scored = smoothed.select(
+        "bin",
+        "n_rows",
+        "good_n",
+        "bad_n",
+        woe.alias("woe_micro"),
+        F.expr("_g1 * 1000000 div _gt").cast("long").alias("pg_ppm"),
+        F.expr("_b1 * 1000000 div _bt").cast("long").alias("pb_ppm"),
+    ).select(
+        "bin",
+        "n_rows",
+        "good_n",
+        "bad_n",
+        "woe_micro",
+        "pg_ppm",
+        "pb_ppm",
+        F.expr("(pg_ppm - pb_ppm) * woe_micro div 1000000")
+        .cast("long")
+        .alias("iv_term_micro"),
+    )
+    return scored.select(
+        "*",
+        F.sum("iv_term_micro").over(bw).cast("long").alias("iv_micro"),
+    ).orderBy("bin")

@@ -998,3 +998,84 @@ def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             ).alias("v"),
         )
     )
+
+
+def two_proportion_ztest(
+    trials: DataFrame,
+    variant_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Pooled two-proportion z-test between variant 0 and variant 1 --
+    the A/B readout every event pipeline ends in ("did arm B convert
+    better, and is the gap larger than chance?"). Reported as z^2 (one
+    degree chi-square) so no sqrt sign convention leaks into the hash.
+
+    Input: one row per trial with an integer variant (0/1) and an
+    integer success flag (0/1). Output, one row:
+
+        n_a, x_a, n_b, x_b   exact trial/success counts per arm
+        z2_micro = round((pa-pb)^2 / (p*(1-p)*(1/na+1/nb)) * 1e6)
+        significant_95       z2_micro > 3_841_459  (chi2_1 at 0.95)
+
+    Determinism: counts are exact integers; pa/pb/p and the z^2 chain
+    are IEEE ops on identical operands in one fixed order (divisions
+    first, no reassociated sums), rounded once to micro units; the
+    significance boolean derives from the already-rounded integer, so
+    both engines agree by construction. Degenerate pools (p = 0 or 1)
+    yield NULL z2 via a nullif guard.
+
+    Scale: one conditional aggregation over the trial stream -- a
+    map-side-combined global agg, no window, no join; the result is a
+    single row. The cheapest possible shape at any corpus size.
+    """
+    agg = trials.agg(
+        F.sum(
+            F.when(F.col(variant_col) == 0, 1).otherwise(0)
+        ).cast("long").alias("n_a"),
+        F.sum(
+            F.when(F.col(variant_col) == 0, F.col(success_col)).otherwise(0)
+        ).cast("long").alias("x_a"),
+        F.sum(
+            F.when(F.col(variant_col) == 1, 1).otherwise(0)
+        ).cast("long").alias("n_b"),
+        F.sum(
+            F.when(F.col(variant_col) == 1, F.col(success_col)).otherwise(0)
+        ).cast("long").alias("x_b"),
+    )
+    pa = F.col("n_a").cast("double")
+    pb = F.col("n_b").cast("double")
+    scored = agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        (F.col("x_a").cast("double") / pa).alias("_pa"),
+        (F.col("x_b").cast("double") / pb).alias("_pb"),
+        (
+            (F.col("x_a") + F.col("x_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double")
+        ).alias("_p"),
+    ).select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(
+            (F.col("_pa") - F.col("_pb"))
+            * (F.col("_pa") - F.col("_pb"))
+            / F.nullif(
+                F.col("_p")
+                * (F.lit(1.0) - F.col("_p"))
+                * (
+                    F.lit(1.0) / F.col("n_a").cast("double")
+                    + F.lit(1.0) / F.col("n_b").cast("double")
+                ),
+                F.lit(0.0),
+            )
+            * F.lit(1000000.0)
+        ).cast("long").alias("z2_micro"),
+    )
+    return scored.select(
+        "*",
+        (F.col("z2_micro") > F.lit(3_841_459)).alias("significant_95"),
+    )

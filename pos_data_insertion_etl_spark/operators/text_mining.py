@@ -530,3 +530,71 @@ def heaps_growth_points(
             .alias("y_fp"),
         )
     )
+
+
+def chao1_richness(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Chao1 vocabulary-richness estimate over word BIGRAMS:
+    "how many distinct bigrams does this source's language really
+    have, given what this sample showed?" -- the unseen-species
+    estimator ecology uses, applied to corpus curation (a source whose
+    chao1 far exceeds its observed vocabulary is under-sampled; one
+    where they agree is saturated). Complements q246's observed vocab
+    and q250's Heaps extrapolation with a closed-form abundance-based
+    estimate.
+
+    Bias-corrected form (always finite, no f2 > 0 requirement):
+
+        chao1_milli = v*1000 + (f1*(f1-1)*1000) div (2*(f2+1))
+
+    where v = observed distinct bigrams, f1/f2 = bigrams seen exactly
+    once/twice. Bigrams (not unigrams) because a bounded synthetic
+    vocabulary saturates unigram counts at any scale -- pair space is
+    where singletons live.
+
+    Determinism: tokenization is LITERAL single-space split with a
+    non-empty filter (the engine-version-safe form; `\\s+` is not --
+    the q131 lesson), so counts are exact integers end to end; no
+    floats anywhere. Overflow contract: f1*(f1-1)*1000 < 2^63 =>
+    f1 < ~3.0e9 distinct singleton bigrams per group, far beyond any
+    real shard's pair vocabulary.
+
+    Scale: explode to (group, gram) -- grams shuffle as md5 digests
+    (q154 convention, raw text never a shuffle key) -- one
+    (group, digest) count, one per-group conditional agg. Map-side
+    combine carries both; output is one row per group.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+    )
+    grams = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(shingles(toks, 2)).alias("g"),
+    ).select("grp", F.md5(F.col("g")).alias("d"))
+    counts = grams.groupBy("grp", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_group = counts.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("v_distinct"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    return per_group.select(
+        F.col("grp").alias(group_col),
+        "n_bigrams",
+        "v_distinct",
+        "f1",
+        "f2",
+        (
+            F.col("v_distinct") * F.lit(1000)
+            + F.expr("f1 * (f1 - 1) * 1000 div (2 * (f2 + 1))")
+        ).cast("long").alias("chao1_milli"),
+    ).orderBy(group_col)

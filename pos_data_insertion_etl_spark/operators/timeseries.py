@@ -259,3 +259,80 @@ def fano_burstiness(
             .alias("fano_ppm"),
         )
     )
+
+
+def permutation_entropy(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Permutation entropy (Bandt-Pompe, embedding m=3) of an ordered
+    series -- the standard model-free complexity gauge for a metric
+    stream: ~0 for monotone/periodic series, ln(6) for white noise.
+    The drift monitors (q239/q254/q259) ask "did the level move?";
+    this asks "did the DYNAMICS change?" -- a complementary panel for
+    corpus-ingest telemetry.
+
+    Each consecutive value triple (x0, x1, x2) is mapped to its
+    ordinal pattern via the three pairwise comparisons c01 = x1 >= x0,
+    c02 = x2 >= x0, c12 = x2 >= x1 (ties rank by time, the Bandt-Pompe
+    convention), coded 4*c01 + 2*c02 + c12 -- 6 of the 8 codes are
+    triangle-consistent, so at most 6 pattern rows come out. Per
+    pattern:
+
+        p_ppm      = (cnt * 1e6) div total          (exact integer)
+        term_micro = round(p * ln(p) * -1e6)        (one IEEE chain)
+        h_micro    = sum(term_micro)                (exact integer)
+
+    Determinism: comparisons and counts are exact; the only floats are
+    the per-pattern p = double(cnt)/total and its p*ln(p) chain,
+    evaluated in one fixed order on identical operands -> the rounded
+    micro terms replay bit-for-bit in any engine.
+
+    Scale: one ordered window (two lags) over the series -- for the
+    daily-grain series this feeds, thousands of rows, one partition by
+    construction; the pattern histogram is <= 6 rows. For per-key
+    fleets, partition the window by key first.
+    """
+    ow = W.orderBy(F.col(order_col))
+    x2 = F.col(value_col)
+    x1 = F.lag(value_col, 1).over(ow)
+    x0 = F.lag(value_col, 2).over(ow)
+    coded = (
+        series.select(
+            (
+                F.when(x1 >= x0, 4).otherwise(0)
+                + F.when(x2 >= x0, 2).otherwise(0)
+                + F.when(x2 >= x1, 1).otherwise(0)
+            ).cast("long").alias("pattern"),
+            x0.alias("_x0"),
+        )
+        .filter(F.col("_x0").isNotNull())
+        .select("pattern")
+    )
+    hist = coded.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    full = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    probs = hist.select(
+        "pattern",
+        "cnt",
+        F.sum("cnt").over(full).cast("long").alias("_total"),
+    ).select(
+        "pattern",
+        "cnt",
+        F.expr("cnt * 1000000 div _total").cast("long").alias("p_ppm"),
+        F.round(
+            (F.col("cnt").cast("double") / F.col("_total").cast("double"))
+            * F.log(
+                F.col("cnt").cast("double") / F.col("_total").cast("double")
+            )
+            * F.lit(-1000000.0)
+        ).cast("long").alias("term_micro"),
+    )
+    return probs.select(
+        "*",
+        F.sum("term_micro").over(full).cast("long").alias("h_micro"),
+    ).orderBy("pattern")

@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops18,
         llm_ops19,
         llm_ops20,
+        llm_ops21,
         media_ops,
         pos_ops,
         relational,

@@ -206,6 +206,12 @@ _NEW_SINCE_R8: frozenset[str] = frozenset(
         "q259_page_hinkley",
         "q260_mann_kendall",
         "q261_cramers_v",
+        # batch R: PII / WOE / complexity / A-B / Chao1 (plans/llm_ops21.py)
+        "q262_pii_scrub",
+        "q263_woe_iv_screen",
+        "q264_permutation_entropy",
+        "q265_ab_ztest",
+        "q266_chao1_richness",
     }
 )
 

@@ -55,6 +55,8 @@ SAMPLE = [
     "q250_heaps_law",                # checkpointed explode + bucket window
     "q251_rbo_rankings",             # global row_number + bounded theta
     "q254_ks_monitor_replay",        # persisted count-store replay
+    "q263_woe_iv_screen",            # global row_number equal-depth bins
+    "q264_permutation_entropy",      # ordered window, two lags
 ]
 
 #: (shuffle partitions, file split bytes) -- deliberately awkward:
