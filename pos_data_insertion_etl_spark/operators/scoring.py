@@ -532,3 +532,83 @@ def woe_iv_bins(
         "*",
         F.sum("iv_term_micro").over(bw).cast("long").alias("iv_micro"),
     ).orderBy("bin")
+
+
+def isotonic_calibrate_bins(
+    bins: DataFrame,
+    bin_col: str = "bin",
+    count_col: str = "cnt",
+    positive_col: str = "pos",
+) -> DataFrame:
+    """Isotonic (PAV) calibration over pre-binned scores: the
+    monotone-nondecreasing step function closest (weighted least
+    squares) to the per-bin positive rates -- what you fit when a
+    quality score ranks well but its raw probabilities wobble
+    (complements q221's calibration ECE, which only MEASURES the
+    wobble).
+
+    Pool-adjacent-violators is sequential, so the distributed form
+    uses the exact min-max identity instead:
+
+        fitted(k) = max_{i<=k} min_{j>=i} mean(pos over bins i..j)
+
+    Over B bins this is B^2 interval means from prefix sums and two
+    bounded min/max reductions -- each mean is ONE IEEE division of
+    exact integer interval sums, and min/max of doubles is
+    order-independent, so the result replays bit-for-bit in any
+    engine (no float is ever summed). fitted_micro = round(* 1e6).
+
+    Scale: the corpus collapses to the B-row bin table BEFORE this
+    operator (the caller aggregates); everything here is B^2 <= 10^4
+    rows of join -- driver-trivial, executor-trivial. The binning
+    aggregation is the only corpus-sized stage.
+    """
+    from pyspark.sql.window import Window as W
+
+    ow = W.orderBy(F.col(bin_col))
+    run = ow.rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = bins.select(
+        F.col(bin_col).alias("b"),
+        F.col(count_col).cast("long").alias("cnt"),
+        F.col(positive_col).cast("long").alias("pos"),
+        F.sum(F.col(count_col).cast("long")).over(run).alias("c_run"),
+        F.sum(F.col(positive_col).cast("long")).over(run).alias("p_run"),
+    ).localCheckpoint(eager=False)
+    # interval means over (i..j): prefix differences via a self-join
+    lo = pre.select(
+        F.col("b").alias("i"),
+        (F.col("c_run") - F.col("cnt")).alias("c_lo"),
+        (F.col("p_run") - F.col("pos")).alias("p_lo"),
+    )
+    hi = pre.select(
+        F.col("b").alias("j"),
+        F.col("c_run").alias("c_hi"),
+        F.col("p_run").alias("p_hi"),
+    )
+    means = (
+        lo.join(hi, F.col("j") >= F.col("i"))
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("p_hi") - F.col("p_lo")).cast("double")
+                / (F.col("c_hi") - F.col("c_lo")).cast("double")
+            ).alias("m"),
+        )
+    )
+    m_i = means.groupBy("i").agg(F.min("m").alias("mmin"))
+    fitted = (
+        pre.select("b", "cnt", "pos")
+        .join(m_i, F.col("b") >= F.col("i"))
+        .groupBy("b", "cnt", "pos")
+        .agg(F.max("mmin").alias("_fit"))
+    )
+    return fitted.select(
+        F.col("b").alias(bin_col),
+        "cnt",
+        "pos",
+        F.expr("pos * 1000000 div cnt").cast("long").alias("rate_ppm"),
+        F.round(F.col("_fit") * F.lit(1000000.0))
+        .cast("long")
+        .alias("fitted_micro"),
+    ).orderBy(bin_col)

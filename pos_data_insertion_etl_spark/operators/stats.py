@@ -1079,3 +1079,216 @@ def two_proportion_ztest(
         "*",
         (F.col("z2_micro") > F.lit(3_841_459)).alias("significant_95"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F-statistic across groups -- "does mean document
+    length differ by source beyond chance?" -- the k-group extension
+    of q265's two-arm test, decomposing total variance into
+    between-group (SSB) and within-group (SSW) parts.
+
+    Engine-portable decomposition: per group, the correction term
+    S_g^2 / n_g is computed as a cast-then-multiply DOUBLE chain over
+    the exact integer sums and rounded to milli units (the q235
+    convention: derived stats may overflow int64 even when each SUM
+    fits; chained IEEE on identical integer operands is
+    bit-deterministic). The rounded milli integers then SUM exactly:
+
+        cg_milli  = round(dbl(S_g) * dbl(S_g) / dbl(n_g) * 1000)
+        ssb_milli = sum(cg_milli) - round(dbl(S)*dbl(S)/dbl(N)*1000)
+        ssw_milli = Q * 1000 - sum(cg_milli)
+        f_micro   = round(dbl(ssb_milli)/(k-1) / (dbl(ssw_milli)/(N-k))
+                          * 1e6)
+
+    Only integer totals cross the final assembly; no reassociated
+    float sum exists anywhere. Overflow contract: Q = sum(x^2) must
+    stay under 2^63 -- with milli-scaled values ~1e7 each that is
+    ~9e11 rows; past it, pre-aggregate or upgrade Q to DECIMAL.
+
+    Scale: one map-side-combined groupBy(group) + a k-row rollup.
+    Output is a single row [k, n_total, ssb_milli, ssw_milli,
+    f_micro].
+    """
+    per = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("_s"),
+        F.sum(
+            F.col(value_col).cast("long") * F.col(value_col).cast("long")
+        ).cast("long").alias("_q"),
+    )
+    cg = F.round(
+        F.col("_s").cast("double")
+        * F.col("_s").cast("double")
+        / F.col("_n").cast("double")
+        * F.lit(1000.0)
+    ).cast("long")
+    tot = per.select("_n", "_s", "_q", cg.alias("_cg")).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n_total"),
+        F.sum("_s").cast("long").alias("_ss"),
+        F.sum("_q").cast("long").alias("_qq"),
+        F.sum("_cg").cast("long").alias("_cb"),
+    )
+    grand = F.round(
+        F.col("_ss").cast("double")
+        * F.col("_ss").cast("double")
+        / F.col("n_total").cast("double")
+        * F.lit(1000.0)
+    ).cast("long")
+    parts = tot.select(
+        "k",
+        "n_total",
+        (F.col("_cb") - grand).cast("long").alias("ssb_milli"),
+        (F.col("_qq") * F.lit(1000) - F.col("_cb"))
+        .cast("long")
+        .alias("ssw_milli"),
+    )
+    return parts.select(
+        "k",
+        "n_total",
+        "ssb_milli",
+        "ssw_milli",
+        F.round(
+            F.col("ssb_milli").cast("double")
+            / F.nullif((F.col("k") - F.lit(1)).cast("double"), F.lit(0.0))
+            / F.nullif(
+                F.col("ssw_milli").cast("double")
+                / (F.col("n_total") - F.col("k")).cast("double"),
+                F.lit(0.0),
+            )
+            * F.lit(1000000.0)
+        ).cast("long").alias("f_micro"),
+    )
+
+
+def wilson_intervals(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z_micro: int = 1_959_964,
+) -> DataFrame:
+    """Per-group Wilson score 95% confidence interval for a binomial
+    proportion -- the interval that behaves at extreme rates and small
+    groups where the naive Wald interval collapses ("is src7's English
+    share really different, or is the group just small?").
+
+    With p = x/n and z the normal quantile (default micro literal
+    1.959964):
+
+        center = (p + z^2/2n) / (1 + z^2/n)
+        half   = z * sqrt(p*(1-p)/n + z^2/(4n^2)) / (1 + z^2/n)
+
+    lo/hi are reported in rounded micro units. Determinism: x and n
+    are exact integers; each bound is ONE fixed-order IEEE chain per
+    row (divisions on identical operands, one sqrt, one round) -- no
+    sums of floats anywhere, so both engines replay bit-for-bit.
+
+    Scale: one map-side-combined groupBy; output is group-domain-sized.
+    """
+    z = F.lit(z_micro).cast("double") / F.lit(1000000.0)
+    per = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("long")).cast("long").alias("x"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("x").cast("double") / nd
+    denom = F.lit(1.0) + z * z / nd
+    center = (p + z * z / (F.lit(2.0) * nd)) / denom
+    half = (
+        z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + z * z / (F.lit(4.0) * nd * nd)
+        )
+        / denom
+    )
+    return per.select(
+        group_col,
+        "n",
+        "x",
+        F.round((center - half) * F.lit(1000000.0))
+        .cast("long")
+        .alias("lo_micro"),
+        F.round((center + half) * F.lit(1000000.0))
+        .cast("long")
+        .alias("hi_micro"),
+    ).orderBy(group_col)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation -- "given a budget
+    of `budget` rows, how many should come from each stratum to
+    minimize the variance of the estimated mean?" The design answer is
+    allocation proportional to N_h * sigma_h (big AND noisy strata get
+    more), the missing design-side companion to the executed samplers
+    (q131/q132/q151).
+
+    Per stratum, from exact integer sums (n, S = sum x, Q = sum x^2):
+
+        w_milli = round(sqrt(dbl(n)*dbl(Q) - dbl(S)*dbl(S)) * 1000)
+
+    (that sqrt is n_h * sigma_h * sqrt(n_h) ... deliberately NOT: it
+    is sqrt(n^2 * var) = n * sigma exactly, since
+    var = (nQ - S^2)/n^2.) The rounded milli weights then SUM exactly,
+    and every allocation is the overflow-safe exact floor share
+
+        alloc = (budget * w_milli) div sum(w_milli)
+
+    -- integer end to end after one IEEE sqrt chain per stratum on
+    identical operands (the q235 cast-then-multiply convention), so no
+    reassociated float ever crosses engines. Floor shares can leave up
+    to k-1 budget rows unassigned; the remainder is reported per row
+    (`left_over`) rather than silently redistributed, keeping the
+    output pure per-stratum arithmetic. Overflow contract:
+    budget * sum(w_milli) < 2^63, i.e. sum over strata of n_h*sigma_h
+    < 9.2e14 / budget; past it, scale w down to whole units.
+
+    Scale: one map-side-combined groupBy(stratum) + stratum-domain
+    windows. Output is stratum-domain-sized.
+    """
+    per = df.groupBy(F.col(stratum_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("_s"),
+        F.sum(
+            F.col(value_col).cast("long") * F.col(value_col).cast("long")
+        ).cast("long").alias("_q"),
+    )
+    w_milli = F.round(
+        F.sqrt(
+            F.col("n").cast("double") * F.col("_q").cast("double")
+            - F.col("_s").cast("double") * F.col("_s").cast("double")
+        )
+        * F.lit(1000.0)
+    ).cast("long")
+    full = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    weighted = per.select(
+        stratum_col,
+        "n",
+        w_milli.alias("w_milli"),
+    ).select(
+        stratum_col,
+        "n",
+        "w_milli",
+        F.sum("w_milli").over(full).cast("long").alias("_wt"),
+    )
+    alloc = F.expr(f"({budget} * w_milli) div _wt").cast("long")
+    return weighted.select(
+        stratum_col,
+        "n",
+        "w_milli",
+        alloc.alias("alloc"),
+        (
+            F.lit(budget) - F.sum(alloc).over(full)
+        ).cast("long").alias("left_over"),
+    ).orderBy(stratum_col)
