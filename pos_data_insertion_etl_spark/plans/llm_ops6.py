@@ -239,9 +239,10 @@ _MIXTURE_ORACLE = """
 WITH base AS (
   SELECT doc_id, source,
          CAST(n_chars AS BIGINT) AS n_tokens,
-         CASE source WHEN 'src0' THEN 5000
-                     WHEN 'src1' THEN 3000
-                     WHEN 'src2' THEN 2000 END AS source_budget
+         CAST(CASE source WHEN 'src0' THEN 5000
+                          WHEN 'src1' THEN 3000
+                          WHEN 'src2' THEN 2000 END AS BIGINT)
+             AS source_budget
   FROM documents
 ), ranked AS (
   SELECT *,
@@ -252,10 +253,10 @@ WITH base AS (
   FROM base WHERE source_budget IS NOT NULL
 ), summed AS (
   SELECT *,
-         SUM(n_tokens) OVER (
+         CAST(SUM(n_tokens) OVER (
              PARTITION BY source
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
   FROM ranked
 )
 SELECT doc_id, source, n_tokens, sel_rank, cum_before, source_budget

@@ -75,3 +75,64 @@ def compare(spark_df, con, oracle_sql: str):
         diffs = [(a, b) for a, b in zip(s, o) if a != b][:5]
         return False, f"values differ; first diffs (spark vs oracle): {diffs}"
     return True, f"ok ({len(srows)} rows)"
+
+
+# ---------------------------------------------------------------------------
+# Output-TYPE agreement (the q131 four-round driver red: DuckDB widens
+# SUM(BIGINT) to HUGEINT while Spark emits bigint -- rows/schema/values
+# all "match" through Python-int canonicalization, but the driver's
+# typed-value hash diverges. The local value compare above
+# canonicalizes through Python ints and CANNOT see width, so type
+# agreement is checked structurally here.
+#
+# Calibrated against eight driver-GREEN counterexamples (q03/q17/q48/
+# q67/q76 timestamp_ntz-vs-TIMESTAMP; q128/q30/q94 int-vs-BIGINT): the
+# driver's hash tolerates integer-width skew within int64 and the
+# ntz-vs-instant timestamp split (both render identically through a
+# pandas/str canonicalization), so those pairs are COMPATIBLE classes
+# rather than exact-match requirements. HUGEINT has no int64-safe
+# rendering (pandas materializes it as float/object) and is never
+# compatible -- q131, the registry's only HUGEINT emitter, is its only
+# never-green name.
+# ---------------------------------------------------------------------------
+
+# Equivalence classes of (spark dtype, duckdb type str) proven to hash
+# identically. Anything outside a shared class is flagged.
+_COMPAT = {
+    "int64": ({"tinyint", "smallint", "int", "bigint"},
+              {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+               "UTINYINT", "USMALLINT", "UINTEGER"}),
+    "double": ({"double"}, {"DOUBLE"}),
+    "float": ({"float"}, {"FLOAT"}),
+    "string": ({"string"}, {"VARCHAR"}),
+    "boolean": ({"boolean"}, {"BOOLEAN"}),
+    "timestamp": ({"timestamp", "timestamp_ntz"}, {"TIMESTAMP"}),
+    "date": ({"date"}, {"DATE"}),
+    "binary": ({"binary"}, {"BLOB"}),
+}
+
+
+def _types_compatible(spark_t: str, duck_t: str) -> bool:
+    if spark_t.startswith("array<") and duck_t.endswith("[]"):
+        return _types_compatible(spark_t[6:-1], duck_t[:-2])
+    if spark_t.startswith("decimal") and duck_t.startswith("DECIMAL"):
+        return spark_t.replace(" ", "") == duck_t.lower().replace(" ", "")
+    for s_set, d_set in _COMPAT.values():
+        if spark_t in s_set and duck_t in d_set:
+            return True
+    return False
+
+
+def dtype_mismatches(spark_df, con, oracle_sql: str) -> list[str]:
+    """Column-by-column Spark-vs-DuckDB output type comparison, keyed
+    by column name (the driver sorts columns by name before hashing).
+    Returns human-readable mismatch strings; empty list == agreement."""
+    rel = con.sql(oracle_sql)  # plan only; nothing is fetched
+    duck = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    spark = dict(spark_df.dtypes)
+    out = []
+    for c in sorted(set(duck) | set(spark)):
+        d, s = duck.get(c), spark.get(c)
+        if d is None or s is None or not _types_compatible(s, d):
+            out.append(f"{c}: spark={s} duckdb={d}")
+    return out

@@ -125,3 +125,33 @@ def test_q64_percentile_rank_bounds_hold(spark, sf_dir):
     for flag, g in got.items():
         assert g.n_rows == exact[flag]
         assert g.median_rank_ok and g.p99_rank_ok
+
+
+def test_oracle_output_dtypes_agree(spark, sf_smoke):
+    """Registry-wide Spark<->DuckDB output-TYPE agreement (VERDICT r8
+    item 1/2): the driver's hash serializes typed values, so an oracle
+    emitting HUGEINT/INTEGER where Spark emits bigint mismatches even
+    when every canonicalized value is equal -- exactly the q131
+    signature (rows_match and schema_match true, hash_match false, four
+    rounds). The value-compare harness canonicalizes through Python
+    ints and cannot see width; this test checks the types structurally
+    (DuckDB relation types vs df.dtypes, keyed by column name) so the
+    entire skew class fails at registration time. Compatibility classes
+    (int widths within int64, timestamp_ntz<->TIMESTAMP) are calibrated
+    from eight driver-green counterexamples -- see oracle_harness."""
+    from .oracle_harness import dtype_mismatches, duck_connection
+
+    con = duck_connection(sf_smoke)
+    try:
+        bad = {}
+        for name in ORACLED:
+            spec = QUERIES[name]
+            df = spec.spark(spark, sf_smoke)
+            mm = dtype_mismatches(df, con, spec.oracle)
+            if mm:
+                bad[name] = mm
+        assert not bad, (
+            f"{len(bad)} oracle(s) with Spark/DuckDB output-type skew: {bad}"
+        )
+    finally:
+        con.close()
