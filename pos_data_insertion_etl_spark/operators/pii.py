@@ -25,11 +25,15 @@ semantics). With literal classes and space-separated match sites, Java
 regex (Spark) and RE2 (DuckDB) find identical non-overlapping match
 sets, so counts and redacted lengths replay bit-for-bit.
 
-Redaction order is fixed (email, then phone, then IP) and the three
-patterns are mutually exclusive on any input (emails contain no
-dashed-digit triples; phones contain no dots; IPs contain no `@`), so
-the composition is order-insensitive in value but the fixed order
-keeps the plan shape canonical.
+Redaction order is fixed (email, then phone, then IP). The three
+counts are computed INDEPENDENTLY on the raw text and may overlap on
+adversarial inputs (an email local part may itself contain a dashed
+digit triple, e.g. `a-555-123-4567@x.com`, which PHONE_RE matches
+inside the span EMAIL_RE redacts first) -- so `n_phone`/`n_ip` can
+exceed what `red_len` reflects. The oracle mirrors the same
+raw-text counting, so the contract is cross-engine exact either way;
+on the registered fixture the match sites are space-separated and
+genuinely disjoint.
 """
 
 from __future__ import annotations

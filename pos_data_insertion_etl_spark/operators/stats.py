@@ -98,6 +98,12 @@ def ks_from_value_counts(per_value: DataFrame) -> DataFrame:
             # Divide-first above 1e6: d_num * 1e6 would re-overflow at
             # ~3e6 rows per side, three decades under the n_a*n_b
             # bound the d_num form itself honors (q256/q225 pattern).
+            # Precision caveat: the truncated denominator makes this
+            # branch approximate just above the threshold -- relative
+            # error up to 1e6/(n_a*n_b), i.e. ~2x at n_a*n_b ~ 2e6,
+            # shrinking hyperbolically (0.1% by n_a*n_b = 1e9). It is
+            # oracle-mirrored, so cross-engine exactness still holds;
+            # the exact `d` double column is the precision reference.
             F.expr(
                 "CASE WHEN n_a * n_b >= 1000000"
                 " THEN d_num div ((n_a * n_b) div 1000000)"
@@ -1105,9 +1111,11 @@ def anova_oneway(
                           * 1e6)
 
     Only integer totals cross the final assembly; no reassociated
-    float sum exists anywhere. Overflow contract: Q = sum(x^2) must
-    stay under 2^63 -- with milli-scaled values ~1e7 each that is
-    ~9e11 rows; past it, pre-aggregate or upgrade Q to DECIMAL.
+    float sum exists anywhere. Overflow contract: the binding term is
+    `Q * 1000` (ssw_milli), so Q = sum(x^2) must stay under
+    2^63 / 1000 ~= 9.2e15 -- with values ~1e4 each (x^2 ~ 1e8) that
+    is ~9.2e7 rows, and at x ~ 1e7 only ~92 rows; past it,
+    pre-scale the value column down or upgrade Q to DECIMAL.
 
     Scale: one map-side-combined groupBy(group) + a k-row rollup.
     Output is a single row [k, n_total, ssb_milli, ssw_milli,

@@ -559,8 +559,9 @@ def chao1_richness(
     non-empty filter (the engine-version-safe form; `\\s+` is not --
     the q131 lesson), so counts are exact integers end to end; no
     floats anywhere. Overflow contract: f1*(f1-1)*1000 < 2^63 =>
-    f1 < ~3.0e9 distinct singleton bigrams per group, far beyond any
-    real shard's pair vocabulary.
+    f1 < ~9.6e7 distinct singleton bigrams per group (sqrt(9.2e15),
+    the 1000 factor included), still beyond any real shard's pair
+    vocabulary; past it, drop the milli scaling or go DECIMAL.
 
     Scale: explode to (group, gram) -- grams shuffle as md5 digests
     (q154 convention, raw text never a shuffle key) -- one

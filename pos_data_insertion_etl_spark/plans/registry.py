@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops19,
         llm_ops20,
         llm_ops21,
+        llm_ops22,
         media_ops,
         pos_ops,
         relational,

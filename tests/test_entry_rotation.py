@@ -215,6 +215,22 @@ _NEW_SINCE_R8: frozenset[str] = frozenset(
     }
 )
 
+#: Round-9 registrations (keep in sync as batches land).
+_NEW_SINCE_R9: frozenset[str] = frozenset(
+    {
+        # batch S: q131 control twin + the six round-8 snapshot
+        # operators, registered with oracles per VERDICT r8 items 1/3
+        # (plans/llm_ops22.py)
+        "q267_mixture_budget_v2",
+        "q268_kaplan_meier",
+        "q269_anova_source_length",
+        "q270_wilson_en_share",
+        "q271_neyman_allocation",
+        "q272_clustering_coefficient",
+        "q273_isotonic_calibration",
+    }
+)
+
 #: Every post-r4 bookkeeping set, for the reconstruction filters and
 #: the registration meta-test. ADD NEW ROUNDS HERE.
 _ALL_NEW_SINCE: dict[str, frozenset[str]] = {
@@ -223,6 +239,7 @@ _ALL_NEW_SINCE: dict[str, frozenset[str]] = {
     "_NEW_SINCE_R6": _NEW_SINCE_R6,
     "_NEW_SINCE_R7": _NEW_SINCE_R7,
     "_NEW_SINCE_R8": _NEW_SINCE_R8,
+    "_NEW_SINCE_R9": _NEW_SINCE_R9,
 }
 
 #: The round-4 registry was exactly q01..q123 -- a closed historical
