@@ -320,10 +320,17 @@ def main() -> None:
         "printed_line_bytes": len(line),
     }
     here = os.path.dirname(os.path.abspath(__file__))
+    # Round label (VERDICT r8 item 3 correction): derive from BENCH_r*
+    # files, NOT CORRECTNESS_r* -- the driver writes CORRECTNESS before
+    # it benches, so a CORRECTNESS-derived label runs one round ahead
+    # (the committed BENCH_DETAIL_r09.json actually holds the round-8
+    # driver bench; see PLANS.md provenance note). The driver records
+    # its parsed bench as BENCH_r{N}.json AFTER this process exits, so
+    # max(BENCH_r*)+1 is exactly the round this run belongs to.
     rounds = [
         int(m.group(1))
         for f in os.listdir(here)
-        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
     ]
     nxt = (max(rounds) + 1) if rounds else 1
     # Provenance naming (VERDICT r7 item 6): the driver's own run owns
