@@ -1,0 +1,126 @@
+"""Round-9 batch T: new PLAN SHAPES (VERDICT r8 item 6 -- "keep
+filling genuinely new operator shapes rather than more scalar
+panels").
+
+* q274 -- the curation funnel as a STREAMED ingest with per-batch
+  replay certification: three id-ordered micro-batches run Gopher
+  gate -> cross-batch exact dedup through the real persist path
+  (streaming/jobs.curation_ingest_batch: batch-keyed idempotent
+  funnel + corpus writes, digest rename-aside swap), batch 1 driven
+  TWICE. The report is the per-batch funnel [batch, n_raw, n_gated,
+  n_kept]; the DuckDB oracle replays gate + arrival-order keep-first
+  over the batch ranges, so a double-count, a lost swap, or a
+  replay-unstable funnel write all break the hash. The gate CTE chain
+  is shared VERBATIM with q144's composed oracle
+  (plans/llm_ops6._GATE_CTES), so the streamed and batch forms are
+  certified against the same gate semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .llm_ops6 import _GATE_CTES
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q274: streamed curation funnel with replay certification
+# ---------------------------------------------------------------------------
+
+_STREAM_CURATION_ORACLE = (
+    "WITH "
+    + _GATE_CTES
+    + """, n AS (SELECT COUNT(*) AS n FROM documents),
+b AS (
+  SELECT d.doc_id, d.text,
+         CAST(CASE WHEN d.doc_id < n.n // 3 THEN 0
+                   WHEN d.doc_id < 2 * (n.n // 3) THEN 1
+                   ELSE 2 END AS BIGINT) AS batch
+  FROM documents d CROSS JOIN n
+), gated AS (
+  SELECT b.batch, b.doc_id, b.text FROM b JOIN s1 USING (doc_id)
+), keep AS (
+  SELECT batch,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+             AS rn
+  FROM gated
+), raw AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_raw FROM b GROUP BY batch
+), g AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_gated
+  FROM gated GROUP BY batch
+), k AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM keep WHERE rn = 1 GROUP BY batch
+)
+SELECT r.batch, r.n_raw,
+       CAST(COALESCE(g.n_gated, 0) AS BIGINT) AS n_gated,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM raw r LEFT JOIN g USING (batch) LEFT JOIN k USING (batch)
+"""
+)
+
+
+@query(
+    "q274_streamed_curation_replay",
+    oracle=_STREAM_CURATION_ORACLE,
+    tags=("streaming", "curation", "e2e", "exactly-once"),
+)
+def q274_streamed_curation_replay(spark, sf_dir):
+    """The curation funnel's first two stages as a streamed ingest with
+    exactly-once accounting (streaming/jobs.curation_ingest_batch over
+    the q199 persist path): documents replay in three id-ordered
+    micro-batches -- gate, then cross-batch exact dedup against the
+    carried digest table -- with batch 1 deliberately driven twice.
+    Per-batch raw/gated counts are replay-stable content functions
+    written to batch-keyed directories; kept-new counts are derived
+    from the exactly-once corpus store (a batch-time novel count would
+    replay as zero). The oracle replays gate + arrival-order keep-first
+    (id-ordered batches make the global min-id keeper exactly the
+    arrival-order keeper) over the same batch ranges."""
+    import os
+    import shutil
+
+    from ..streaming.jobs import curation_ingest_batch
+    from .llm_ops9 import _monitor_dir
+
+    out_dir = _monitor_dir(sf_dir, "curation_ingest")
+    shutil.rmtree(out_dir, ignore_errors=True)  # fresh state per run
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    s1, s2 = n // 3, 2 * (n // 3)
+    batches = [
+        (0, docs.filter(F.col("doc_id") < s1)),
+        (1, docs.filter((F.col("doc_id") >= s1) & (F.col("doc_id") < s2))),
+        (1, docs.filter((F.col("doc_id") >= s1) & (F.col("doc_id") < s2))),
+        (2, docs.filter(F.col("doc_id") >= s2)),
+    ]
+    for bid, b in batches:
+        curation_ingest_batch(
+            b,
+            bid,
+            out_dir,
+            min_words=10,
+            stopwords=("the", "a"),
+            min_stopword_hits=1,
+        )
+    funnel = spark.read.parquet(os.path.join(out_dir, "funnel"))
+    corpus = spark.read.parquet(os.path.join(out_dir, "corpus"))
+    kept = corpus.groupBy(
+        F.col("batch").cast("long").alias("batch")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    return (
+        funnel.select(
+            F.col("batch").cast("long").alias("batch"),
+            "n_raw",
+            "n_gated",
+        )
+        .join(kept, "batch", "left")
+        .select(
+            "batch",
+            "n_raw",
+            "n_gated",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -1167,8 +1167,12 @@ def q143_lsh_multiprobe(spark, sf_dir):
 # minhash/band/verify/transitive-closure replica run over the
 # stage-3 survivors). The registry therefore has ZERO rows-only
 # entries: 163/163 oracle-checked.
-_FUNNEL_ORACLE = r"""
-WITH RECURSIVE gbase AS (
+# Gopher-gate CTE chain (gbase -> gprobe -> gm -> s1), shared verbatim
+# with q274's streamed-curation oracle (plans/llm_ops23.py): s1 is the
+# gated (doc_id, text) set. Extracted from _FUNNEL_ORACLE without
+# changing a byte of the composed SQL (tests/test_oracle_queries.py
+# pins q144's value hash either way).
+_GATE_CTES = r"""gbase AS (
   SELECT doc_id, text,
          regexp_replace(text, '^\s+|\s+$', '', 'g') AS t,
          string_split_regex(
@@ -1211,7 +1215,9 @@ WITH RECURSIVE gbase AS (
     AND COALESCE(CASE WHEN n_words > 0 THEN
           ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) END >= 0.8, FALSE)
     AND COALESCE(stop_hits >= 1, FALSE)
-), ltoks AS (
+)"""
+
+_FUNNEL_ORACLE = "\nWITH RECURSIVE " + _GATE_CTES + r""", ltoks AS (
   SELECT doc_id,
          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
   FROM s1 WHERE trim(text) != ''

@@ -73,6 +73,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops20,
         llm_ops21,
         llm_ops22,
+        llm_ops23,
         media_ops,
         pos_ops,
         relational,

@@ -663,6 +663,56 @@ def _fs_delete(spark: SparkSession, path: str) -> None:
     fs.delete(P(path), True)
 
 
+def curation_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **gate_kwargs,
+) -> None:
+    """One micro-batch of the STREAMED curation funnel: Gopher gate ->
+    cross-batch exact dedup ingest, with an idempotent per-batch funnel
+    record -- the incremental form of pipeline/curation.curate_corpus's
+    first two funnel stages (the per-batch analog a `foreachBatch`
+    availableNow stream would drive; exposed module-level so replay
+    tests can re-drive individual batches, the dedup_ingest_batch
+    pattern).
+
+    Exactly-once accounting under at-least-once delivery:
+
+    * `funnel/batch=<id>` holds (n_raw, n_gated) -- pure functions of
+      the batch CONTENT, so a replay overwrite rewrites identical
+      values (never incremented state).
+    * kept-new counts are NOT recorded here: a replayed batch computes
+      zero novels (its digests are already in the table), so any
+      batch-time "novel count" write would be replay-UNSTABLE. Readers
+      derive kept counts from the corpus store itself
+      (`corpus/batch=<id>` row counts), which dedup_ingest_batch keeps
+      exactly-once by construction.
+
+    Scale: the gate is expression-only row-local work on the
+    incoming batch; the dedup anti-join ships 32-byte digests, never
+    text. The gated frame is checkpointed once because three consumers
+    read it (two counts + the ingest)."""
+    import os
+
+    from ..operators.quality import gopher_quality_flags
+
+    spark = batch.sparkSession
+    flags = gopher_quality_flags(batch, text_col, id_col, **gate_kwargs)
+    gated = batch.join(
+        flags.filter(F.col("gopher_pass")).select(id_col), id_col
+    ).localCheckpoint(eager=True)
+    n_raw, n_gated = batch.count(), gated.count()
+    spark.createDataFrame(
+        [(int(n_raw), int(n_gated))], "n_raw long, n_gated long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "funnel", f"batch={batch_id}")
+    )
+    dedup_ingest_batch(gated, batch_id, out_dir, text_col, id_col)
+
+
 def quantile_monitor_stream(
     values_stream: DataFrame,
     out_dir: str,

@@ -1,0 +1,82 @@
+"""streaming/jobs.curation_ingest_batch -- the streamed curation
+funnel's per-batch unit (q274): gate-then-dedup with exactly-once
+funnel accounting under at-least-once replay."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pos_data_insertion_etl_spark.streaming.jobs import (
+    curation_ingest_batch,
+)
+
+#: Ten+ words with stopword hits so the Gopher gate passes; short junk
+#: rows fail the min_words=10 rule.
+_GOOD = "the quick brown fox jumps over a lazy dog repeatedly today"
+_JUNK = "tiny"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _read_report(spark, out):
+    funnel = spark.read.parquet(os.path.join(out, "funnel"))
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    kept = {
+        r.batch: r.n
+        for r in corpus.groupBy("batch").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        int(r.batch): (r.n_raw, r.n_gated, kept.get(r.batch, 0))
+        for r in funnel.collect()
+    }, sorted(map(tuple, corpus.select("doc_id").collect()))
+
+
+def test_curation_ingest_gate_dedup_and_replay(spark):
+    out = tempfile.mkdtemp(prefix="graft_cur_test_")
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        b0 = _docs(spark, [(0, _GOOD), (1, _JUNK), (2, _GOOD + " x")])
+        b1 = _docs(spark, [(3, _GOOD), (4, _GOOD + " y"), (5, _JUNK)])
+        kw = dict(min_words=10, stopwords=("the", "a"), min_stopword_hits=1)
+        curation_ingest_batch(b0, 0, out, **kw)
+        curation_ingest_batch(b1, 1, out, **kw)
+        report, ids = _read_report(spark, out)
+        # batch 0: 3 raw, 2 gated (junk fails), both novel
+        assert report[0] == (3, 2, 2)
+        # batch 1: doc 3 duplicates doc 0's text -> only doc 4 is new
+        assert report[1] == (3, 2, 1)
+        assert ids == [(0,), (2,), (4,)]
+
+        # REPLAY batch 1: funnel rewrites identical values, corpus and
+        # digest state unchanged -- exactly-once table state.
+        curation_ingest_batch(b1, 1, out, **kw)
+        report2, ids2 = _read_report(spark, out)
+        assert report2 == report and ids2 == ids
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_curation_ingest_all_gated_out_still_records_funnel(spark):
+    """A batch whose documents all fail the gate must still land its
+    funnel row (raw counted, gated 0) and leave no corpus directory."""
+    out = tempfile.mkdtemp(prefix="graft_cur_test_")
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        kw = dict(min_words=10, stopwords=("the", "a"), min_stopword_hits=1)
+        curation_ingest_batch(
+            _docs(spark, [(0, _GOOD)]), 0, out, **kw
+        )
+        curation_ingest_batch(
+            _docs(spark, [(1, _JUNK), (2, _JUNK + " two")]), 1, out, **kw
+        )
+        report, ids = _read_report(spark, out)
+        assert report[1] == (2, 0, 0)
+        assert ids == [(0,)]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -228,6 +228,8 @@ _NEW_SINCE_R9: frozenset[str] = frozenset(
         "q271_neyman_allocation",
         "q272_clustering_coefficient",
         "q273_isotonic_calibration",
+        # batch T: new plan shapes (plans/llm_ops23.py)
+        "q274_streamed_curation_replay",
     }
 )
 
