@@ -14,6 +14,13 @@ panels").
   is shared VERBATIM with q144's composed oracle
   (plans/llm_ops6._GATE_CTES), so the streamed and batch forms are
   certified against the same gate semantics.
+* q275 -- bucketed-storage join elision on the mart tables: orders and
+  customer are persisted bucketed-and-sorted on custkey
+  (operators/bucketing.write_bucketed), then joined AND aggregated
+  with ZERO Exchange nodes -- the pay-the-shuffle-once-at-write-time
+  pattern for 100 TB fact-dim pipelines. The query RAISES if any
+  Exchange appears in the physical plan, so the driver row certifies
+  the plan shape as well as the values.
 """
 
 from __future__ import annotations
@@ -21,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ._helpers import dec
 from .llm_ops6 import _GATE_CTES
 from .registry import query
 
@@ -124,3 +132,70 @@ def q274_streamed_curation_replay(spark, sf_dir):
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q275: bucketed mart join -- shuffle elision certified by the driver
+# ---------------------------------------------------------------------------
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o_custkey AS custkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_spend
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "q275_bucketed_mart_join",
+    oracle=_BUCKETED_JOIN_ORACLE,
+    tags=("join", "bucketing", "scale", "marts"),
+)
+def q275_bucketed_mart_join(spark, sf_dir):
+    """Per-customer order rollup over BUCKETED storage: orders and
+    customer persist bucketed-and-sorted on custkey (8 buckets,
+    operators/bucketing.write_bucketed -- the shuffle is paid once at
+    write time), then the merge-hinted join AND both aggregate phases
+    run on the bucket partitioning with ZERO Exchange nodes. The
+    function raises if any Exchange appears, so the driver's green row
+    certifies the plan shape, not just the values. At 100 TB this is
+    the daily fact-dim pattern: co-located storage turns every repeat
+    join/rollup on the bucket key into a scan-only stage. The result
+    is materialized (localCheckpoint) before the temp tables drop, so
+    no catalog or warehouse state outlives the call."""
+    import hashlib
+
+    from ..operators.bucketing import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_o, t_c = f"b9_orders_{tag}", f"b9_cust_{tag}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    write_bucketed(orders, t_o, ["o_custkey"], n_buckets=8)
+    write_bucketed(cust, t_c, ["o_custkey"], n_buckets=8)
+    try:
+        joined = spark.table(t_o).hint("merge").join(
+            spark.table(t_c), "o_custkey"
+        )
+        result = joined.groupBy(
+            F.col("o_custkey").alias("custkey"), "c_mktsegment"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_spend"),
+        )
+        plan = result._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed mart join planned a shuffle -- bucket "
+                f"co-location regressed:\n{plan}"
+            )
+        return result.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")

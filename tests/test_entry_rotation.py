@@ -230,6 +230,7 @@ _NEW_SINCE_R9: frozenset[str] = frozenset(
         "q273_isotonic_calibration",
         # batch T: new plan shapes (plans/llm_ops23.py)
         "q274_streamed_curation_replay",
+        "q275_bucketed_mart_join",
     }
 )
 
