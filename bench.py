@@ -106,6 +106,11 @@ HEADLINE = [
     "q232_ks_two_sample",
     "q237_rfm_segments",
     "q246_vocab_stats",
+    # round 9 additions: the streamed curation ingest (gate + dedup
+    # through the batch-keyed persist path, batch 1 replayed) and the
+    # bucketed mart join (write-time shuffle, zero-Exchange join+agg)
+    "q274_streamed_curation_replay",
+    "q275_bucketed_mart_join",
 ]
 
 
