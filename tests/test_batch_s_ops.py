@@ -24,6 +24,31 @@ from pos_data_insertion_etl_spark.operators.stats import (
 )
 from pos_data_insertion_etl_spark.operators.survival import kaplan_meier
 
+# ------------------------------------------------ q267 control twin
+
+
+def test_mixture_twin_is_exact_control():
+    """q267's whole point is A/B isolation of name-keyed driver state:
+    it must stay byte-identical to q131 in oracle SQL and share the
+    same underlying callable semantics (same module function chain).
+    If either drifts, the twin experiment stops being a control."""
+    from pos_data_insertion_etl_spark.plans import all_queries
+
+    qs = all_queries()
+    q131, q267 = qs["q131_mixture_budget_sample"], qs["q267_mixture_budget_v2"]
+    assert q131.oracle == q267.oracle
+    import inspect
+
+    # Both bodies call budgeted_mixture_sample with identical args.
+    b131, b267 = inspect.getsource(q131.spark), inspect.getsource(q267.spark)
+    for frag in (
+        'budgeted_mixture_sample',
+        '{"src0": 0.5, "src1": 0.3, "src2": 0.2}',
+        "total_tokens=10_000",
+        'size_col="n_chars"',
+    ):
+        assert frag in b131 and frag in b267, frag
+
 # -------------------------------------------------- q268 Kaplan-Meier
 
 
