@@ -106,10 +106,13 @@ HEADLINE = [
     "q232_ks_two_sample",
     "q237_rfm_segments",
     "q246_vocab_stats",
-    # round 9 additions: the streamed curation ingest (gate + dedup
-    # through the batch-keyed persist path, batch 1 replayed) and the
-    # bucketed mart join (write-time shuffle, zero-Exchange join+agg)
-    "q274_streamed_curation_replay",
+    # round 9 addition: the bucketed mart join (write-time shuffle,
+    # zero-Exchange join+agg). q274 (streamed curation replay) is
+    # deliberately NOT headline: SCALING_r09a measured it ~25 s FLAT
+    # across sf0.001/0.01/0.1 -- pure fixed multi-action replay
+    # overhead (4 batch drives x ~12 jobs), which would add a third to
+    # the suite's wall-clock while measuring nothing scale-dependent.
+    # It stays fully certified through the correctness gate.
     "q275_bucketed_mart_join",
 ]
 
