@@ -1290,7 +1290,10 @@ def neyman_allocation(
         "w_milli",
         F.sum("w_milli").over(full).cast("long").alias("_wt"),
     )
-    alloc = F.expr(f"({budget} * w_milli) div _wt").cast("long")
+    # nullif guard: all-constant strata give _wt = 0 -- Spark ANSI
+    # errors on integer div-by-zero where DuckDB // returns NULL, so
+    # both sides must take the NULL path explicitly.
+    alloc = F.expr(f"({budget} * w_milli) div nullif(_wt, 0)").cast("long")
     return weighted.select(
         stratum_col,
         "n",

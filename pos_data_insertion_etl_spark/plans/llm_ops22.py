@@ -298,7 +298,8 @@ WITH per AS (
   SELECT *, CAST(SUM(w_milli) OVER () AS BIGINT) AS wt FROM w
 ), a AS (
   SELECT source, n, w_milli,
-         CAST(({_NEYMAN_BUDGET} * w_milli) // wt AS BIGINT) AS alloc
+         CAST(({_NEYMAN_BUDGET} * w_milli) // nullif(wt, 0) AS BIGINT)
+             AS alloc
   FROM t
 )
 SELECT source, n, w_milli, alloc,

@@ -216,6 +216,17 @@ def test_neyman_allocation_exact_shares(spark):
     assert got["hi"].alloc > 8 * got["lo"].alloc
 
 
+def test_neyman_all_constant_strata_null_alloc(spark):
+    """Every stratum constant -> total weight 0: allocations must take
+    the NULL path in BOTH engines (Spark ANSI would error on div 0;
+    DuckDB // returns NULL -- the nullif guard aligns them)."""
+    rows = [("a", 5)] * 10 + [("b", 7)] * 10
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r.g: r for r in neyman_allocation(df, "g", "x", budget=100).collect()}
+    assert all(r.w_milli == 0 for r in got.values())
+    assert all(r.alloc is None for r in got.values())
+
+
 def test_neyman_constant_stratum_gets_zero(spark):
     """sigma = 0 -> weight 0 -> no budget, regardless of size."""
     rows = [("const", 7)] * 100 + [("vary", 1), ("vary", 9)] * 10

@@ -122,6 +122,9 @@ ALLOWED_BNLJ = {
     "q260_mann_kendall": "days x days pair join, series-sized sides",
     # r x c category cross (marginal tables) + 1-row totals broadcast
     "q261_cramers_v": "category-cross + 1-row totals broadcasts",
+    # bounded B^2 interval-means theta-joins (j >= i, b >= i) over the
+    # <= 10-row bin prefix table -- the isotonic max-min identity
+    "q273_isotonic_calibration": "B x B interval theta-joins, B <= 10",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at
