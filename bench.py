@@ -114,6 +114,15 @@ HEADLINE = [
     # the suite's wall-clock while measuring nothing scale-dependent.
     # It stays fully certified through the correctness gate.
     "q275_bucketed_mart_join",
+    # round 9 batch U: the two shuffle-strategy rewrites whose cost IS
+    # the data path -- the salted skew join (events x replicated dim on
+    # (key, salt)) and the Bloom semi-join prefilter (distributed
+    # filter build + expression prefilter + broadcast verify). q276
+    # (partition pruning) is NOT headline for the same reason as q274:
+    # its wall-clock is the 80-directory temp partitioned WRITE of
+    # orders (fixture build), not the pruned read being certified.
+    "q277_salted_skew_join",
+    "q278_bloom_semijoin_prefilter",
 ]
 
 

@@ -101,3 +101,51 @@ def join_skew_report(
             "total_rows",
         )
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Skew-safe equi join: salt the BIG side, replicate the SMALL side.
+
+    When the join key is heavily skewed (a handful of values owning most
+    rows) and the small side is too large -- or contractually forbidden --
+    to broadcast, a plain shuffle join lands every hot key in one task.
+    Salting splits each hot key across ``n_salts`` shuffle partitions:
+
+    * big side gains ``_salt = pmod(salt_source, n_salts)`` -- a pure
+      projection, no extra pass;
+    * small side is exploded once per salt value (an ``n_salts``-way
+      row multiply of the SMALL side only);
+    * the join runs on ``(key, _salt)``, so a key that owned 1/k of the
+      data now spreads over ``n_salts`` tasks.
+
+    Result is row-identical to the plain join (every big row meets its
+    small match exactly once, at its own salt). ``salt_source`` must be
+    a deterministic per-row column (e.g. a unique id); it defaults to
+    ``spark_partition_id()`` which is fast but not stable across runs --
+    fine for the values (identical either way), not for debugging.
+
+    At 100 TB: the small side's replication cost is n_salts * |small|
+    rows shuffled -- choose n_salts ~ (hot-key rows / target task rows),
+    not larger. AQE's skew-join handles sort-merge cases adaptively;
+    this operator is the explicit form that also covers hash joins and
+    pre-AQE plan pinning.
+    """
+    salt = (
+        F.pmod(salt_source, F.lit(n_salts))
+        if salt_source is not None
+        else F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    ).cast("int")
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt",
+        F.explode(
+            F.array(*[F.lit(i).cast("int") for i in range(n_salts)])
+        ),
+    )
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")

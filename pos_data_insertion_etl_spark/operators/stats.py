@@ -1303,3 +1303,70 @@ def neyman_allocation(
             F.lit(budget) - F.sum(alloc).over(full)
         ).cast("long").alias("left_over"),
     ).orderBy(stratum_col)
+
+
+def theil_sen_slope(
+    series: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Theil-Sen robust trend estimator: the median of all pairwise
+    slopes (y_j - y_i) / (x_j - x_i) over x_i < x_j -- up to 29%
+    contamination leaves it unmoved, where the q235 OLS slope chases a
+    single outlier day.
+
+    ``series`` is an already-aggregated (x, y) table with BIGINT
+    columns and UNIQUE x (one row per day/month/bucket). Slopes are
+    exact fixed-point BIGINTs: ``slope_fp = ((y_j - y_i) * scale) div
+    (x_j - x_i)`` -- truncation toward zero on BOTH engines (verified:
+    DuckDB // and Spark div agree on negatives), so the median is an
+    engine-independent integer. The median is the LOWER median (rank
+    ceil(n/2) of a totally ordered list -- slope, then x_i, then x_j),
+    deterministic for even pair counts where the two middle values
+    differ.
+
+    Shape at 100 TB: the pair join is a theta join over the COLLAPSED
+    series table -- bounded by the x-domain squared (a 7-year daily
+    series is ~2400 rows -> ~2.9M pairs; months -> 3k pairs), never by
+    raw data. The raw corpus collapses in the caller's first groupBy;
+    this never sees it. Overflow: |y_j - y_i| * scale < 2^63.
+
+    Returns ONE row: [n_points, n_pairs, slope_fp, slope] where
+    ``slope = slope_fp / scale`` as a derived double.
+    """
+    a = series.select(
+        F.col(x_col).cast("long").alias("x1"),
+        F.col(y_col).cast("long").alias("y1"),
+    )
+    b = series.select(
+        F.col(x_col).cast("long").alias("x2"),
+        F.col(y_col).cast("long").alias("y2"),
+    )
+    pairs = a.join(b, F.col("x2") > F.col("x1")).select(
+        "x1",
+        "x2",
+        F.expr(f"((y2 - y1) * {scale}) div (x2 - x1)")
+        .cast("long")
+        .alias("slope_fp"),
+    )
+    w_rank = W.orderBy("slope_fp", "x1", "x2")
+    full = W.partitionBy()
+    ranked = pairs.select(
+        "slope_fp",
+        F.row_number().over(w_rank).cast("long").alias("_rk"),
+        F.count(F.lit(1)).over(full).cast("long").alias("n_pairs"),
+    )
+    n_points = series.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        ranked.filter(F.col("_rk") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "n_pairs",
+            F.col("slope_fp"),
+            (F.col("slope_fp").cast("double") / F.lit(float(scale))).alias(
+                "slope"
+            ),
+        )
+        .crossJoin(F.broadcast(n_points))
+        .select("n_points", "n_pairs", "slope_fp", "slope")
+    )

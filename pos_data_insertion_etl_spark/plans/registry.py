@@ -74,6 +74,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops21,
         llm_ops22,
         llm_ops23,
+        llm_ops24,
         media_ops,
         pos_ops,
         relational,

@@ -231,6 +231,14 @@ _NEW_SINCE_R9: frozenset[str] = frozenset(
         # batch T: new plan shapes (plans/llm_ops23.py)
         "q274_streamed_curation_replay",
         "q275_bucketed_mart_join",
+        # batch U: storage/shuffle strategy certifications + two new
+        # estimator shapes (plans/llm_ops24.py)
+        "q276_partition_pruned_mart",
+        "q277_salted_skew_join",
+        "q278_bloom_semijoin_prefilter",
+        "q279_largest_remainder",
+        "q280_theil_sen_slope",
+        "q281_phrase_match",
     }
 )
 

@@ -125,6 +125,9 @@ ALLOWED_BNLJ = {
     # bounded B^2 interval-means theta-joins (j >= i, b >= i) over the
     # <= 10-row bin prefix table -- the isotonic max-min identity
     "q273_isotonic_calibration": "B x B interval theta-joins, B <= 10",
+    # months x months pair join over the collapsed series (80 rows at
+    # every sf -- the q260 Mann-Kendall shape carrying an estimator)
+    "q280_theil_sen_slope": "month x month pair join, series-sized sides",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at
