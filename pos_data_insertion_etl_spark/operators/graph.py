@@ -825,3 +825,89 @@ def local_clustering_coefficient(
         )
         .orderBy("node")
     )
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+) -> DataFrame:
+    """K-round Bellman-Ford: multi-source WEIGHTED shortest distances
+    restricted to paths of at most ``rounds`` edges -- the weighted
+    sibling of :func:`bfs_distances` (min-plus relaxation instead of
+    min(dist+1)).
+
+    The K-hop bound is part of the CONTRACT, not an approximation
+    knob: "cheapest cost reachable within K edges" is a well-defined
+    quantity both engines replay exactly (an unrolled-CTE oracle runs
+    the same K relaxations), with no convergence test whose iteration
+    count could differ by engine. Callers wanting the true SSSP set
+    ``rounds`` >= the graph's weighted-path hop diameter.
+
+    Exact integer arithmetic throughout: weights are BIGINT >= 1 (a
+    zero or negative weight would break the bounded-path monotonicity
+    argument and is the caller's bug). Per round: ONE contribution
+    shuffle (edges join dist on src, min(dist + w) per dst) and a
+    keyed min merge; lineage cut per round. At 100 TB this is the
+    q141/q212 loop shape -- per-round cost is an equi-join plus a
+    map-side-combinable groupBy, rounds small and fixed.
+
+    ``edges``: [src, dst, w]; direct both ways upstream if undirected.
+    ``seeds``: one column of node ids. Unreached -> dist -1.
+    """
+    sym = (
+        edges.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("w").cast("long"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_nodes = seeds.select(
+        F.col(seeds.columns[0]).cast("long").alias("node")
+    ).distinct()
+    dist = nodes.join(
+        seed_nodes.withColumn("_seed", F.lit(True)), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("_seed"), F.lit(0))
+        .otherwise(F.lit(BFS_UNREACHED))
+        .cast("long")
+        .alias("dist"),
+    )
+    for _ in range(rounds):
+        relaxed = (
+            sym.join(
+                dist.select(F.col("node").alias("src"), "dist"), "src"
+            )
+            .filter(F.col("dist") < BFS_UNREACHED)  # no relax off sentinel
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("md"))
+        )
+        dist = (
+            dist.join(relaxed, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"),
+                    F.coalesce("md", F.lit(BFS_UNREACHED)),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        "node",
+        F.when(F.col("dist") >= BFS_UNREACHED, F.lit(-1))
+        .otherwise(F.col("dist"))
+        .cast("long")
+        .alias("dist"),
+        (F.col("dist") < BFS_UNREACHED).alias("reached"),
+    )

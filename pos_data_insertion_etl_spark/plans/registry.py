@@ -75,6 +75,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops22,
         llm_ops23,
         llm_ops24,
+        llm_ops25,
         media_ops,
         pos_ops,
         relational,

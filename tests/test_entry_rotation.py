@@ -239,6 +239,12 @@ _NEW_SINCE_R9: frozenset[str] = frozenset(
         "q279_largest_remainder",
         "q280_theil_sen_slope",
         "q281_phrase_match",
+        # batch V: event-pipeline + weighted-graph shapes
+        # (plans/llm_ops25.py)
+        "q282_weighted_sssp",
+        "q283_boolean_retrieval",
+        "q284_session_funnel",
+        "q285_last_touch_attribution",
     }
 )
 
