@@ -76,6 +76,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops23,
         llm_ops24,
         llm_ops25,
+        llm_ops26,
         media_ops,
         pos_ops,
         relational,

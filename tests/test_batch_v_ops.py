@@ -183,3 +183,49 @@ def test_boolean_retrieval_requires_all_terms(spark):
         .collect()
     )
     assert [(r.doc_id, r.tf_total) for r in hits] == [(1, 6), (0, 4)]
+
+
+# ---------------------------------------- q286 split leakage (batch W)
+
+
+def test_split_leakage_semantics(spark):
+    """A duplicate cluster counts as leaked ONLY when its members
+    straddle >= 2 splits; singleton fingerprints never leak even if a
+    split holds many of them."""
+    docs = spark.createDataFrame(
+        [
+            # same token set "a b", different order -> one cluster
+            ("train", "a b"),
+            ("test", "b a a"),
+            # same-set pair entirely inside train -> dup but NOT leaked
+            ("train", "c d"),
+            ("train", "d c"),
+            # singleton
+            ("val", "e f"),
+        ],
+        "split string, text string",
+    )
+    from pos_data_insertion_etl_spark.functions.text import tokens
+
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
+    )
+    d = docs.select("split", fp.alias("fp"))
+    clusters = d.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs_c"),
+        F.countDistinct("split").alias("n_splits"),
+    )
+    leaked = clusters.filter(
+        (F.col("n_docs_c") >= 2) & (F.col("n_splits") >= 2)
+    ).select("fp", F.lit(True).alias("_leaked"))
+    got = {
+        r.split: (r.n, r.nl)
+        for r in d.join(leaked, "fp", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_leaked"), 1).otherwise(0)).alias("nl"),
+        )
+        .collect()
+    }
+    assert got == {"train": (3, 1), "test": (1, 1), "val": (1, 0)}

@@ -245,6 +245,8 @@ _NEW_SINCE_R9: frozenset[str] = frozenset(
         "q283_boolean_retrieval",
         "q284_session_funnel",
         "q285_last_touch_attribution",
+        # batch W: split-leakage audit (plans/llm_ops26.py)
+        "q286_split_leakage_audit",
     }
 )
 
