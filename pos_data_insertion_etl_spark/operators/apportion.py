@@ -53,11 +53,18 @@ def largest_remainder(
     with_tot = groups.withColumn(
         "_tot", F.sum("w").over(full).cast("long")
     )
+    # nullif guard (the q271 lesson): an all-zero weight total would
+    # ANSI-error on Spark's integer div where DuckDB // returns NULL;
+    # both sides must take the NULL path explicitly.
     scored = with_tot.select(
         "key",
         "w",
-        F.expr(f"({budget} * w) div _tot").cast("long").alias("base"),
-        F.expr(f"({budget} * w) % _tot").cast("long").alias("rem"),
+        F.expr(f"({budget} * w) div nullif(_tot, 0)")
+        .cast("long")
+        .alias("base"),
+        F.expr(f"({budget} * w) % nullif(_tot, 0)")
+        .cast("long")
+        .alias("rem"),
     )
     ranked = scored.select(
         "key",

@@ -232,8 +232,8 @@ WITH g AS (
   SELECT key, w, CAST(SUM(w) OVER () AS BIGINT) AS tot FROM g
 ), s AS (
   SELECT key, w,
-         CAST((1000000 * w) // tot AS BIGINT) AS base,
-         CAST((1000000 * w) % tot AS BIGINT) AS rem
+         CAST((1000000 * w) // nullif(tot, 0) AS BIGINT) AS base,
+         CAST((1000000 * w) % nullif(tot, 0) AS BIGINT) AS rem
   FROM t
 ), r AS (
   SELECT key, w, base,

@@ -226,3 +226,15 @@ def test_phrase_match_counts_adjacent_only(spark):
         .collect()
     }
     assert got == {0: 2, 3: 1}
+
+
+def test_largest_remainder_all_zero_weights_null_path(spark):
+    """All-zero weight total: allocations must take the NULL path in
+    BOTH engines (Spark ANSI would error on integer div-by-zero where
+    DuckDB // returns NULL -- the nullif guard aligns them, same class
+    as the q271 fix)."""
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "k string, w long"
+    )
+    rows = largest_remainder(df, "k", "w", budget=5).collect()
+    assert all(r.alloc is None for r in rows)
