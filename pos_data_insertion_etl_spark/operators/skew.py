@@ -109,6 +109,7 @@ def salted_join(
     key: str,
     n_salts: int = 8,
     salt_source: Column | None = None,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Skew-safe equi join: salt the BIG side, replicate the SMALL side.
 
@@ -135,6 +136,14 @@ def salted_join(
     not larger. AQE's skew-join handles sort-merge cases adaptively;
     this operator is the explicit form that also covers hash joins and
     pre-AQE plan pinning.
+
+    ``join_hint`` (e.g. ``"shuffle_hash"`` / ``"merge"``) pins the
+    physical strategy on the replicated side. Salting only pays off
+    when the join SHUFFLES the big side -- if the small side fits the
+    broadcast threshold, Catalyst broadcasts it and the salt is inert
+    (a broadcast join has no skew problem to begin with). Pass a
+    shuffle hint when demonstrating or testing the salted path at
+    sizes Catalyst would otherwise broadcast.
     """
     salt = (
         F.pmod(salt_source, F.lit(n_salts))
@@ -148,4 +157,6 @@ def salted_join(
             F.array(*[F.lit(i).cast("int") for i in range(n_salts)])
         ),
     )
+    if join_hint is not None:
+        small_s = small_s.hint(join_hint)
     return big_s.join(small_s, [key, "_salt"]).drop("_salt")

@@ -144,7 +144,15 @@ def q277_salted_skew_join(spark, sf_dir):
         .withColumn("type_w", F.length("event_type").cast("int"))
     )
     joined = salted_join(
-        events, dim, "event_type", n_salts=8, salt_source=F.col("event_id")
+        events,
+        dim,
+        "event_type",
+        n_salts=8,
+        salt_source=F.col("event_id"),
+        # Without the hint Catalyst broadcasts the 5-row dim and the
+        # salt is inert (a broadcast join never shuffles the big
+        # side); the hint pins the SHUFFLED path this query certifies.
+        join_hint="shuffle_hash",
     )
     result = joined.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -152,10 +160,13 @@ def q277_salted_skew_join(spark, sf_dir):
             "weighted_value"
         ),
     )
+    import re
+
     plan = result._jdf.queryExecution().executedPlan().toString()
-    if "_salt" not in plan:
+    if not re.search(r"(ShuffledHashJoin|SortMergeJoin) \[[^\]]*_salt", plan):
         raise AssertionError(
-            f"salt column missing from the join plan -- rewrite lost:\n{plan}"
+            "the salted join did not plan as a shuffle join keyed on "
+            f"_salt -- rewrite degenerated:\n{plan}"
         )
     return result
 

@@ -241,10 +241,15 @@ def q284_session_funnel(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
+    # Stage tables are user-cardinality: cut their lineage so stages
+    # 2/3 (and the final counts) reuse the materialized table instead
+    # of re-deriving it -- without the checkpoints the executed plan
+    # re-scans events 7x (measured); with them, once per stage.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -252,6 +257,7 @@ def q284_session_funnel(spark, sf_dir):
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -128,6 +128,8 @@ ALLOWED_BNLJ = {
     # months x months pair join over the collapsed series (80 rows at
     # every sf -- the q260 Mann-Kendall shape carrying an estimator)
     "q280_theil_sen_slope": "month x month pair join, series-sized sides",
+    # the four funnel-stage counts combine via 1-row scalar crosses
+    "q284_session_funnel": "1-row stage-count scalar broadcasts",
 }
 
 # Filtered TPC-H-shaped queries whose every parquet scan must push at
