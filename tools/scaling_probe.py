@@ -36,13 +36,18 @@ from pos_data_insertion_etl_spark.session import (
     write_log4j_file_config,
 )
 
-#: The 5 heaviest round-8 bench entries plus the two round-9 shapes.
+#: The 5 heaviest round-8 bench entries plus the round-9 shapes
+#: (batch T storage entries, then the batch U headline additions and
+#: the weighted-SSSP iterative loop).
 PROBE = [
     "q189_setsim_prefix_join",
     "q212_bfs_distances",
     "q237_rfm_segments",
     "q274_streamed_curation_replay",
     "q275_bucketed_mart_join",
+    "q277_salted_skew_join",
+    "q278_bloom_semijoin_prefilter",
+    "q282_weighted_sssp",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
