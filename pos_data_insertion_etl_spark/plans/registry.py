@@ -77,6 +77,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops24,
         llm_ops25,
         llm_ops26,
+        llm_ops27,
         media_ops,
         pos_ops,
         relational,

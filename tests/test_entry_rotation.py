@@ -247,6 +247,10 @@ _NEW_SINCE_R9: frozenset[str] = frozenset(
         "q285_last_touch_attribution",
         # batch W: split-leakage audit (plans/llm_ops26.py)
         "q286_split_leakage_audit",
+        # batch X: Spark 4 API surfaces -- variant + collation
+        # (plans/llm_ops27.py)
+        "q287_variant_json_stats",
+        "q288_collated_group",
     }
 )
 
