@@ -238,3 +238,25 @@ def test_largest_remainder_all_zero_weights_null_path(spark):
     )
     rows = largest_remainder(df, "k", "w", budget=5).collect()
     assert all(r.alloc is None for r in rows)
+
+
+def test_salted_join_single_salt_degenerates_to_plain(spark):
+    """n_salts=1 is exactly the plain join (salt constant 0)."""
+    big = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    small = spark.createDataFrame([("a", 9)], "k string, v int")
+    rows = salted_join(big, small, "k", n_salts=1, salt_source=F.col("id")).collect()
+    assert [(r.id, r.v) for r in rows] == [(1, 9)]
+
+
+def test_theil_sen_single_point_empty(spark):
+    """One point -> zero pairs -> empty result (no median exists)."""
+    df = spark.createDataFrame([(3, 7)], "x long, y long")
+    assert theil_sen_slope(df, "x", "y").count() == 0
+
+
+def test_largest_remainder_zero_leftover(spark):
+    """Weights that divide the budget exactly: no top-up row changes
+    (leftover 0), floors are final."""
+    df = spark.createDataFrame([("a", 1), ("b", 3)], "k string, w long")
+    got = {r.key: r.alloc for r in largest_remainder(df, "k", "w", budget=8).collect()}
+    assert got == {"a": 2, "b": 6}

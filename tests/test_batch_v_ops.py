@@ -229,3 +229,26 @@ def test_split_leakage_semantics(spark):
         .collect()
     }
     assert got == {"train": (3, 1), "test": (1, 1), "val": (1, 0)}
+
+
+# ----------------------------------------- boundary contracts (r9)
+
+
+def test_sssp_zero_rounds_returns_init(spark):
+    """rounds=0 is the degenerate contract: seeds at 0, everything
+    else unreached."""
+    edges = spark.createDataFrame([(1, 2, 5)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in sssp_bounded(edges, seeds, rounds=0).collect()}
+    assert got == {1: 0, 2: -1}
+
+
+def test_sssp_no_relax_off_unreached(spark):
+    """A node reachable only THROUGH an unreached node stays
+    unreached: sentinel distances never propagate as real costs."""
+    edges = spark.createDataFrame(
+        [(5, 6, 1)], "src long, dst long, w long"  # 5 is not a seed
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in sssp_bounded(edges, seeds, rounds=3).collect()}
+    assert got == {5: -1, 6: -1}
