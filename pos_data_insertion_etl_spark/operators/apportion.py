@@ -50,8 +50,22 @@ def largest_remainder(
         F.sum(F.col(weight_col).cast("long")).cast("long").alias("w")
     )
     full = W.partitionBy()
+    # Enforce the documented overflow contract (budget * total_w < 2^63)
+    # at the point _tot exists: raise_error with a named reason beats an
+    # anonymous ANSI overflow on Spark -- and engines that silently widen
+    # (DuckDB HUGEINT) would otherwise diverge without any signal
+    # (ADVICE r9). One CASE over the k-row group table; free at scale.
+    tot_limit = (2**63 - 1) // max(int(budget), 1)
     with_tot = groups.withColumn(
-        "_tot", F.sum("w").over(full).cast("long")
+        "_tot",
+        F.when(
+            F.sum("w").over(full) > F.lit(tot_limit),
+            F.expr(
+                "raise_error('largest_remainder: budget * total_w "
+                "exceeds 2^63 -- pre-scale the weights (shares depend "
+                "only on weight ratios)')"
+            ).cast("long"),
+        ).otherwise(F.sum("w").over(full).cast("long")),
     )
     # nullif guard (the q271 lesson): an all-zero weight total would
     # ANSI-error on Spark's integer div where DuckDB // returns NULL;

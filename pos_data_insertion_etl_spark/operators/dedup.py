@@ -10,7 +10,13 @@ Engine-design notes (100 TB):
   one shuffle of (doc_id, 16 short strings).
 * LSH banding turns O(n^2) near-dup search into an equi-join on band
   keys -- Catalyst plans a plain shuffled hash join; hot bands (common
-  shingles) are handled by AQE skew-join splitting.
+  shingles) are handled by AQE skew-join splitting. That claim is
+  CERTIFIED, not assumed: tests/test_lsh_skew.py builds a degenerate
+  hot band and asserts the final adaptive plan marks the band
+  self-join `skew=true` (with AQE thresholds scaled to test volume)
+  and that the split changes no pair counts. The explicit manual
+  remedy for hash joins / pre-AQE pinning is operators/skew.salted_join
+  (driver-certified by q277).
 * Everything is built-in expressions: no Python in the hot path.
 """
 

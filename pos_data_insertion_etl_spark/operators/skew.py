@@ -31,6 +31,11 @@ def salted_agg(
     pmod(hash(id), n) when the PHASE-1 grouping itself must be stable --
     final results are identical either way for associative aggregates).
     """
+    if "_salt" in df.columns:
+        raise ValueError(
+            "salted_agg: input already has a '_salt' column; rename it "
+            "before salting"
+        )
     salt = (
         F.pmod(salt_source, F.lit(n_salts))
         if salt_source is not None
@@ -145,6 +150,14 @@ def salted_join(
     shuffle hint when demonstrating or testing the salted path at
     sizes Catalyst would otherwise broadcast.
     """
+    for side, cols in (("big", big.columns), ("small", small.columns)):
+        if "_salt" in cols:
+            # withColumn would silently REPLACE the caller's column and
+            # the final drop would erase it -- fail loudly instead.
+            raise ValueError(
+                f"salted_join: {side} input already has a '_salt' column; "
+                "rename it before salting"
+            )
     salt = (
         F.pmod(salt_source, F.lit(n_salts))
         if salt_source is not None

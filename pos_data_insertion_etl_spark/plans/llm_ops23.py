@@ -114,10 +114,17 @@ def q274_streamed_curation_replay(spark, sf_dir):
             min_stopword_hits=1,
         )
     funnel = spark.read.parquet(os.path.join(out_dir, "funnel"))
-    corpus = spark.read.parquet(os.path.join(out_dir, "corpus"))
-    kept = corpus.groupBy(
-        F.col("batch").cast("long").alias("batch")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    corpus_path = os.path.join(out_dir, "corpus")
+    if os.path.isdir(corpus_path):
+        corpus = spark.read.parquet(corpus_path)
+        kept = corpus.groupBy(
+            F.col("batch").cast("long").alias("batch")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    else:
+        # Every batch gated/deduped to zero novel docs: dedup_ingest_batch
+        # never creates corpus/ -- report n_kept=0 per batch, mirroring
+        # the oracle's COALESCE(k.n_kept, 0) path (ADVICE r9).
+        kept = spark.createDataFrame([], "batch long, n_kept long")
     return (
         funnel.select(
             F.col("batch").cast("long").alias("batch"),

@@ -90,23 +90,30 @@ def main() -> None:
             m = _median_time(
                 lambda: spec.spark(spark, sf_dir).collect(), reps
             )
-            results.setdefault(name, {})[sf] = round(m, 3)
+            results.setdefault(name, {})[sf] = m
             print(f"{name} @ sf{sf}: {m:.3f}s", file=sys.stderr)
         m = _median_time(lambda: bench_curation(spark, sf_dir), reps)
-        results.setdefault("curation_e2e", {})[sf] = round(m, 3)
+        results.setdefault("curation_e2e", {})[sf] = m
         print(f"curation_e2e @ sf{sf}: {m:.3f}s", file=sys.stderr)
 
+    # Slopes from the UNROUNDED medians (ADVICE r9: a sub-millisecond
+    # entry rounded to 0.0 crashes log10 after all the timing work);
+    # the epsilon clamp covers a true-zero perf_counter fluke too.
     slopes: dict[str, dict[str, float]] = {}
     for name, by_sf in results.items():
         sfs = sorted(by_sf, key=float)
         slopes[name] = {
             f"sf{a}->sf{b}": round(
-                math.log10(by_sf[b] / by_sf[a])
+                math.log10(max(by_sf[b], 1e-9) / max(by_sf[a], 1e-9))
                 / math.log10(float(b) / float(a)),
                 3,
             )
             for a, b in zip(sfs, sfs[1:])
         }
+    results = {
+        name: {sf: round(t, 3) for sf, t in by_sf.items()}
+        for name, by_sf in results.items()
+    }
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = [
