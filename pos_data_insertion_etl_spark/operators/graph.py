@@ -13,8 +13,11 @@ algorithms on Spark:
   the jump roughly doubles the distance a label travels per round, so
   convergence is O(log diameter) shuffles instead of O(diameter), the
   same trick as the small-star/large-star MapReduce formulation;
-* `localCheckpoint` after each iteration truncates the lineage so the
-  plan doesn't grow exponentially with iterations;
+* a lineage cut after each iteration (lineage.cut_lineage:
+  localCheckpoint by default; reliable checkpoint() to shared storage
+  when the session sets spark.pos_etl.reliableCheckpointDir, so an
+  executor loss mid-iteration on a real cluster doesn't lose every
+  completed round) keeps the plan from growing exponentially;
 * convergence is an exact driver-side check (count of changed labels ==
   0) -- one cheap aggregate per iteration, not a data collect.
 
@@ -27,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..lineage import cut_lineage
 
 
 def _driver_union_find(pairs: list[tuple]) -> dict:
@@ -95,9 +100,9 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(cut_lineage, eager=True)
     for _ in range(max_iter):
         # min neighbor label per node, one shuffle
         nbr = (
@@ -125,7 +130,7 @@ def connected_components(
                     F.col("label"), F.coalesce("jlabel", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage, eager=True)
         )
         changed = updated.filter(F.col("label") != F.col("old_label")).count()
         labels = updated.select("node", "label")
@@ -185,13 +190,13 @@ def pagerank(
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     n_nodes = nodes.count()
     out_deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     base = nodes.join(out_deg, nodes.node == out_deg.src, "left").select(
         "node", F.coalesce("deg", F.lit(0)).alias("deg")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage, eager=True)
 
     teleport = (damping_den - damping_num) * PR_SCALE // (damping_den)
     ranks = base.select("node", F.lit(PR_SCALE).cast("long").alias("rank_fp"))
@@ -226,7 +231,7 @@ def pagerank(
                     f" * {damping_num}) div {damping_den}"
                 ).alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage, eager=True)
         )
     return ranks.select(
         "node",
@@ -316,7 +321,7 @@ def triangle_count(edges: DataFrame, src: str = "src_id", dst: str = "dst_id") -
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )  # five consumers (two wedge sides, closing check, node union,
     #    edge count): one canonicalize+dedup instead of five graph
     #    recomputations -- essential when `edges` is itself a kNN-graph
@@ -380,7 +385,7 @@ def kcore(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     for _ in range(iters):
         deg = (
@@ -393,7 +398,7 @@ def kcore(
         und = (
             und.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage, eager=False)
         )
     return (
         und.select(F.col("a").alias("node"))
@@ -477,14 +482,14 @@ def personalized_pagerank(
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     n_nodes = nodes.count()
     seed_nodes = (
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
         .join(nodes, "node", "left_semi")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     n_seeds = seed_nodes.count()
     if n_seeds == 0:
@@ -501,7 +506,7 @@ def personalized_pagerank(
                 "is_seed"
             )
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     # total teleport mass = N * (1-d)/den * PR_SCALE, split across seeds
     teleport_seed = (
@@ -544,7 +549,7 @@ def personalized_pagerank(
                     f" * {damping_num}) div {damping_den}"
                 ).alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage, eager=True)
         )
     return (
         base.select("node", "is_seed")
@@ -593,13 +598,13 @@ def bfs_distances(
     sym = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     nodes = (
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     seed_nodes = seeds.select(
         F.col(seeds.columns[0]).cast("long").alias("node")
@@ -630,7 +635,7 @@ def bfs_distances(
                     F.coalesce("md", F.lit(BFS_UNREACHED)),
                 ).alias("dist"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage, eager=True)
         )
     return dist.select(
         "node",
@@ -667,13 +672,13 @@ def hits_scores(edges: DataFrame, iters: int = 2) -> DataFrame:
     sym = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     nodes = (
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     n_nodes = nodes.count()
     mass = n_nodes * HITS_SCALE
@@ -705,7 +710,7 @@ def hits_scores(edges: DataFrame, iters: int = 2) -> DataFrame:
                 "node", F.coalesce("auth", F.lit(0)).alias("auth")
             ),
             "auth",
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage, eager=True)
         h_raw = (
             sym.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
             .groupBy(F.col("src").alias("node"))
@@ -716,7 +721,7 @@ def hits_scores(edges: DataFrame, iters: int = 2) -> DataFrame:
                 "node", F.coalesce("hub", F.lit(0)).alias("hub")
             ),
             "hub",
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage, eager=True)
     return (
         nodes.join(hub, "node")
         .join(auth, "node")
@@ -788,7 +793,7 @@ def local_clustering_coefficient(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )  # four consumers: two wedge sides, the closing check, degrees
     wedge = und.select("a", "b").join(
         und.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
@@ -863,13 +868,13 @@ def sssp_bounded(
         )
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     nodes = (
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     seed_nodes = seeds.select(
         F.col(seeds.columns[0]).cast("long").alias("node")
@@ -901,7 +906,7 @@ def sssp_bounded(
                     F.coalesce("md", F.lit(BFS_UNREACHED)),
                 ).alias("dist"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage, eager=True)
         )
     return dist.select(
         "node",

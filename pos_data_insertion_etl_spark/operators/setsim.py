@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.text import shingles, tokens
+from ..lineage import cut_lineage
 
 
 def prefix_filter_jaccard_join(
@@ -68,7 +69,7 @@ def prefix_filter_jaccard_join(
             ).alias("_g"),
         )
         .select("_id", F.md5(F.col("_g")).alias("_d"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )  # three consumers (freq, candidate b-side, verify) on one explode
     freq = sd.groupBy("_d").agg(F.count(F.lit(1)).alias("_f"))
     ranked = (
@@ -93,7 +94,7 @@ def prefix_filter_jaccard_join(
             + F.lit(1)
         )
         .select("_id", "_d", "_sz")
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )  # both candidate sides read the SAME ranked prefix: one freq
     #    join + one rank window instead of two
     # PREFIX x PREFIX candidates (Chaudhuri/Xiao): if J(x,y) >= t the

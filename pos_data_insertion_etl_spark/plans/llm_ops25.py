@@ -29,6 +29,7 @@ from pyspark.sql.window import Window as W
 from ..catalog import load_table
 from ..functions.text import tokens
 from .registry import query
+from ..lineage import cut_lineage
 
 # ---------------------------------------------------------------------------
 # q282: K-round weighted SSSP over the co-purchase part graph
@@ -249,7 +250,7 @@ def q284_session_funnel(spark, sf_dir):
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -257,7 +258,7 @@ def q284_session_funnel(spark, sf_dir):
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
