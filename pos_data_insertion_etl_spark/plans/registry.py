@@ -78,6 +78,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops25,
         llm_ops26,
         llm_ops27,
+        llm_ops28,
         media_ops,
         pos_ops,
         relational,

@@ -254,6 +254,14 @@ _NEW_SINCE_R9: frozenset[str] = frozenset(
     }
 )
 
+_NEW_SINCE_R10: frozenset[str] = frozenset(
+    {
+        # batch Y: streaming watermark/late-data certification
+        # (plans/llm_ops28.py, VERDICT r9 item 4)
+        "q289_watermark_late_data",
+    }
+)
+
 #: Every post-r4 bookkeeping set, for the reconstruction filters and
 #: the registration meta-test. ADD NEW ROUNDS HERE.
 _ALL_NEW_SINCE: dict[str, frozenset[str]] = {
@@ -263,6 +271,7 @@ _ALL_NEW_SINCE: dict[str, frozenset[str]] = {
     "_NEW_SINCE_R7": _NEW_SINCE_R7,
     "_NEW_SINCE_R8": _NEW_SINCE_R8,
     "_NEW_SINCE_R9": _NEW_SINCE_R9,
+    "_NEW_SINCE_R10": _NEW_SINCE_R10,
 }
 
 #: The round-4 registry was exactly q01..q123 -- a closed historical
