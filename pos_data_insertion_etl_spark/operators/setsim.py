@@ -93,7 +93,7 @@ def prefix_filter_jaccard_join(
             - F.expr(f"(_sz * {t_num} + {t_den} - 1) div {t_den}")
             + F.lit(1)
         )
-        .select("_id", "_d", "_sz")
+        .select("_id", "_d", "_sz", "_pos")
         .transform(cut_lineage, eager=False)
     )  # both candidate sides read the SAME ranked prefix: one freq
     #    join + one rank window instead of two
@@ -104,13 +104,33 @@ def prefix_filter_jaccard_join(
     # at t=1/2 (measured 4.8 s -> see PLANS.md). The size filter is the
     # other standard prune: J >= t forces t*|x| <= |y| (and vice
     # versa), checked with exact integer cross-multiplication.
+    #
+    # PPJoin+ POSITIONAL filter (r10): a shared prefix element at
+    # canonical positions (i, j) bounds the whole intersection --
+    # common elements before it number <= min(i, j) - 1, itself is 1,
+    # after it <= min(|x| - i, |y| - j), so
+    #     |x ∩ y| <= min(i, j) + min(|x| - i, |y| - j)
+    # (sound for ANY shared element because both sets order elements
+    # by the same global (freq, digest) key). J >= t also forces
+    #     |x ∩ y| >= ceil(t_num * (|x| + |y|) / (t_num + t_den)) = α
+    # so a pair whose TIGHTEST shared-prefix bound is below α cannot
+    # pass verification and is pruned before the expensive
+    # intersection join. The dedup groupBy replaces the old
+    # .distinct() -- same shuffle, extra MIN aggregate, fewer
+    # survivors (measured in PLANS.md).
     cands = (
         prefix.select(
-            F.col("_id").alias("id_a"), "_d", F.col("_sz").alias("_sza")
+            F.col("_id").alias("id_a"),
+            "_d",
+            F.col("_sz").alias("_sza"),
+            F.col("_pos").alias("_pa"),
         )
         .join(
             prefix.select(
-                F.col("_id").alias("id_b"), "_d", F.col("_sz").alias("_szb")
+                F.col("_id").alias("id_b"),
+                "_d",
+                F.col("_sz").alias("_szb"),
+                F.col("_pos").alias("_pb"),
             ),
             "_d",
         )
@@ -119,8 +139,23 @@ def prefix_filter_jaccard_join(
             & (F.col("_szb") * t_den >= F.col("_sza") * t_num)
             & (F.col("_sza") * t_den >= F.col("_szb") * t_num)
         )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min(
+                F.least("_pa", "_pb")
+                + F.least(
+                    F.col("_sza") - F.col("_pa"),
+                    F.col("_szb") - F.col("_pb"),
+                )
+            ).alias("_ub"),
+            F.first("_sza").alias("_sza"),
+            F.first("_szb").alias("_szb"),
+        )
+        .filter(
+            F.col("_ub") * (t_num + t_den)
+            >= F.lit(t_num) * (F.col("_sza") + F.col("_szb"))
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     inter = (
         cands.join(
