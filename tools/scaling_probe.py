@@ -50,7 +50,31 @@ PROBE = [
     "q282_weighted_sssp",
 ]
 
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: sf1.0 is the bench-only synthesized decade (tools/make_sf1_benchdata
+#: .py: key-remapped x10 replication of sf0.1, copy-decorrelated text/
+#: embeddings); generated on demand, never used for oracle checks.
+SF1_DIR = os.path.join(_REPO, ".benchdata", "sf1.0")
+
+SFS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+    SF1_DIR,
+]
+
+
+def _ensure_sf1() -> None:
+    if os.path.isdir(os.path.join(SF1_DIR, "lineitem.parquet")):
+        return
+    import subprocess
+
+    print("generating bench-only sf1.0 dataset ...", file=sys.stderr)
+    subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "make_sf1_benchdata.py")],
+        check=True,
+    )
 
 
 def _median_time(fn, reps: int) -> float:
@@ -66,6 +90,7 @@ def _median_time(fn, reps: int) -> float:
 def main() -> None:
     import tempfile
 
+    _ensure_sf1()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_session(
