@@ -34,3 +34,44 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def sf_smoke():
     return SF_SMOKE
+
+# ---------------------------------------------------------------------------
+# smoke / full markers (VERDICT r9 item 7)
+#
+# The full suite takes ~35-40 min; `pytest -m smoke` gives a <5-min
+# pre-commit signal by deselecting the heavy modules below (measured
+# aggregate call time > ~25 s each in the r10 duration profile; the
+# big two -- the 288-query oracle sweep and the hypothesis property
+# suites -- are ~450 s apiece). A plain `pytest tests/` still runs
+# everything; the driver-gate procedure and round-close always use the
+# full run.
+# ---------------------------------------------------------------------------
+
+_FULL_MODULES = {
+    "test_batch_u_properties",  # 454s hypothesis contracts
+    "test_oracle_queries",      # 450s 288-query oracle sweep at sf0.01
+    "test_property",            # 216s hypothesis
+    "test_plans",               # 182s plan-shape assertions
+    "test_quality_incremental", # 128s ingest replay/crash injection
+    "test_curation_ops",        # 96s
+    "test_batch_q_ops",         # 86s
+    "test_partitioning_invariance",  # 76s
+    "test_batch_u_ops",         # 75s
+    "test_round7_ops",          # 73s
+    "test_quantiles",           # 49s
+    "test_streaming",           # 37s
+    "test_round8_queue",        # 37s
+    "test_curation_stream",     # 35s
+    "test_zipsource",           # 34s
+    "test_lineage",             # 45s reliable-checkpoint e2e
+    "test_stats_ops",           # 25s
+    "test_round6_ops",          # 22s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker(
+            pytest.mark.full if mod in _FULL_MODULES else pytest.mark.smoke
+        )
