@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..smallframe import values_frame
 from pyspark.sql.window import Window as W
 
 
@@ -55,9 +57,11 @@ def with_global_sequence(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
-    )
+    offset_df = values_frame(
+        df.sparkSession,
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        "_pid int, _offset long",
+    )  # JVM literal: keeps the broadcast join Python-free (smallframe)
     return (
         local.join(F.broadcast(offset_df), "_pid")
         .withColumn(seq_col, (F.col("_offset") + F.col("_lrn") - 1).cast("long"))

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..smallframe import values_frame
+
 
 def _mg_reduce(pairs, k: int):
     """Classic Misra-Gries over an iterable of (value, count) pairs.
@@ -107,8 +109,11 @@ def heavy_hitters(
     total_dec = merge_dec + sum(r.dec for r in rows)
 
     spark = df.sparkSession
-    out = spark.createDataFrame(
-        [(v, int(c), int(total_dec)) for v, c in sorted(merged.items())],
+    # values_frame: the merged sketch feeds per-batch monitor writes
+    # (q211); a Python-backed local relation costs ~5 s per write.
+    out = values_frame(
+        spark,
+        [(str(v), int(c), int(total_dec)) for v, c in sorted(merged.items())],
         "value string, count_lb long, max_err long",
     )
     if not exact_recount:

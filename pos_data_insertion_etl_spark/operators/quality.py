@@ -97,6 +97,7 @@ def gopher_quality_flags(
     max_words: int = 100_000,
     stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
     min_stopword_hits: int = 2,
+    keep_input: bool = False,
 ) -> DataFrame:
     """Rule-based document quality in ONE expression-only pass -- the
     Gopher/C4 heuristic filter family (word-count bounds, mean word
@@ -160,8 +161,13 @@ def gopher_quality_flags(
             den > 0, F.round(num.cast("double") / den.cast("double"), 6)
         )
 
+    # keep_input=True keeps every input column alongside the metrics so
+    # a gate can FILTER in place -- no flags-back-to-rows self-join, no
+    # shuffle; the caller drops GOPHER_METRIC_COLS afterwards. The
+    # default (id + metrics only) is the audit/report form q128 hashes.
+    lead = [F.col("*")] if keep_input else [F.col(id_col)]
     out = df.select(
-        F.col(id_col),
+        *lead,
         n_words.alias("n_words"),
         ratio(n_word_chars, n_words).alias("mean_word_len"),
         ratio(n_symbols, n_words).alias("symbol_word_ratio"),
@@ -185,6 +191,27 @@ def gopher_quality_flags(
     for name in flags:
         gopher_pass = gopher_pass & F.col(name)
     return out.withColumn("gopher_pass", gopher_pass)
+
+
+#: Every column gopher_quality_flags ADDS -- what a keep_input=True
+#: caller drops after filtering on gopher_pass.
+GOPHER_METRIC_COLS = (
+    "n_words",
+    "mean_word_len",
+    "symbol_word_ratio",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "alpha_word_frac",
+    "stopword_hits",
+    "flag_word_count",
+    "flag_mean_word_len",
+    "flag_symbol_ratio",
+    "flag_bullet_lines",
+    "flag_ellipsis_lines",
+    "flag_alpha_words",
+    "flag_stopwords",
+    "gopher_pass",
+)
 
 
 # Invisible/format characters that break exact dedup and tokenization:

@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..smallframe import values_frame
+
 SUMMARY_SCHEMA = "value double, weight long, err long, batch_id long"
 
 #: refuse driver-side work on anything bigger than this many summary
@@ -225,8 +227,10 @@ def compress(summary: DataFrame, k: int = 256) -> DataFrame:
         rows.append((cur_val, acc))
         block_max = max(block_max, acc)
     err = prior + max(0, block_max - 1)
-    out = [(v, w, err, 0) for v, w in rows]
-    return spark.createDataFrame(out, SUMMARY_SCHEMA)
+    out = [(float(v), int(w), int(err), 0) for v, w in rows]
+    # values_frame: compressed summaries feed per-batch monitor WRITES;
+    # a Python-backed local relation costs ~5 s per write (smallframe).
+    return values_frame(spark, out, SUMMARY_SCHEMA)
 
 
 def estimate_quantiles(

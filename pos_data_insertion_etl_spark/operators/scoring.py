@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..smallframe import values_frame
+
 W_SCALE = 1_000_000  # weights and features in 1e-6 fixed point
 
 
@@ -403,7 +405,7 @@ def rank_biased_overlap(
         (d, (p_num ** (d - 1)) * 1_000_000 // (p_den ** (d - 1)))
         for d in range(1, k + 1)
     ]
-    depths = spark.createDataFrame(rows, "d long, w_fp long")
+    depths = values_frame(spark, rows, "d long, w_fp long")
     # overlap@d = sum of counts at depths m <= d: a bounded k x k
     # theta join over two tiny tables (never corpus-sized).
     terms = (

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window as W
 
 from ..operators.dedup import exact_dedup, neardup_keepers
 from ..operators.lm_score import unigram_lm_scores
-from ..operators.quality import gopher_quality_flags
+from ..operators.quality import GOPHER_METRIC_COLS, gopher_quality_flags
 
 
 def curate_corpus(
@@ -62,12 +62,16 @@ def curate_corpus(
                          min_stopword_hits=min_stopword_hits)
     if stopwords is not None:
         gopher_kwargs["stopwords"] = stopwords
-    flags = gopher_quality_flags(docs, text_col, id_col, **gopher_kwargs)
+    # Gate in place (keep_input=True): the metrics are row-local
+    # expressions, so filtering on them needs no flags-back-to-rows
+    # self-join -- the gate stage is scan-bound with ZERO shuffles at
+    # any corpus size (r10; it used to shuffle once on id_col).
     heuristic_ok = (
-        docs.join(
-            flags.filter(F.col("gopher_pass")).select(id_col),
-            id_col,
+        gopher_quality_flags(
+            docs, text_col, id_col, keep_input=True, **gopher_kwargs
         )
+        .filter(F.col("gopher_pass"))
+        .drop(*GOPHER_METRIC_COLS)
     )
     scores = unigram_lm_scores(heuristic_ok, text_col, id_col, top_v=lm_top_v)
     scored = heuristic_ok.join(scores, id_col)
