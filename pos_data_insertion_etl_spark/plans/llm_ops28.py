@@ -141,3 +141,101 @@ def q289_watermark_late_data(spark, sf_dir):
     result = spark.table(sink).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# q290: AQE hot-band skew split, driver-certified (plan-asserting)
+# ---------------------------------------------------------------------------
+
+_AQE_SKEW_ORACLE = """
+WITH h AS (
+  SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT CAST(n AS BIGINT) AS n_hot,
+       CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+FROM h
+"""
+
+
+@query(
+    "q290_aqe_skew_split",
+    oracle=_AQE_SKEW_ORACLE,
+    tags=("dedup", "lsh", "skew", "aqe", "plan-certified"),
+)
+def q290_aqe_skew_split(spark, sf_dir):
+    """AQE skew-join splitting on a degenerate hot LSH band,
+    DRIVER-CERTIFIED (the registered form of tests/test_lsh_skew.py;
+    q275/q276/q277's plan-assertion pattern): 80% of documents share
+    one band key -- the near-universal-shingle worst case -- and the
+    band self-join must (a) produce exactly C(n_hot, 2) candidate
+    pairs and (b) execute with `skew=true` on the final adaptive
+    sort-merge join, with AQE's size thresholds scaled to test-data
+    volume (the MECHANISM is identical at production sizes; only the
+    byte thresholds differ). The function raises if the split did not
+    engage, so the driver's green row certifies the adaptive plan
+    shape, not just the values. Session confs are restored in a
+    finally block; the returned frame is a JVM literal of the counted
+    aggregate (the ~n^2/2 pair rows never leave the executors)."""
+    from ..operators.dedup import lsh_candidate_pairs
+    from ..smallframe import values_frame
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hot = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.lit("hotband-a").alias("h00"),
+        F.lit("hotband-b").alias("h01"),
+    )
+    cold = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.lit("cold0-"), F.col("doc_id")).alias("h00"),
+        F.concat(F.lit("cold1-"), F.col("doc_id")).alias("h01"),
+    )
+    # Spread the signatures over many map tasks first: AQE splits a
+    # skewed reduce partition along MAPPER boundaries, and the tiny
+    # test parquet reads as 1-2 input splits, which would leave the hot
+    # partition unsplittable however skewed it is. At production scale
+    # the map side is naturally thousands of tasks; the repartition
+    # reproduces that topology at test volume.
+    sigs = hot.unionByName(cold).repartition(32)
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # scale AQE's skew thresholds to test volume; production keeps
+        # the defaults -- the mechanism under test is identical
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # keep the self-join sort-merge: broadcast has no skew problem
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pairs = lsh_candidate_pairs(sigs, "doc_id", n_hashes=2, band_size=2)
+        total = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs")
+        )
+        n_pairs = total.collect()[0].n_pairs
+        plan = total._jdf.queryExecution().executedPlan().toString()
+        if "isFinalPlan=true" not in plan or "skew=true" not in plan:
+            raise AssertionError(
+                "AQE skew split did not engage on the hot band:\n" + plan
+            )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    n_hot = hot.count()  # bounded scalar; avoids a C(n,2) inversion
+    # cross-check inside the engine: the pair count must BE C(n_hot, 2)
+    if n_pairs != n_hot * (n_hot - 1) // 2:
+        raise AssertionError(
+            f"band self-join produced {n_pairs} pairs for {n_hot} hot "
+            "docs -- the skew split changed values"
+        )
+    return values_frame(
+        spark, [(int(n_hot), int(n_pairs))], "n_hot long, n_pairs long"
+    )

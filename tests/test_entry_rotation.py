@@ -256,9 +256,11 @@ _NEW_SINCE_R9: frozenset[str] = frozenset(
 
 _NEW_SINCE_R10: frozenset[str] = frozenset(
     {
-        # batch Y: streaming watermark/late-data certification
-        # (plans/llm_ops28.py, VERDICT r9 item 4)
+        # batch Y: streaming watermark/late-data certification +
+        # driver-certified AQE hot-band skew split
+        # (plans/llm_ops28.py, VERDICT r9 items 3/4)
         "q289_watermark_late_data",
+        "q290_aqe_skew_split",
     }
 )
 
