@@ -107,12 +107,14 @@ HEADLINE = [
     "q237_rfm_segments",
     "q246_vocab_stats",
     # round 9 addition: the bucketed mart join (write-time shuffle,
-    # zero-Exchange join+agg). q274 (streamed curation replay) is
-    # deliberately NOT headline: SCALING_r09a measured it ~25 s FLAT
-    # across sf0.001/0.01/0.1 -- pure fixed multi-action replay
-    # overhead (4 batch drives x ~12 jobs), which would add a third to
-    # the suite's wall-clock while measuring nothing scale-dependent.
-    # It stays fully certified through the correctness gate.
+    # zero-Exchange join+agg). q274 (streamed curation replay) was
+    # excluded in r9 (~25 s FLAT of fixed multi-action replay
+    # overhead); the r10 values_frame + observe() + shuffle-free-gate
+    # rewrite collapsed that to ~5 s with a real data term
+    # (SCALING_r10b slope 0.12, 7.1 s at sf1.0), so it is re-admitted
+    # per VERDICT r9 item 5 -- the headline now covers the streamed
+    # exactly-once ingest path too.
+    "q274_streamed_curation_replay",
     "q275_bucketed_mart_join",
     # round 9 batch U: the two shuffle-strategy rewrites whose cost IS
     # the data path -- the salted skew join (events x replicated dim on
