@@ -114,6 +114,19 @@ def gopher_quality_flags(
     rounded to 1e-6; NULL (not a crash, not a flag pass) when a
     denominator is zero -- matching the DuckDB oracle exactly.
     """
+    if keep_input:
+        # With F.col('*') in the projection, an input column named like
+        # a metric would yield DUPLICATE output names, and the caller's
+        # conventional drop(*GOPHER_METRIC_COLS) would then silently
+        # remove the caller's own column too (ADVICE r10). Fail loudly
+        # instead, mirroring the _salt guards in skew.py.
+        clash = sorted(set(df.columns) & set(GOPHER_METRIC_COLS))
+        if clash:
+            raise ValueError(
+                "gopher_quality_flags(keep_input=True): input columns "
+                f"{clash} collide with the metric/flag columns this "
+                "operator adds; rename them first"
+            )
     # Regex trim, NOT F.trim: trim() strips only ASCII spaces, so a
     # "\n"-only document would tokenize to two empty words. The regex
     # form strips all whitespace, matching Python str.strip().

@@ -68,6 +68,34 @@ def _lit(v, kind: str) -> str:
     raise TypeError(f"values_frame: unsupported cell type {type(v)!r}")
 
 
+def _split_top_level(schema_ddl: str) -> list[str]:
+    """Split a DDL field list on TOP-LEVEL commas only, so
+    parameterized and nested types (``decimal(10,2)``,
+    ``array<struct<a int, b int>>``, ``map<string,int>``) parse as one
+    field instead of mis-splitting on their inner commas (ADVICE r10)."""
+    fields: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(schema_ddl):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(
+                    f"values_frame: unbalanced type brackets in {schema_ddl!r}"
+                )
+        elif ch == "," and depth == 0:
+            fields.append(schema_ddl[start:i])
+            start = i + 1
+    if depth != 0:
+        raise ValueError(
+            f"values_frame: unbalanced type brackets in {schema_ddl!r}"
+        )
+    fields.append(schema_ddl[start:])
+    return fields
+
+
 def values_frame(
     spark: SparkSession, rows: Sequence[tuple], schema_ddl: str
 ) -> DataFrame:
@@ -78,7 +106,7 @@ def values_frame(
     identical to ``spark.createDataFrame(rows, schema_ddl)``.
     """
     cols = []
-    for field in schema_ddl.split(","):
+    for field in _split_top_level(schema_ddl):
         name, _, typ = field.strip().partition(" ")
         if not name or not typ.strip():
             raise ValueError(f"values_frame: bad schema field {field!r}")

@@ -47,6 +47,11 @@ def sf_smoke():
 # full run.
 # ---------------------------------------------------------------------------
 
+# NOTE: membership is a hardcoded set -- any NEW heavy test module
+# defaults into the smoke marker unless added here. A guard test
+# (test_round11_fixes.py::test_full_modules_all_exist) keeps the set
+# free of stale names; keeping it complete is on the author of the new
+# module (check `--durations` when adding one).
 _FULL_MODULES = {
     "test_batch_u_properties",  # 454s hypothesis contracts
     "test_oracle_queries",      # 450s 288-query oracle sweep at sf0.01

@@ -70,6 +70,13 @@ def _shift(col: str, c: int):
 
 
 def _copy_text(c: int):
+    # Copy 0 is the sf0.1 corpus verbatim -- prefixing it too (the
+    # ADVICE r10 bug) grew every non-stopword token by 2 chars, so
+    # mean_word_len/alpha metrics and Gopher gate selectivity at sf1.0
+    # silently diverged from "10x sf0.1". Copies 1..K-1 stay prefixed:
+    # their shingle sets are disjoint from copy 0 and from each other.
+    if c == 0:
+        return F.col("text").alias("text")
     sw = ", ".join(f"'{w}'" for w in _GATE_STOPWORDS)
     return F.expr(
         "array_join(transform(split(text, ' '), x -> "
