@@ -16,8 +16,10 @@ is the canonical registry name, always.
 What remains is pure dict ordering: names that have never earned a
 fully GREEN driver row (``hash_match`` true) in any committed
 CORRECTNESS artifact are inserted FIRST (in canonical sort order among
-themselves), followed by the already hash-certified names (also
-sorted). Round 6 tightened "certified" from "has any row" to "has a
+themselves), followed by the already hash-certified names ordered
+oldest-green-evidence-first (round 11; previously canonical sort,
+which starved mid-registry names of re-certification -- VERDICT r10
+item 4). Round 6 tightened "certified" from "has any row" to "has a
 green row": the four r5 entries whose only rows were `err: no_oracle`
 (q58/q63/q64/q124) gained real oracles this round and must re-enter
 the window to convert those err rows to green ones -- presence of a
@@ -92,14 +94,49 @@ def driver_green_names() -> frozenset[str]:
     return frozenset(names)
 
 
+def driver_green_latest_round() -> dict[str, int]:
+    """For every canonical name with green evidence, the LATEST round
+    whose committed CORRECTNESS artifact holds a fully green row
+    (hash_match true) for it."""
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k, rec in rows.items():
+            if isinstance(rec, dict) and rec.get("hash_match") is True:
+                name = _ALIAS_PREFIX.sub("", k)
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def _ordered_names() -> list[str]:
-    """Registry names, never-hash-green first (sorted), then the rest
-    (sorted): the first-50 insertion-order window the driver certifies
-    is exactly the names that still need green official evidence."""
+    """Registry names, never-hash-green first (sorted), then the green
+    tail ordered OLDEST-EVIDENCE-FIRST (VERDICT r10 item 4).
+
+    The driver certifies the first 50 insertion-order entries, so the
+    never-green block IS the evidence gap and always leads. The ~48
+    re-certification slots behind it used to fill in canonical sort
+    order, which re-certified q01-ish names every round while
+    mid-registry names aged for 4+ rounds; sorting the tail by the
+    round of each name's most recent green row (ties broken by name)
+    makes the window a true rotation -- with ~48 slots/round the whole
+    290-name registry re-certifies every ~5 rounds."""
     registry = sorted(all_queries())
+    latest = driver_green_latest_round()
     green = driver_green_names()
     pending = [n for n in registry if n not in green]
-    return pending + [n for n in registry if n in green]
+    tail = sorted(
+        (n for n in registry if n in green),
+        key=lambda n: (latest.get(n, 0), n),
+    )
+    return pending + tail
 
 
 def entry(spark: SparkSession) -> DataFrame:

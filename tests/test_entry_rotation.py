@@ -350,14 +350,46 @@ def test_insertion_prefix_covers_never_green_names():
     # And (while it fits) the whole gap sits inside the 50-entry window.
     if len(never) <= 50:
         assert set(never) <= set(exported[:50])
-    # Remaining entries are the green names, canonical order.
-    assert exported[len(never):] == sorted(green & set(all_queries()))
+    # Remaining entries are the green names, oldest-evidence-first
+    # (round 11: VERDICT r10 item 4 -- the re-cert slots rotate through
+    # the STALEST names instead of re-certifying q01-ish names forever).
+    latest = mod.driver_green_latest_round()
+    assert exported[len(never):] == sorted(
+        green & set(all_queries()), key=lambda n: (latest[n], n)
+    )
     # Derived (not hardcoded -- ADVICE r6): every name whose only
     # evidence is non-green rows (err / failed compare) is still pending.
     err_only = mod.driver_certified_names() - green
     assert {n for n in err_only if n in all_queries()} <= set(never)
     # green is a strict subset of "has any row".
     assert green <= mod.driver_certified_names()
+
+
+def test_green_tail_rotates_stalest_first():
+    """The staleness rotation, pinned end-to-end against the committed
+    artifacts: every green name has a latest-round stamp; the tail is
+    non-decreasing in it; and the re-cert slots (window minus the
+    pending block) hold exactly the stalest green names. With ~48
+    slots/round the 290-name registry re-certifies every ~5 rounds."""
+    mod = _entry_module()
+    exported = list(mod.queries())
+    green = mod.driver_green_names()
+    latest = mod.driver_green_latest_round()
+    registry = set(all_queries())
+    # latest-round bookkeeping covers exactly the green set.
+    assert set(latest) >= (green & registry)
+    assert all(rnd >= 1 for rnd in latest.values())
+    n_pending = len(registry - green)
+    tail = exported[n_pending:]
+    stamps = [latest[n] for n in tail]
+    assert stamps == sorted(stamps), "green tail must be oldest-first"
+    # The window's re-cert slots are filled by a stalest-first prefix:
+    # no name OUTSIDE the window may be staler than one inside it.
+    slots = tail[: max(0, 50 - n_pending)]
+    if slots and len(tail) > len(slots):
+        newest_in = max(latest[n] for n in slots)
+        oldest_out = min(latest[n] for n in tail[len(slots):])
+        assert newest_in <= oldest_out
 
 
 def test_exports_are_canonical_and_identity():
