@@ -113,14 +113,26 @@ def get_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     log4j_config: str | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a session tuned for the current machine.
 
     On a real cluster ``master``/executor sizing come from spark-submit;
-    locally we default to local[$SPARK_GRAFT_CPUS].
+    locally we default to local[$SPARK_GRAFT_CPUS]. ``extra_confs`` is
+    for launch-time settings a caller must pin (executor memory for
+    local-cluster masters, test-only fault injection) -- they are
+    applied LAST, so they win over the defaults here.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
+    if master.startswith("local-cluster"):
+        # local-cluster spawns real Worker JVMs; they locate spark via
+        # SPARK_HOME, which a pip install does not export.
+        import pyspark
+
+        os.environ.setdefault(
+            "SPARK_HOME", os.path.dirname(os.path.abspath(pyspark.__file__))
+        )
     # Shuffle partitions ~ cores locally; a real cluster wants ~2-3x total
     # cores, and AQE coalesces the excess either way.
     shuffle = shuffle_partitions or cpus
@@ -138,6 +150,8 @@ def get_session(
             f"-Dlog4j.configurationFile=file:{log4j_config}",
         )
     for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -608,6 +608,23 @@ def dedup_ingest_stream(
     )
 
 
+#: Test-only fault injection (VERDICT r10 item 6): when set, called at
+#: named points inside the ingest batch; a hook that raises simulates
+#: a process crash at exactly that point, and the test then re-drives
+#: the batch to prove the crash window is replay-safe. Points:
+#:   "after_funnel_write"      -- curation: funnel row landed, dedup not run
+#:   "after_digest_tmp_write"  -- digests__new<id> written, corpus not yet
+#:   "after_corpus_write"      -- corpus/batch=<id> written, swap not yet
+#: Never set in production code; the default None compiles to two loads
+#: per batch, not a branch per row.
+FAULT_HOOK = None
+
+
+def _fault(point: str) -> None:
+    if FAULT_HOOK is not None:
+        FAULT_HOOK(point)
+
+
 def dedup_ingest_batch(
     batch: DataFrame,
     batch_id: int,
@@ -670,11 +687,13 @@ def dedup_ingest_batch(
     )
     tmp = digests_path + f"__new{batch_id}"
     updated.write.mode("overwrite").parquet(tmp)
+    _fault("after_digest_tmp_write")
     if n_novel:
         # Idempotent: batch-keyed directory + overwrite (see docstring).
         novel.write.mode("overwrite").parquet(
             os.path.join(corpus_path, f"batch={batch_id}")
         )
+    _fault("after_corpus_write")
     if seen is None:
         # first batch: nothing live to move aside
         spark.read.parquet(tmp).write.mode("overwrite").parquet(
@@ -771,6 +790,7 @@ def curation_ingest_batch(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "funnel", f"batch={batch_id}")
     )
+    _fault("after_funnel_write")
     dedup_ingest_batch(gated, batch_id, out_dir, text_col, id_col)
 
 
