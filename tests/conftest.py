@@ -69,6 +69,7 @@ _FULL_MODULES = {
     "test_curation_stream",     # 35s
     "test_zipsource",           # 34s
     "test_lineage",             # 45s reliable-checkpoint e2e
+    "test_executor_kill",       # ~3-5 min local-cluster kill e2e
     "test_stats_ops",           # 25s
     "test_round6_ops",          # 22s
 }

@@ -1,0 +1,177 @@
+#!/usr/bin/env python3
+"""Correctness at the BENCH scale, not just speed (VERDICT r10 item 5).
+
+The driver's oracle gate runs at sf0.01; sf1.0 (``.benchdata/sf1.0``,
+tools/make_sf1_benchdata.py) has only ever been timed. This script
+certifies the heavy dedup/similarity answers AT sf1.0 two independent
+ways:
+
+1. **Exact oracle equality at sf1.0** -- the five names VERDICT r10
+   called out (q50, q119, q135, q189, q90) run through the SAME
+   DuckDB-oracle comparison the local harness uses at sf0.01, but on
+   the sf1.0 parquet. An at-scale bug the sf0.01 gate cannot see
+   (overflow past a threshold, a cap silently truncating, a skew path
+   activating incorrectly) breaks exact equality here.
+2. **Designed x10 closed forms** -- the generator replicates sf0.1 ten
+   key-remapped, text-decorrelated ways, so for copy-local answers the
+   sf1.0 summary MUST be exactly 10x the sf0.1 summary: q50's
+   n_copies histogram, q90's cluster-size histogram, q189's pair
+   count + jaccard histogram, q119's total paragraph count. A
+   prerequisite check proves the design's premise on the actual data:
+   ZERO sf0.1 texts are fixed points of the copy transform (all
+   tokens stopword/empty), so no cross-copy text ever collides.
+   (q135 is exact-checked only: its batch-1 split is ``doc_id < 250``,
+   which at sf1.0 is copy 0 only -- structurally not a x10 shape.)
+
+Writes SCALE_CORRECTNESS_r{N}.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+from collections import Counter  # noqa: E402
+
+from pos_data_insertion_etl_spark.plans import all_queries  # noqa: E402
+from pos_data_insertion_etl_spark.session import get_session  # noqa: E402
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = os.environ.get(
+    "SPARK_GRAFT_SF1_OUT", os.path.join(_REPO, ".benchdata", "sf1.0")
+)
+OUT = os.path.join(_REPO, "SCALE_CORRECTNESS_r11.json")
+
+EXACT_NAMES = [
+    "q50_dedup_exact",
+    "q119_paragraph_dedup",
+    "q135_incremental_exact_dedup",
+    "q189_setsim_prefix_join",
+    "q90_neardup_pipeline",
+]
+
+_GATE_STOPWORDS = ("the", "a")
+
+
+def _invariant_text_count(con) -> int:
+    """sf0.1 texts fixed by the copy transform (every single-space
+    token empty or a gate stopword): the cross-copy collision mass.
+    Must be 0 for the x10 closed forms to be exact."""
+    sw = ", ".join(f"'{w}'" for w in _GATE_STOPWORDS)
+    return con.execute(
+        "SELECT COUNT(*) FROM documents WHERE len(list_filter("
+        f"string_split(text, ' '), x -> x != '' AND x NOT IN ({sw}))) = 0"
+    ).fetchone()[0]
+
+
+def _hist(rows, keyfn) -> dict:
+    return dict(Counter(keyfn(r) for r in rows))
+
+
+def _summaries(name: str, rows) -> dict:
+    """Copy-invariant summaries whose sf1.0 value must be exactly 10x
+    the sf0.1 value (keeper/doc ids differ per copy; these don't)."""
+    if name == "q50_dedup_exact":
+        return {"n_copies_hist": _hist(rows, lambda r: int(r.n_copies))}
+    if name == "q90_neardup_pipeline":
+        sizes = Counter(r.keeper_id for r in rows)
+        return {"cluster_size_hist": dict(Counter(sizes.values()))}
+    if name == "q189_setsim_prefix_join":
+        return {
+            "n_pairs": len(rows),
+            "jaccard_hist": _hist(rows, lambda r: float(r.jaccard)),
+        }
+    if name == "q119_paragraph_dedup":
+        return {
+            "n_docs": len(rows),
+            "total_paras": sum(int(r.n_paras) for r in rows),
+        }
+    return {}
+
+
+def _times_ten(sf01: dict, sf1: dict) -> list[str]:
+    """Mismatch descriptions; empty = every summary is exactly 10x."""
+    errs = []
+    for key, v01 in sf01.items():
+        v1 = sf1.get(key)
+        if isinstance(v01, dict):
+            want = {k: 10 * v for k, v in v01.items()}
+            if v1 != want:
+                errs.append(f"{key}: sf1={v1} != 10x sf0.1={want}")
+        else:
+            if v1 != 10 * v01:
+                errs.append(f"{key}: sf1={v1} != 10*{v01}")
+    return errs
+
+
+def main() -> None:
+    from oracle_harness import compare, duck_connection
+
+    assert os.path.isdir(SF1), (
+        f"{SF1} missing -- run tools/make_sf1_benchdata.py first"
+    )
+    registry = all_queries()
+    spark = get_session("pos-etl-scale-correctness", shuffle_partitions=32)
+    out: dict = {"sf01": SF01, "sf1": SF1, "exact": {}, "times10": {}}
+
+    con01 = duck_connection(SF01)
+    con1 = duck_connection(SF1)
+
+    inv = _invariant_text_count(duck_connection(SF01))
+    out["invariant_texts_sf01"] = inv
+    print(f"copy-transform fixed-point texts at sf0.1: {inv}", flush=True)
+    assert inv == 0, "x10 closed forms need zero cross-copy collisions"
+
+    for name in EXACT_NAMES:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        # 1. exact oracle equality at sf1.0 (the at-scale gate)
+        ok, msg = compare(spec.spark(spark, SF1), con1, spec.oracle)
+        sec = round(time.perf_counter() - t0, 1)
+        out["exact"][name] = {"ok": bool(ok), "sec": sec}
+        if not ok:
+            out["exact"][name]["err"] = str(msg)[:500]
+        print(
+            f"  exact@sf1.0 {name}: {'GREEN' if ok else 'RED ' + str(msg)[:200]}"
+            f" ({sec}s)",
+            flush=True,
+        )
+        # 2. designed x10 closed form (q135 exempt -- see docstring)
+        if name == "q135_incremental_exact_dedup":
+            continue
+        s01 = _summaries(name, spec.spark(spark, SF01).collect())
+        s1 = _summaries(name, spec.spark(spark, SF1).collect())
+        errs = _times_ten(s01, s1)
+        out["times10"][name] = {
+            "ok": not errs,
+            "sf01": {k: (v if not isinstance(v, dict) else len(v))
+                     for k, v in s01.items()},
+        }
+        if errs:
+            out["times10"][name]["errs"] = errs
+        print(
+            f"  x10 {name}: {'GREEN' if not errs else 'RED ' + '; '.join(errs)[:300]}",
+            flush=True,
+        )
+
+    spark.stop()
+    with open(OUT, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"wrote {OUT}", flush=True)
+    bad = [n for n, r in out["exact"].items() if not r["ok"]] + [
+        n for n, r in out["times10"].items() if not r["ok"]
+    ]
+    if bad:
+        print(f"FAILURES: {bad}", flush=True)
+        sys.exit(1)
+    print("SCALE CORRECTNESS OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
