@@ -24,6 +24,13 @@ algorithms on Spark:
 The operator raises after ``max_iter`` rather than silently returning
 half-propagated labels; with jumping, 30 rounds covers any graph a
 dedup pipeline can produce (diameter up to ~2^30).
+
+GIANT components: the jump's label-keyed join degenerates once labels
+converge (every member carries the root id -- one heavy key per giant
+component; measured round-11, PLANS.md). For graphs dominated by one
+huge component use :func:`connected_components_stars` (alternating
+large-star/small-star; node-keyed joins, combinable mins) -- q291
+certifies it on exactly that shape.
 """
 
 from __future__ import annotations
@@ -140,6 +147,121 @@ def connected_components(
         f"connected_components did not converge in {max_iter} iterations; "
         "graph diameter exceeds the bound -- raise max_iter or use "
         "pointer doubling"
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round over a SYMMETRIC edge set [a, b]: every
+    node's strictly-larger neighbors re-attach to the minimum of its
+    closed neighborhood. The min is a groupBy aggregate (map-side
+    combinable -- a component-sized group costs one partial row per
+    partition, never a one-key shuffle of the membership)."""
+    mins = sym.groupBy("a").agg(F.min("b").alias("mb")).select(
+        "a", F.least("mb", "a").alias("m")
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge toward the smaller id,
+    then re-attach each node's smaller-or-equal neighbors (and itself)
+    to the minimum among them."""
+    oriented = edges.filter(F.col("a") != F.col("b")).select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        oriented.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(mins.select(F.col("a"), F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_stars(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """DataFrame[node, component] via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) -- the GIANT-COMPONENT-safe alternative to
+    :func:`connected_components`'s pointer jumping.
+
+    Why a second algorithm: pointer jumping's jump step joins on the
+    LABEL column (`label == jnode`), and once labels converge every
+    member of a component carries the root's id -- the join key
+    distribution degenerates to one heavy key per giant component, and
+    one reduce task drags every remaining round (measured: a 3M-node
+    single path crawls with a (31+1)/32 straggler per stage; see
+    PLANS.md round-11). Star contraction never joins on labels: both
+    phases join on NODE ids (key frequency == current degree, which
+    AQE's skew split can partition) and their min-aggregations are
+    map-side combinable, so a component-sized group costs one partial
+    row per partition per round. Rounds are O(log n) w.h.p.
+
+    For the engine's documented near-dup workload (many SMALL
+    components) the default pointer jumping is equal-or-faster at low
+    round counts and stays the default; route giant-component graphs
+    (social/web-scale link data) here. Results are identical:
+    component = min node id.
+
+    Iterates until the edge set reaches the stable star form (both
+    phases fixpoints), checked exactly via a symmetric-difference
+    count; each phase output runs through lineage.cut_lineage, so a
+    cluster run with spark.pos_etl.reliableCheckpointDir set survives
+    executor loss mid-iteration (same contract as pointer jumping).
+    """
+    sym0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        sym0.select("a")
+        .union(sym0.select(F.col("b").alias("a")))
+        .distinct()
+        .select(F.col("a").alias("node"))
+        .transform(cut_lineage, eager=True)
+    )
+    e = (
+        sym0.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .transform(cut_lineage, eager=True)
+    )
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        grown = _large_star(sym)
+        grown = grown.transform(cut_lineage, eager=True)
+        nxt = _small_star(grown).transform(cut_lineage, eager=True)
+        # Exact fixpoint test: small-star output is canonically oriented
+        # (a > b) and distinct, so set equality == zero symmetric diff.
+        changed = (
+            nxt.exceptAll(e).select(F.lit(1)).union(
+                e.exceptAll(nxt).select(F.lit(1))
+            )
+        ).count()
+        e = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_stars did not converge in {max_iter} "
+            "rounds -- raise max_iter"
+        )
+    # Stable star: e holds (member, root) for every non-root member.
+    return nodes.join(
+        e.select(F.col("a").alias("node"), F.col("b").alias("component")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
     )
 
 

@@ -79,6 +79,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops26,
         llm_ops27,
         llm_ops28,
+        llm_ops29,
         media_ops,
         pos_ops,
         relational,

@@ -264,6 +264,14 @@ _NEW_SINCE_R10: frozenset[str] = frozenset(
     }
 )
 
+_NEW_SINCE_R11: frozenset[str] = frozenset(
+    {
+        # batch Z: giant-component-safe star-contraction CC
+        # (plans/llm_ops29.py, the round-11 pointer-jump skew finding)
+        "q291_cc_giant_star",
+    }
+)
+
 #: Every post-r4 bookkeeping set, for the reconstruction filters and
 #: the registration meta-test. ADD NEW ROUNDS HERE.
 _ALL_NEW_SINCE: dict[str, frozenset[str]] = {
@@ -274,6 +282,7 @@ _ALL_NEW_SINCE: dict[str, frozenset[str]] = {
     "_NEW_SINCE_R8": _NEW_SINCE_R8,
     "_NEW_SINCE_R9": _NEW_SINCE_R9,
     "_NEW_SINCE_R10": _NEW_SINCE_R10,
+    "_NEW_SINCE_R11": _NEW_SINCE_R11,
 }
 
 #: The round-4 registry was exactly q01..q123 -- a closed historical
