@@ -71,6 +71,7 @@ _FULL_MODULES = {
     "test_lineage",             # 45s reliable-checkpoint e2e
     "test_executor_kill",       # ~3-5 min local-cluster kill e2e
     "test_localcluster_smoke",  # ~2-3 min local-cluster oracle slice
+    "test_cc_stars",            # 67s iterative CC property suite
     "test_stats_ops",           # 25s
     "test_round6_ops",          # 22s
 }

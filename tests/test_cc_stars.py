@@ -93,6 +93,44 @@ def test_stars_single_edge_and_star_input(spark):
     ) == {1: 1, 5: 1, 7: 1, 9: 1}
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=25),
+                st.integers(min_value=0, max_value=25),
+            ),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def test_stars_matches_union_find_property(spark, pairs):
+        """Hypothesis contract: on ANY small graph (self loops,
+        duplicates, disconnected nodes, empty), star contraction equals
+        the driver union-find ground truth."""
+        if not pairs:
+            df = spark.createDataFrame([], "src long, dst long")
+            assert connected_components_stars(df).count() == 0
+            return
+        got = _labels(connected_components_stars(_edges_df(spark, pairs)))
+        assert got == _driver_union_find(pairs)
+
+
 def test_stars_respects_reliable_checkpoint_conf(spark, tmp_path):
     """Result equality through the reliable-checkpoint path (the same
     contract pointer jumping honors -- lineage.cut_lineage routing)."""
