@@ -60,18 +60,38 @@ from pos_data_insertion_etl_spark.plans import all_queries  # noqa: E402
 _ALIAS_PREFIX = re.compile(r"^00r\d+_")
 
 
+def _correctness_artifacts() -> list[tuple[int, dict]]:
+    """(round, rows) for every committed driver CORRECTNESS artifact.
+
+    ONE file-name contract for every evidence reader (ADVICE r11): only
+    ``CORRECTNESS_r<digits>.json`` counts. Previously the green/
+    certified readers globbed looser than the latest-round reader, so a
+    name green only in an off-contract file (e.g. ``..._r11b.json``)
+    would be "green" with no "latest round" -- silently ranked stalest
+    and a KeyError in the rotation meta-test."""
+    out: list[tuple[int, dict]] = []
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            out.append((int(m.group(1)), rows))
+    return out
+
+
 def driver_certified_names() -> frozenset[str]:
     """Canonical names with >=1 row in any committed driver CORRECTNESS
     artifact (the official evidence ledger, rounds 1..N)."""
-    names: set[str] = set()
-    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
-        try:
-            with open(path, encoding="utf-8") as fh:
-                keys = json.load(fh).keys()
-        except (OSError, ValueError):
-            continue
-        names.update(_ALIAS_PREFIX.sub("", k) for k in keys)
-    return frozenset(names)
+    return frozenset(
+        _ALIAS_PREFIX.sub("", k)
+        for _, rows in _correctness_artifacts()
+        for k in rows
+    )
 
 
 def driver_green_names() -> frozenset[str]:
@@ -79,19 +99,7 @@ def driver_green_names() -> frozenset[str]:
     true) in any committed CORRECTNESS artifact. Rows recording an err
     (e.g. `no_oracle`) or a failed compare do not count -- evidence of
     an attempted check is not evidence of correctness."""
-    names: set[str] = set()
-    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
-        try:
-            with open(path, encoding="utf-8") as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        names.update(
-            _ALIAS_PREFIX.sub("", k)
-            for k, rec in rows.items()
-            if isinstance(rec, dict) and rec.get("hash_match") is True
-        )
-    return frozenset(names)
+    return frozenset(driver_green_latest_round())
 
 
 def driver_green_latest_round() -> dict[str, int]:
@@ -99,16 +107,7 @@ def driver_green_latest_round() -> dict[str, int]:
     whose committed CORRECTNESS artifact holds a fully green row
     (hash_match true) for it."""
     latest: dict[str, int] = {}
-    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            with open(path, encoding="utf-8") as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
+    for rnd, rows in _correctness_artifacts():
         for k, rec in rows.items():
             if isinstance(rec, dict) and rec.get("hash_match") is True:
                 name = _ALIAS_PREFIX.sub("", k)

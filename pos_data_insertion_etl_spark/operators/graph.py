@@ -27,10 +27,14 @@ dedup pipeline can produce (diameter up to ~2^30).
 
 GIANT components: the jump's label-keyed join degenerates once labels
 converge (every member carries the root id -- one heavy key per giant
-component; measured round-11, PLANS.md). For graphs dominated by one
-huge component use :func:`connected_components_stars` (alternating
-large-star/small-star; node-keyed joins, combinable mins) -- q291
-certifies it on exactly that shape.
+component; measured round-11, PLANS.md). Since round 12 the routing is
+CODE, not a docstring: the default ``method="auto"`` folds a
+max-label-frequency probe into each round's convergence aggregate and
+switches mid-stream to :func:`connected_components_stars` (alternating
+large-star/small-star; node-keyed joins, combinable mins) the moment
+the probe sees a heavy label -- carrying the jump rounds' progress as
+shortcut edges, so no work is thrown away. q291 certifies stars on
+exactly the adversarial shape; q292 certifies the mid-stream switch.
 """
 
 from __future__ import annotations
@@ -66,6 +70,9 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 30,
     driver_threshold: int = 100_000,
+    method: str = "auto",
+    skew_switch_threshold: int = 200_000,
+    skew_switch_rounds: int = 8,
 ) -> DataFrame:
     """DataFrame[node, component] for the undirected graph of ``edges``;
     component = min node id in the component.
@@ -80,12 +87,40 @@ def connected_components(
     distributed path (tests use it to pin the iteration's own
     correctness; q88 runs with it as the convergence proof).
 
+    ``method`` selects the distributed algorithm:
+
+    * ``"auto"`` (default) -- pointer jumping with a per-round skew
+      probe: the convergence check is ONE aggregation job that also
+      yields the max label frequency (groupBy(label) with map-side
+      combine -- no extra job vs the old plain count). The moment any
+      label's frequency exceeds ``skew_switch_threshold``, or the loop
+      is still unconverged after ``skew_switch_rounds`` rounds (a
+      diameter that long means star contraction is competitive anyway),
+      the operator switches MID-STREAM to
+      :func:`connected_components_stars`, feeding it the original edges
+      PLUS the (node, label) shortcut edges accumulated so far --
+      shortcuts are always within-component, so correctness is
+      unaffected and the jump rounds' progress shrinks the effective
+      diameter stars has to contract. This closes the round-11 hazard
+      (VERDICT r11): a giant component's converged labels collapse the
+      jump's label-keyed join onto one heavy key (measured DNF >550 s
+      on a 3M-node path that stars finishes in ~124 s), and previously
+      the routing advice lived only in a docstring.
+    * ``"jump"`` -- pure pointer jumping, no probe, no switch (pins the
+      r11 behavior for tests and measurements).
+    * ``"stars"`` -- delegate directly to
+      :func:`connected_components_stars`.
+
     Near-dup pair graphs are almost always tiny relative to the corpus
     (pairs ~ duplicates, not documents), so at 100 TB the driver path
     is usually still the right plan for the CLUSTERING stage even when
     every upstream stage is huge; raise the threshold knowingly if the
     driver has the memory.
     """
+    if method not in ("auto", "jump", "stars"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "stars":
+        return connected_components_stars(edges, src=src, dst=dst)
     if driver_threshold:
         # One job decides the path AND, when small, delivers the pairs:
         # take(threshold+1) instead of count()-then-collect(), which would
@@ -110,7 +145,7 @@ def connected_components(
         .transform(cut_lineage, eager=True)
     )
     sym = sym.transform(cut_lineage, eager=True)
-    for _ in range(max_iter):
+    for round_idx in range(max_iter):
         # min neighbor label per node, one shuffle
         nbr = (
             sym.join(labels, sym.b == labels.node)
@@ -139,15 +174,64 @@ def connected_components(
             )
             .transform(cut_lineage, eager=True)
         )
-        changed = updated.filter(F.col("label") != F.col("old_label")).count()
+        if method == "jump":
+            changed = (
+                updated.filter(F.col("label") != F.col("old_label")).count()
+            )
+            max_cnt = 0
+        else:
+            # Convergence + skew probe in ONE job: per-label partials
+            # are map-side combinable, so even a fully-converged giant
+            # component contributes one row per map partition here --
+            # the probe never suffers the skew it is detecting.
+            stats = (
+                updated.groupBy("label")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum(
+                        (F.col("label") != F.col("old_label")).cast("long")
+                    ).alias("chg"),
+                )
+                .agg(
+                    F.max("cnt").alias("max_cnt"),
+                    F.sum("chg").alias("changed"),
+                )
+                .first()
+            )
+            max_cnt, changed = stats["max_cnt"], stats["changed"]
         labels = updated.select("node", "label")
         if changed == 0:
             return labels.withColumnRenamed("label", "component")
+        if method == "auto" and (
+            max_cnt > skew_switch_threshold
+            or round_idx + 1 >= skew_switch_rounds
+        ):
+            return _switch_to_stars(sym, labels)
+    if method == "auto":
+        # Unconverged at max_iter (only reachable when max_iter <
+        # skew_switch_rounds): hand the accumulated progress to stars
+        # rather than raising -- stars' own max_iter is the backstop.
+        return _switch_to_stars(sym, labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations; "
         "graph diameter exceeds the bound -- raise max_iter or use "
         "pointer doubling"
     )
+
+
+def _switch_to_stars(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """Mid-stream hand-off from pointer jumping to star contraction:
+    original (symmetric) edges PLUS the current (node, label) shortcut
+    edges. Labels alone are NOT a valid star input mid-stream -- a node
+    whose label is still itself has no shortcut edge, so the label
+    graph can disconnect a component -- but labels are always min ids
+    seen along a path WITHIN the node's component, so the union keeps
+    connectivity exactly while shrinking the effective diameter by the
+    distance the jump rounds already covered."""
+    shortcuts = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("a"), F.col("label").alias("b")
+    )
+    return connected_components_stars(sym.union(shortcuts), src="a", dst="b")
 
 
 def _large_star(sym: DataFrame) -> DataFrame:

@@ -80,6 +80,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops27,
         llm_ops28,
         llm_ops29,
+        llm_ops30,
         media_ops,
         pos_ops,
         relational,

@@ -124,7 +124,36 @@ def get_session(
     applied LAST, so they win over the defaults here.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    requested_master = master
     master = master or f"local[{cpus}]"
+    # getOrCreate() silently returns any already-active session and
+    # DROPS launch-time settings (master, executor memory, fault
+    # injection) -- a caller pinning those would get a mismatched
+    # session with none applied (ADVICE r11). Fail loudly instead; the
+    # cluster/fault tools run in fresh subprocesses for this reason.
+    active = SparkSession.getActiveSession()
+    if active is not None and (extra_confs or requested_master):
+        active_master = active.conf.get("spark.master", "")
+        if requested_master and active_master != requested_master:
+            raise RuntimeError(
+                "get_session: an active session already runs with "
+                f"master={active_master!r}; the requested master="
+                f"{requested_master!r} (a launch-time setting) cannot be "
+                "applied to it. Stop the session first or run in a fresh "
+                "process."
+            )
+        missing = {
+            k: v
+            for k, v in (extra_confs or {}).items()
+            if active.conf.get(k, None) != v
+        }
+        if missing:
+            raise RuntimeError(
+                "get_session: an active session exists; extra_confs are "
+                "launch-time settings getOrCreate() would silently drop: "
+                f"{sorted(missing)}. Stop the session first or run in a "
+                "fresh process."
+            )
     if master.startswith("local-cluster"):
         # local-cluster spawns real Worker JVMs; they locate spark via
         # SPARK_HOME, which a pip install does not export.

@@ -74,21 +74,24 @@ def _split_top_level(schema_ddl: str) -> list[str]:
     ``array<struct<a int, b int>>``, ``map<string,int>``) parse as one
     field instead of mis-splitting on their inner commas (ADVICE r10)."""
     fields: list[str] = []
-    depth = 0
+    stack: list[str] = []
     start = 0
+    closer = {">": "<", ")": "("}
     for i, ch in enumerate(schema_ddl):
         if ch in "<(":
-            depth += 1
+            stack.append(ch)
         elif ch in ">)":
-            depth -= 1
-            if depth < 0:
+            # Brackets must close with their own kind (ADVICE r11):
+            # 'decimal(10,2>' fails HERE with a clear error instead of
+            # deep inside Spark's DDL parser.
+            if not stack or stack.pop() != closer[ch]:
                 raise ValueError(
                     f"values_frame: unbalanced type brackets in {schema_ddl!r}"
                 )
-        elif ch == "," and depth == 0:
+        elif ch == "," and not stack:
             fields.append(schema_ddl[start:i])
             start = i + 1
-    if depth != 0:
+    if stack:
         raise ValueError(
             f"values_frame: unbalanced type brackets in {schema_ddl!r}"
         )

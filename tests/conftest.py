@@ -72,6 +72,7 @@ _FULL_MODULES = {
     "test_executor_kill",       # ~3-5 min local-cluster kill e2e
     "test_localcluster_smoke",  # ~2-3 min local-cluster oracle slice
     "test_cc_stars",            # 67s iterative CC property suite
+    "test_cc_autoroute",        # 120s jump->stars mid-stream switch
     "test_stats_ops",           # 25s
     "test_round6_ops",          # 22s
 }

@@ -272,6 +272,15 @@ _NEW_SINCE_R11: frozenset[str] = frozenset(
     }
 )
 
+_NEW_SINCE_R12: frozenset[str] = frozenset(
+    {
+        # batch AA: giant-component auto-route (jump->stars mid-stream
+        # switch) as the default code path (plans/llm_ops30.py,
+        # VERDICT r11 item 1)
+        "q292_cc_autoroute_switch",
+    }
+)
+
 #: Every post-r4 bookkeeping set, for the reconstruction filters and
 #: the registration meta-test. ADD NEW ROUNDS HERE.
 _ALL_NEW_SINCE: dict[str, frozenset[str]] = {
@@ -283,6 +292,7 @@ _ALL_NEW_SINCE: dict[str, frozenset[str]] = {
     "_NEW_SINCE_R9": _NEW_SINCE_R9,
     "_NEW_SINCE_R10": _NEW_SINCE_R10,
     "_NEW_SINCE_R11": _NEW_SINCE_R11,
+    "_NEW_SINCE_R12": _NEW_SINCE_R12,
 }
 
 #: The round-4 registry was exactly q01..q123 -- a closed historical

@@ -156,24 +156,35 @@ def scenario_reliable(spark, n: int, kill_after: float, out: dict) -> bool:
     try:
         th = _kill_one_executor_after(kill_after, rec)
         t0 = time.perf_counter()
-        rows, ncomp, mincomp = _run_cc(spark, n)
+        # A kill landing while a checkpoint write is in flight can make
+        # even the reliable path raise transiently; record the failure
+        # instead of letting it escape, so main()'s 3-attempt loop
+        # re-drives a failed run before asserting (ADVICE r11).
+        err = ""
+        result = None
+        try:
+            result = list(_run_cc(spark, n))
+        except Exception as exc:  # noqa: BLE001 -- recorded, retried by main
+            err = repr(exc)[:400]
         t_end = time.perf_counter()
         th.join(timeout=kill_after + 10)
         probative = (
             rec.get("killed_pid") is not None
             and rec.get("kill_time", t_end + 1) < t_end
         )
+        correct = result is not None and tuple(result) == _expected(n)
         out["reliable"] = {
             "n": n,
             "kill_after_sec": kill_after,
             "killed_pid": rec.get("killed_pid"),
             "kill_before_job_end": probative,
             "wall_sec": round(t_end - t0, 2),
-            "result": [rows, ncomp, mincomp],
-            "correct": (rows, ncomp, mincomp) == _expected(n),
+            "result": result,
+            "error": err,
+            "correct": correct,
         }
-        assert (rows, ncomp, mincomp) == _expected(n), out["reliable"]
-        return probative
+        # Probative AND correct == done; anything else lets main retry.
+        return probative and correct
     finally:
         spark.conf.set(CONF_KEY, "")
         import shutil
@@ -253,7 +264,11 @@ def main() -> None:
         print(f"reliable: {out['reliable']}", flush=True)
         if ok:
             break
-        print("kill raced job end; retrying", flush=True)
+        print(
+            "reliable run not conclusive (kill raced job end, or a "
+            "transient in-flight-checkpoint failure); retrying",
+            flush=True,
+        )
         time.sleep(5)  # let the worker respawn the executor
     assert out["reliable"]["correct"]
     assert out["reliable"]["kill_before_job_end"], (
