@@ -355,17 +355,26 @@ def pos_stream_ingest(
         records = records_from_paths(batch_df.select("path"))
         batch_sku = sku_merge(sku_temp(records)).persist()
         try:
-            if batch_sku.isEmpty():
-                return
-            # tiny driver list: the batch's distinct business dates
+            # ONE action learns the batch's distinct business dates AND
+            # answers the emptiness check (no dates == no rows) AND
+            # materializes the persist -- the old isEmpty() probe was a
+            # whole extra job per micro-batch (ADVICE-style action
+            # audit, VERDICT r11 item 7: per-batch action count is the
+            # local-cluster IPC tax).
             dates = [
                 r[0] for r in batch_sku.select(BUSINESS_DATE).distinct().collect()
             ]
+            if not dates:
+                return
             from pyspark.errors import AnalysisException
 
             try:
+                # batch_sku's schema IS the mart's schema: passing it
+                # skips the per-batch footer-inference job (r12 action
+                # audit).
                 prior_keys = (
-                    session.read.parquet(sku_path)
+                    session.read.schema(batch_sku.schema)
+                    .parquet(sku_path)
                     .filter(F.col(BUSINESS_DATE).isin(dates))
                     .select(*SKU_KEY)
                 )
@@ -392,7 +401,8 @@ def pos_stream_ingest(
             # mart (partition-pruned scan), dynamic-overwrite only those
             # date partitions.
             sku = (
-                session.read.parquet(sku_path)
+                session.read.schema(batch_sku.schema)
+                .parquet(sku_path)
                 .filter(F.col(BUSINESS_DATE).isin(dates))
                 .persist()
             )
@@ -631,10 +641,16 @@ def dedup_ingest_batch(
     out_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_input: int | None = None,
 ) -> None:
     """One micro-batch of dedup_ingest_stream, exposed module-level so
     crash-injection tests can drive individual batches (and re-drive
-    them) without a streaming query wrapper."""
+    them) without a streaming query wrapper.
+
+    ``n_input``: the batch's row count when the CALLER already knows it
+    (curation_ingest_batch's funnel observation does) -- skips the
+    emptiness-probe job here. None keeps the probe for direct callers.
+    """
     import os
 
     from pyspark.errors.exceptions.captured import AnalysisException
@@ -646,12 +662,15 @@ def dedup_ingest_batch(
 
     corpus_path = os.path.join(out_dir, "corpus")
     digests_path = os.path.join(out_dir, "digests")
-    if not batch.head(1):
+    if n_input == 0 or (n_input is None and not batch.head(1)):
         return
     spark = batch.sparkSession
     restore_crashed_swap(spark, digests_path)
     try:
-        seen = spark.read.parquet(digests_path)
+        # Explicit schema: the digest table's shape is fixed, and
+        # schema inference costs a footer-read JOB per batch (measured
+        # in the r12 action audit, tools/action_count.py).
+        seen = spark.read.schema("digest string").parquet(digests_path)
     except AnalysisException:
         seen = None
     novel, _ = incremental_exact_dedup(batch, seen, text_col, id_col)
@@ -696,7 +715,7 @@ def dedup_ingest_batch(
     _fault("after_corpus_write")
     if seen is None:
         # first batch: nothing live to move aside
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(
+        spark.read.schema("digest string").parquet(tmp).write.mode("overwrite").parquet(
             digests_path
         )
         _fs_delete(spark, tmp)
@@ -791,7 +810,12 @@ def curation_ingest_batch(
         os.path.join(out_dir, "funnel", f"batch={batch_id}")
     )
     _fault("after_funnel_write")
-    dedup_ingest_batch(gated, batch_id, out_dir, text_col, id_col)
+    # n_input from the funnel observation: the dedup stage skips its
+    # own emptiness-probe job (one fewer action per micro-batch).
+    dedup_ingest_batch(
+        gated, batch_id, out_dir, text_col, id_col,
+        n_input=int(m["n_gated"]),
+    )
 
 
 def quantile_monitor_stream(

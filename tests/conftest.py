@@ -73,6 +73,8 @@ _FULL_MODULES = {
     "test_localcluster_smoke",  # ~2-3 min local-cluster oracle slice
     "test_cc_stars",            # 67s iterative CC property suite
     "test_cc_autoroute",        # 120s jump->stars mid-stream switch
+    "test_cc_giant_scale",      # ~150s 3M-path DNF tripwire
+    "test_curation_chaos",      # ~90s seeded multi-batch crash replay
     "test_stats_ops",           # 25s
     "test_round6_ops",          # 22s
 }
