@@ -75,6 +75,7 @@ _FULL_MODULES = {
     "test_cc_autoroute",        # 120s jump->stars mid-stream switch
     "test_cc_giant_scale",      # ~150s 3M-path DNF tripwire
     "test_curation_chaos",      # ~90s seeded multi-batch crash replay
+    "test_mempressure",         # ~2-3min constrained local-cluster e2e
     "test_stats_ops",           # 25s
     "test_round6_ops",          # 22s
 }

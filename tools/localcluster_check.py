@@ -65,6 +65,9 @@ MASTER = os.environ.get("SPARK_GRAFT_LC_MASTER", "local-cluster[4,8,8192]")
 SF_WINDOW = os.environ.get("SPARK_GRAFT_LC_SF", "/root/testdata/sf0.01")
 SF_BENCH = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TOP_K = int(os.environ.get("SPARK_GRAFT_LC_TOPK", "10"))
+#: executor heap; shrink together with the master's memoryPerWorker for
+#: the r12 memory-pressure proof (e.g. local-cluster[4,4,2048] + 2g).
+EXEC_MEM = os.environ.get("SPARK_GRAFT_LC_EXECMEM", "6g")
 
 
 def _session():
@@ -77,7 +80,7 @@ def _session():
         shuffle_partitions=32,
         log4j_config=write_log4j_file_config(log),
         extra_confs={
-            "spark.executor.memory": "6g",
+            "spark.executor.memory": EXEC_MEM,
             # 4 workers x 8 cores: the executors must all register
             # before scheduling or early stages run on 1 executor.
             "spark.scheduler.minRegisteredResourcesRatio": "1.0",
@@ -224,7 +227,7 @@ def main() -> None:
     out["wall_sec"] = round(time.perf_counter() - t0, 1)
     spark.stop()
 
-    path = args.out or os.path.join(_REPO, "LOCALCLUSTER_r11.json")
+    path = args.out or os.path.join(_REPO, "LOCALCLUSTER_r12.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(f"wrote {path}", flush=True)

@@ -23,6 +23,17 @@ ways:
    (q135 is exact-checked only: its batch-1 split is ``doc_id < 250``,
    which at sf1.0 is copy 0 only -- structurally not a x10 shape.)
 
+Round 12 (VERDICT r11 item 3) widens axis 1 to the ITERATIVE/STATEFUL
+family -- the operators whose BEHAVIOR changes with scale (round
+counts, convergence, per-batch state): q212 (iterative BFS over the
+co-purchase graph), q182 (Lloyd k-means over embeddings), q274
+(streamed curation replay with carried digest state), q141 (fixed-
+point PageRank), q192 (k-core peeling). Each runs exact DuckDB-oracle
+equality at sf1.0 -- their oracles unroll the same number of rounds by
+contract, so any scale-dependent divergence (an extra iteration, a
+skew path changing results, replay instability at 10x state) breaks
+the hash.
+
 Writes SCALE_CORRECTNESS_r{N}.json at the repo root.
 """
 
@@ -46,7 +57,9 @@ SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF1 = os.environ.get(
     "SPARK_GRAFT_SF1_OUT", os.path.join(_REPO, ".benchdata", "sf1.0")
 )
-OUT = os.path.join(_REPO, "SCALE_CORRECTNESS_r11.json")
+OUT = os.environ.get(
+    "SPARK_GRAFT_SCALE_OUT", os.path.join(_REPO, "SCALE_CORRECTNESS_r12.json")
+)
 
 EXACT_NAMES = [
     "q50_dedup_exact",
@@ -54,6 +67,13 @@ EXACT_NAMES = [
     "q135_incremental_exact_dedup",
     "q189_setsim_prefix_join",
     "q90_neardup_pipeline",
+    # r12: the iterative/stateful family (exact-only -- their outputs
+    # are not copy-local, so no x10 closed form applies; see _summaries)
+    "q212_bfs_distances",
+    "q182_kmeans_lloyd",
+    "q274_streamed_curation_replay",
+    "q141_pagerank",
+    "q192_kcore",
 ]
 
 _GATE_STOPWORDS = ("the", "a")
@@ -142,8 +162,10 @@ def main() -> None:
             f" ({sec}s)",
             flush=True,
         )
-        # 2. designed x10 closed form (q135 exempt -- see docstring)
-        if name == "q135_incremental_exact_dedup":
+        # 2. designed x10 closed form (only where the output is
+        # copy-local: q135 and the iterative/stateful family are
+        # exact-checked only -- _summaries returns {} for them)
+        if not _summaries(name, []):
             continue
         s01 = _summaries(name, spec.spark(spark, SF01).collect())
         s1 = _summaries(name, spec.spark(spark, SF1).collect())
