@@ -300,34 +300,41 @@ _BFS_SENTINEL = 1 << 20
 
 
 def _bfs_oracle() -> str:
+    # AS MATERIALIZED on every multiply-referenced CTE: each d{n} is
+    # consumed twice by round n+1 and `edges` by every round, so
+    # DuckDB's default inlining re-evaluates the whole prefix per
+    # reference -- exponential in hops. At sf0.01 that is invisible; at
+    # sf1.0 the un-hinted form spilled >79 GB of temp and died, the
+    # hinted form runs in 16 s (round-12 scale-correctness finding).
+    # The hint only pins evaluation strategy; results are identical.
     iters = []
     prev = "d0"
     for n in range(1, _BFS_HOPS + 1):
         iters.append(f"""
-m{n} AS (
+m{n} AS MATERIALIZED (
   SELECT e.dst AS node, MIN(s.dist + 1) AS md
   FROM edges e JOIN {prev} s ON s.node = e.src GROUP BY e.dst
 ),
-d{n} AS (
+d{n} AS MATERIALIZED (
   SELECT d.node,
          LEAST(d.dist, COALESCE(m.md, {_BFS_SENTINEL})) AS dist
   FROM {prev} d LEFT JOIN m{n} m ON m.node = d.node
 )""")
         prev = f"d{n}"
     head = f"""
-WITH pr AS (
+WITH pr AS MATERIALIZED (
   SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS ok,
                   CAST(l_partkey AS BIGINT) AS pk
   FROM lineitem
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT DISTINCT a.pk AS src, b.pk AS dst
   FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk <> b.pk
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges
 ),
-d0 AS (
+d0 AS MATERIALIZED (
   SELECT node,
          CASE WHEN node < {_BFS_SEED_LT} THEN 0
               ELSE {_BFS_SENTINEL} END AS dist

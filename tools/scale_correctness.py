@@ -142,6 +142,11 @@ def main() -> None:
 
     con01 = duck_connection(SF01)
     con1 = duck_connection(SF1)
+    # Fail fast instead of filling the disk: the un-hinted q212 oracle
+    # (pre-MATERIALIZED, r12) spilled >79 GB of DuckDB temp and took
+    # the box down mid-run. Any oracle needing more than this at sf1.0
+    # is a bug to fix, not a spill to absorb.
+    con1.execute("SET max_temp_directory_size='40GiB'")
 
     inv = _invariant_text_count(duck_connection(SF01))
     out["invariant_texts_sf01"] = inv
