@@ -61,11 +61,20 @@ b AS (
 ), k AS (
   SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_kept
   FROM keep WHERE rn = 1 GROUP BY batch
+), drv AS (
+  -- every DRIVEN batch id: the ingest writes a funnel row for an
+  -- EMPTY micro-batch too (n_raw=0), so the oracle must anchor on
+  -- the driven ids, not on data-derived groups. (Found by the r12
+  -- sf1.0 exactness run: the key-shifted sf1.0 doc ids leave the
+  -- middle third empty, and a content-grouped oracle lost that row.)
+  SELECT CAST(bi AS BIGINT) AS batch FROM range(0, 3) t(bi)
 )
-SELECT r.batch, r.n_raw,
+SELECT d.batch,
+       CAST(COALESCE(r.n_raw, 0) AS BIGINT) AS n_raw,
        CAST(COALESCE(g.n_gated, 0) AS BIGINT) AS n_gated,
        CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
-FROM raw r LEFT JOIN g USING (batch) LEFT JOIN k USING (batch)
+FROM drv d LEFT JOIN raw r USING (batch)
+LEFT JOIN g USING (batch) LEFT JOIN k USING (batch)
 """
 )
 
