@@ -57,6 +57,10 @@ if mode == "context":
     prefix = bench.HEADLINE[: bench.HEADLINE.index(name)]
     for p in prefix:
         registry[p].spark(spark, sf_dir).collect()
+    # bench.py clears the storage pool between entries (round 12); the
+    # replay must too, or it measures a context the driver bench no
+    # longer has.
+    bench._clear_block_pool(spark)
 
 spec = registry[name]
 spec.spark(spark, sf_dir).collect()  # per-entry warm-up, as bench does

@@ -152,6 +152,45 @@ def run_window(spark, out: dict) -> None:
     }
 
 
+def run_full(spark, out: dict) -> None:
+    """FULL-registry distribution certification (round 12): every
+    registered query, not just the 50-name window + named hazards,
+    oracle-compared at the driver's gate SF under real multi-process
+    isolation. The r10/r11 proofs sampled 56 names; this removes the
+    sampling caveat -- any operator whose closure, literal plan, or
+    temp-dir assumption silently depends on single-JVM local[N]
+    semantics fails here instead of on a real cluster."""
+    from oracle_harness import compare, duck_connection
+
+    registry = all_queries()
+    con = duck_connection(SF_WINDOW)
+    results: dict[str, dict] = {}
+    for name in sorted(registry):
+        spec = registry[name]
+        t0 = time.perf_counter()
+        try:
+            df = spec.spark(spark, SF_WINDOW)
+            if spec.oracle is None:
+                n = df.count()
+                results[name] = {"ok": True, "rows_only": n}
+            else:
+                ok, msg = compare(df, con, spec.oracle)
+                results[name] = {"ok": bool(ok)}
+                if not ok:
+                    results[name]["err"] = str(msg)[:500]
+        except Exception as exc:  # noqa: BLE001 -- survey, don't abort
+            results[name] = {"ok": False, "err": repr(exc)[:500]}
+        results[name]["sec"] = round(time.perf_counter() - t0, 3)
+        status = "GREEN" if results[name]["ok"] else "RED"
+        print(f"  {name}: {status} ({results[name]['sec']}s)", flush=True)
+    out["full"] = {
+        "sf_dir": SF_WINDOW,
+        "green": sum(1 for r in results.values() if r["ok"]),
+        "total": len(results),
+        "results": results,
+    }
+
+
 def _latest_bench_detail() -> tuple[str, dict]:
     best = None
     for f in os.listdir(_REPO):
@@ -206,7 +245,9 @@ def run_bench(spark, out: dict) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", default="all", choices=["window", "bench", "all"])
+    ap.add_argument(
+        "--phase", default="all", choices=["window", "bench", "all", "full"]
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -224,6 +265,9 @@ def main() -> None:
     if args.phase in ("bench", "all"):
         print(f"== bench (top {TOP_K} at sf0.1) ==", flush=True)
         run_bench(spark, out)
+    if args.phase == "full":
+        print("== full registry (sf0.01 oracle compare) ==", flush=True)
+        run_full(spark, out)
     out["wall_sec"] = round(time.perf_counter() - t0, 1)
     spark.stop()
 
@@ -231,9 +275,10 @@ def main() -> None:
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(f"wrote {path}", flush=True)
-    if "window" in out:
-        w = out["window"]
-        print(f"window: {w['green']}/{w['total']} green", flush=True)
+    for phase in ("window", "full"):
+        if phase in out:
+            w = out[phase]
+            print(f"{phase}: {w['green']}/{w['total']} green", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,314 @@
+#!/usr/bin/env python3
+"""Executor-loss durability proof for the STREAMED curation ingest
+(round 12; extends EXECUTORKILL_r11 from the iterative-graph family to
+the foreachBatch family).
+
+Round 11 proved the ingest's crash windows replay-safe with INJECTED
+faults -- exceptions raised at chosen safe points (`_fault` hooks).
+A real executor loss is strictly nastier: SIGKILL lands at an
+arbitrary instant, including mid-parquet-task-write (torn task files
+under `_temporary/`), mid-shuffle, or after a localCheckpoint
+materialized blocks only the dead JVM held. This script runs the
+multi-batch ingest under ``local-cluster[4,8,8192]`` (4 real worker
+JVMs) and SIGKILLs one CoarseGrainedExecutorBackend mid-batch, then
+follows the foreachBatch restart contract (re-drive the failed batch).
+The durability claim it certifies:
+
+* every kill is either ABSORBED (Spark task retry recomputes the lost
+  work from lineage within the same batch attempt) or surfaces as a
+  batch FAILURE whose replay converges -- and in both cases the final
+  corpus + digest table + funnel are byte-equal to a fault-free run;
+* a kill during an at-least-once RE-DELIVERY of an already-committed
+  batch leaves the state untouched (the replay-overwrite protocol
+  tolerates dying mid-overwrite);
+* no torn executor-side task file leaks into any store (equality of
+  the stores IS that assertion -- a leaked `part-*` would change a
+  row count or digest checksum).
+
+Kill realism: os.kill(SIGKILL) on an executor JVM pid found via ps;
+workers and the driver are never touched, and each scenario asserts
+the kill actually preceded batch end (re-delivering the same batch --
+idempotent by contract -- until one kill lands mid-run).
+
+Usage: python tools/streaming_kill_check.py [--out STREAMKILL_r12.json]
+(also driven, smaller, by tests/test_streaming_kill.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from pos_data_insertion_etl_spark.compat import ensure_protobuf  # noqa: E402
+
+ensure_protobuf()
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pos_data_insertion_etl_spark.session import get_session  # noqa: E402
+from pos_data_insertion_etl_spark.streaming.jobs import (  # noqa: E402
+    curation_ingest_batch,
+)
+
+MASTER = os.environ.get("SPARK_GRAFT_LC_MASTER", "local-cluster[4,8,8192]")
+_GATE = dict(min_words=10, stopwords=("the", "a"), min_stopword_hits=1)
+
+#: rows per batch / distinct text universe. Texts are unique WITHIN a
+#: batch (N <= D) and overlap ~50% ACROSS consecutive batches, so the
+#: cross-batch dedup anti-join and the digest swap both carry real
+#: work in every batch -- the kill has many distinct jobs to land in.
+N_ROWS = int(os.environ.get("SPARK_GRAFT_SKILL_N", "400000"))
+D_TEXTS = int(os.environ.get("SPARK_GRAFT_SKILL_D", "600000"))
+N_BATCHES = 6
+_SHIFT = 200000  # novel-text offset per batch
+
+
+def _session():
+    spark = get_session(
+        "pos-etl-streaming-kill",
+        master=MASTER,
+        shuffle_partitions=32,
+        extra_confs={
+            "spark.executor.memory": "4g",
+            "spark.scheduler.minRegisteredResourcesRatio": "1.0",
+            "spark.scheduler.maxRegisteredResourcesWaitingTime": "60s",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _batch_df(spark, bid: int):
+    """Deterministic batch content: gate-passing 12-word texts, unique
+    in-batch, ~(N - SHIFT) of them already ingested by batch bid-1."""
+    variant = (F.col("id") + F.lit(bid * _SHIFT)) % D_TEXTS
+    return (
+        spark.range(N_ROWS)
+        .repartition(32)
+        .select(
+            (F.col("id") + bid * N_ROWS).alias("doc_id"),
+            F.concat(
+                F.lit("the quick brown fox jumps over a lazy dog variant x"),
+                variant.cast("string"),
+            ).alias("text"),
+        )
+    )
+
+
+def _executor_pids() -> list[int]:
+    out = subprocess.run(
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    return sorted(
+        int(line.strip().split(None, 1)[0])
+        for line in out.splitlines()
+        if "CoarseGrainedExecutorBackend" in line and "java" in line
+    )
+
+
+def _kill_one_executor_after(delay: float, record: dict) -> threading.Thread:
+    def run() -> None:
+        time.sleep(delay)
+        pids = _executor_pids()
+        if not pids:
+            record["killed_pid"] = None
+            return
+        os.kill(pids[0], signal.SIGKILL)
+        record["killed_pid"] = pids[0]
+        record["kill_time"] = time.perf_counter()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
+def _wait_executors(spark, want: int, timeout: float = 90.0) -> int:
+    """Block until the worker JVMs have respawned `want` executors (a
+    probe job over many tiny tasks counts distinct executor pids)."""
+    deadline = time.monotonic() + timeout
+    seen = 0
+    while time.monotonic() < deadline:
+        seen = (
+            spark.sparkContext.parallelize(range(128), 128)
+            .map(lambda _: __import__("os").getpid())
+            .distinct()
+            .count()
+        )
+        if seen >= want:
+            return seen
+        time.sleep(3)
+    return seen
+
+
+def _state(spark, out_dir: str) -> dict:
+    """Order-free checksums of the three stores; equality of these IS
+    the durability assertion (a torn task file, lost row, or doubled
+    replay row changes a count or a checksum)."""
+
+    def sig(path: str, cols: list[str]) -> list[int]:
+        df = spark.read.parquet(os.path.join(out_dir, path))
+        casted = [F.col(c).cast("string").alias(c) for c in cols]
+        row = (
+            df.select(F.xxhash64(*casted).alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("h"), F.lit(0)).alias("s"),
+            )
+            .collect()[0]
+        )
+        return [int(row.n), int(row.s)]
+
+    return {
+        "funnel": sig("funnel", ["batch", "n_raw", "n_gated"]),
+        "corpus": sig("corpus", ["batch", "doc_id", "text"]),
+        "digests": sig("digests", ["digest"]),
+    }
+
+
+def _drive(spark, out_dir: str, bid: int) -> None:
+    curation_ingest_batch(_batch_df(spark, bid), bid, out_dir, **_GATE)
+
+
+def _drive_with_kill(
+    spark, out_dir: str, bid: int, kill_after: float, attempts: int = 4
+) -> dict:
+    """Deliver batch `bid` with a mid-run SIGKILL, then follow the
+    restart contract until the batch has committed. Re-deliveries are
+    idempotent, so a kill that raced batch end just retries with a
+    fresh kill. Returns the per-kill record."""
+    rec: dict = {"bid": bid, "kills": []}
+    for attempt in range(attempts):
+        kill: dict = {}
+        th = _kill_one_executor_after(kill_after, kill)
+        t0 = time.perf_counter()
+        err = ""
+        try:
+            _drive(spark, out_dir, bid)
+            outcome = "absorbed"
+        except Exception as exc:  # noqa: BLE001 -- the restart contract
+            outcome = "failed"
+            err = repr(exc)[:400]
+        t_end = time.perf_counter()
+        th.join(timeout=kill_after + 10)
+        probative = (
+            kill.get("killed_pid") is not None
+            and kill.get("kill_time", t_end + 1) < t_end
+        )
+        rec["kills"].append(
+            {
+                "attempt": attempt,
+                "killed_pid": kill.get("killed_pid"),
+                "kill_before_batch_end": probative,
+                "outcome": outcome,
+                "wall_sec": round(t_end - t0, 2),
+                "error": err,
+            }
+        )
+        print(f"  batch {bid} kill[{attempt}]: {rec['kills'][-1]}", flush=True)
+        _wait_executors(spark, want=4)
+        if outcome == "failed":
+            # restart contract: re-drive until the batch commits
+            for _ in range(3):
+                try:
+                    _drive(spark, out_dir, bid)
+                    break
+                except Exception:  # noqa: BLE001 -- respawn race
+                    time.sleep(5)
+                    _wait_executors(spark, want=4)
+            else:
+                raise RuntimeError(f"batch {bid} never committed after kill")
+        if probative:
+            return rec
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(_REPO, "STREAMKILL_r12.json"))
+    args = ap.parse_args()
+
+    out: dict = {
+        "master": MASTER,
+        "n_rows": N_ROWS,
+        "d_texts": D_TEXTS,
+        "n_batches": N_BATCHES,
+    }
+    spark = _session()
+    out["executor_python_pids"] = _wait_executors(spark, want=4)
+
+    clean_dir = tempfile.mkdtemp(prefix="graft_skill_ref_")
+    kill_dir = tempfile.mkdtemp(prefix="graft_skill_")
+    import shutil
+
+    shutil.rmtree(clean_dir, ignore_errors=True)
+    shutil.rmtree(kill_dir, ignore_errors=True)
+    try:
+        # Fault-free reference run; per-batch walls calibrate the kill.
+        walls = []
+        for bid in range(N_BATCHES):
+            t0 = time.perf_counter()
+            _drive(spark, clean_dir, bid)
+            walls.append(round(time.perf_counter() - t0, 2))
+        out["reference_batch_walls"] = walls
+        print(f"reference walls: {walls}", flush=True)
+        typical = sorted(walls[1:])[len(walls[1:]) // 2]
+        kill_after = max(1.0, 0.4 * typical)
+        out["kill_after_sec"] = kill_after
+
+        # Kill run: batches 1 and 3 take a mid-batch SIGKILL; batch 2
+        # commits cleanly, then an at-least-once RE-DELIVERY of it
+        # takes another kill (the replay-overwrite crash window).
+        records = []
+        for bid in range(N_BATCHES):
+            if bid in (1, 3):
+                records.append(
+                    _drive_with_kill(spark, kill_dir, bid, kill_after)
+                )
+            else:
+                _drive(spark, kill_dir, bid)
+                if bid == 2:
+                    rec = _drive_with_kill(spark, kill_dir, bid, kill_after)
+                    rec["redelivery"] = True
+                    records.append(rec)
+        out["kill_records"] = records
+
+        probative = sum(
+            1
+            for r in records
+            for k in r["kills"]
+            if k["kill_before_batch_end"]
+        )
+        out["probative_kills"] = probative
+        out["state_clean"] = _state(spark, clean_dir)
+        out["state_kill"] = _state(spark, kill_dir)
+        out["states_equal"] = out["state_clean"] == out["state_kill"]
+        print(
+            f"probative kills: {probative}; states equal: "
+            f"{out['states_equal']}",
+            flush=True,
+        )
+        assert probative >= 2, out
+        assert out["states_equal"], out
+    finally:
+        spark.stop()
+        shutil.rmtree(clean_dir, ignore_errors=True)
+        shutil.rmtree(kill_dir, ignore_errors=True)
+
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"wrote {args.out}", flush=True)
+    print("STREAMING KILL CHECK OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
