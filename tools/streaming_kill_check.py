@@ -162,11 +162,16 @@ def _state(spark, out_dir: str) -> dict:
             df.select(F.xxhash64(*casted).alias("h"))
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("h"), F.lit(0)).alias("s"),
+                # decimal(38,0) sum: exact and overflow-free under ANSI
+                # (a plain long sum of ~1M xxhash64 values overflows)
+                F.coalesce(
+                    F.sum(F.col("h").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("s"),
             )
             .collect()[0]
         )
-        return [int(row.n), int(row.s)]
+        return [int(row.n), str(row.s)]
 
     return {
         "funnel": sig("funnel", ["batch", "n_raw", "n_gated"]),
