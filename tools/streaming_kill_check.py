@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
-"""Executor-loss durability proof for the STREAMED curation ingest
+"""Executor-loss durability proof for the STREAMED ingest paths
 (round 12; extends EXECUTORKILL_r11 from the iterative-graph family to
-the foreachBatch family).
+the foreachBatch family). Two scenarios: the curation ingest (digest
+swap + funnel accounting) and the POS mart ingest (checkpointed
+binaryFile source, SKU anti-join append, dynamic partition overwrite
+of the derived marts) -- each crash-window family under a REAL kill.
 
 Round 11 proved the ingest's crash windows replay-safe with INJECTED
 faults -- exceptions raised at chosen safe points (`_fault` hooks).
@@ -237,9 +240,175 @@ def _drive_with_kill(
     return rec
 
 
+def _mart_state(spark, out_dir: str) -> dict:
+    """Order-free checksums of the four POS mart stores."""
+    out = {}
+    for store in (
+        "t_day_pos_daily_sku_data",
+        "t_day_ten_kyakusu_data",
+        "t_day_sales",
+        "t_day_ten_sales_front_data_daily",
+    ):
+        df = spark.read.parquet(os.path.join(out_dir, store))
+        casted = [
+            F.col(c).cast("string").alias(c) for c in sorted(df.columns)
+        ]
+        row = (
+            df.select(F.xxhash64(*casted).alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.col("h").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("s"),
+            )
+            .collect()[0]
+        )
+        out[store] = [int(row.n), str(row.s)]
+    return out
+
+
+def _mart_zips(tmp: str) -> list[str]:
+    """Three POS archive fixtures with DIFFERENT seeds: every batch
+    carries novel keys, so the cross-batch anti-join does real work in
+    every run. Batch boundaries are pinned by construction (one zip is
+    added to the landing dir per stream run), so first-committed-wins
+    is deterministic even when a killed run is re-driven."""
+    sys.path.insert(0, os.path.join(_REPO, "tests"))
+    from pos_fixture import build_fixture, write_zip
+
+    paths = []
+    for i, seed in enumerate((7, 8, 9)):
+        records, _ = build_fixture(
+            n_days=20, stores=10, txns_per_store_day=10,
+            lines_per_txn=5, seed=seed,
+        )
+        path = os.path.join(tmp, f"R52{i}.2024030{i + 1}_214500.zip")
+        write_zip(records, path)
+        paths.append(path)
+    return paths
+
+
+def _run_mart_stream(spark, zip_dir, out_dir, ckpt, kill_after, rec_list):
+    """One availableNow run over the landing dir, optionally with a
+    mid-run SIGKILL; re-driven (the stream restart contract) until it
+    terminates cleanly. Appends one record per attempt."""
+    from pos_data_insertion_etl_spark.streaming.jobs import pos_stream_ingest
+
+    for attempt in range(5):
+        kill: dict = {}
+        th = None
+        if kill_after is not None:
+            th = _kill_one_executor_after(kill_after, kill)
+        t0 = time.perf_counter()
+        err = ""
+        try:
+            q = pos_stream_ingest(spark, zip_dir, out_dir, ckpt)
+            q.awaitTermination()
+            outcome = "completed"
+        except Exception as exc:  # noqa: BLE001 -- the restart contract
+            outcome = "failed"
+            err = repr(exc)[:400]
+        t_end = time.perf_counter()
+        if th is not None:
+            th.join(timeout=kill_after + 10)
+        probative = (
+            kill.get("killed_pid") is not None
+            and kill.get("kill_time", t_end + 1) < t_end
+        )
+        rec_list.append(
+            {
+                "attempt": attempt,
+                "killed_pid": kill.get("killed_pid"),
+                "kill_before_stream_end": probative,
+                "outcome": outcome,
+                "wall_sec": round(t_end - t0, 2),
+                "error": err,
+            }
+        )
+        print(f"  mart run attempt {attempt}: {rec_list[-1]}", flush=True)
+        _wait_executors(spark, want=4)
+        kill_after = None  # restart attempts run kill-free to completion
+        if outcome == "completed":
+            return
+    raise RuntimeError("mart stream never completed after kill")
+
+
+def scenario_mart(spark, out: dict) -> None:
+    """Executor kill mid-batch of the POS mart ingest: the crash
+    windows here are the SKU append (anti-join insert) and the dynamic
+    partition OVERWRITE of the three derived marts -- different
+    idempotence mechanisms from curation's digest swap. One zip is
+    added to the landing dir per availableNow run; runs 1 and 2 take a
+    mid-stream SIGKILL and are re-driven until clean."""
+    import shutil
+
+    ztmp = tempfile.mkdtemp(prefix="graft_skill_mart_zips_")
+    dirs = {
+        "clean": tempfile.mkdtemp(prefix="graft_skill_mart_ref_"),
+        "kill": tempfile.mkdtemp(prefix="graft_skill_mart_"),
+    }
+    try:
+        zips = _mart_zips(ztmp)
+        landing = {}
+        for mode, base in dirs.items():
+            landing[mode] = os.path.join(base, "landing")
+            os.makedirs(landing[mode])
+        # Fault-free reference: one zip per run, no kills.
+        walls = []
+        for i, z in enumerate(zips):
+            shutil.copy(z, landing["clean"])
+            recs: list = []
+            t0 = time.perf_counter()
+            _run_mart_stream(
+                spark, landing["clean"], os.path.join(dirs["clean"], "marts"),
+                os.path.join(dirs["clean"], "ckpt"), None, recs,
+            )
+            walls.append(round(time.perf_counter() - t0, 2))
+        out["mart_reference_walls"] = walls
+        kill_after = max(1.5, 0.4 * sorted(walls)[1])
+        out["mart_kill_after_sec"] = kill_after
+        # Kill run: runs 0 and 1 take a mid-stream SIGKILL.
+        records: list = []
+        for i, z in enumerate(zips):
+            shutil.copy(z, landing["kill"])
+            _run_mart_stream(
+                spark, landing["kill"], os.path.join(dirs["kill"], "marts"),
+                os.path.join(dirs["kill"], "ckpt"),
+                kill_after if i < 2 else None, records,
+            )
+        out["mart_kill_records"] = records
+        out["mart_probative_kills"] = sum(
+            1 for r in records if r["kill_before_stream_end"]
+        )
+        out["mart_state_clean"] = _mart_state(
+            spark, os.path.join(dirs["clean"], "marts")
+        )
+        out["mart_state_kill"] = _mart_state(
+            spark, os.path.join(dirs["kill"], "marts")
+        )
+        out["mart_states_equal"] = (
+            out["mart_state_clean"] == out["mart_state_kill"]
+        )
+        print(
+            f"mart probative kills: {out['mart_probative_kills']}; "
+            f"states equal: {out['mart_states_equal']}",
+            flush=True,
+        )
+        assert out["mart_probative_kills"] >= 1, out
+        assert out["mart_states_equal"], out
+    finally:
+        shutil.rmtree(ztmp, ignore_errors=True)
+        for base in dirs.values():
+            shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(_REPO, "STREAMKILL_r12.json"))
+    ap.add_argument(
+        "--scenario", default="all", choices=["curation", "mart", "all"]
+    )
     args = ap.parse_args()
 
     out: dict = {
@@ -258,52 +427,59 @@ def main() -> None:
     shutil.rmtree(clean_dir, ignore_errors=True)
     shutil.rmtree(kill_dir, ignore_errors=True)
     try:
-        # Fault-free reference run; per-batch walls calibrate the kill.
-        walls = []
-        for bid in range(N_BATCHES):
-            t0 = time.perf_counter()
-            _drive(spark, clean_dir, bid)
-            walls.append(round(time.perf_counter() - t0, 2))
-        out["reference_batch_walls"] = walls
-        print(f"reference walls: {walls}", flush=True)
-        typical = sorted(walls[1:])[len(walls[1:]) // 2]
-        kill_after = max(1.0, 0.4 * typical)
-        out["kill_after_sec"] = kill_after
+        if args.scenario in ("mart", "all"):
+            print("== mart ingest kill scenario ==", flush=True)
+            scenario_mart(spark, out)
+        if args.scenario in ("curation", "all"):
+            print("== curation ingest kill scenario ==", flush=True)
+            # Fault-free reference run; per-batch walls calibrate the kill.
+            walls = []
+            for bid in range(N_BATCHES):
+                t0 = time.perf_counter()
+                _drive(spark, clean_dir, bid)
+                walls.append(round(time.perf_counter() - t0, 2))
+            out["reference_batch_walls"] = walls
+            print(f"reference walls: {walls}", flush=True)
+            typical = sorted(walls[1:])[len(walls[1:]) // 2]
+            kill_after = max(1.0, 0.4 * typical)
+            out["kill_after_sec"] = kill_after
 
-        # Kill run: batches 1 and 3 take a mid-batch SIGKILL; batch 2
-        # commits cleanly, then an at-least-once RE-DELIVERY of it
-        # takes another kill (the replay-overwrite crash window).
-        records = []
-        for bid in range(N_BATCHES):
-            if bid in (1, 3):
-                records.append(
-                    _drive_with_kill(spark, kill_dir, bid, kill_after)
-                )
-            else:
-                _drive(spark, kill_dir, bid)
-                if bid == 2:
-                    rec = _drive_with_kill(spark, kill_dir, bid, kill_after)
-                    rec["redelivery"] = True
-                    records.append(rec)
-        out["kill_records"] = records
+            # Kill run: batches 1 and 3 take a mid-batch SIGKILL; batch
+            # 2 commits cleanly, then an at-least-once RE-DELIVERY of it
+            # takes another kill (the replay-overwrite crash window).
+            records = []
+            for bid in range(N_BATCHES):
+                if bid in (1, 3):
+                    records.append(
+                        _drive_with_kill(spark, kill_dir, bid, kill_after)
+                    )
+                else:
+                    _drive(spark, kill_dir, bid)
+                    if bid == 2:
+                        rec = _drive_with_kill(
+                            spark, kill_dir, bid, kill_after
+                        )
+                        rec["redelivery"] = True
+                        records.append(rec)
+            out["kill_records"] = records
 
-        probative = sum(
-            1
-            for r in records
-            for k in r["kills"]
-            if k["kill_before_batch_end"]
-        )
-        out["probative_kills"] = probative
-        out["state_clean"] = _state(spark, clean_dir)
-        out["state_kill"] = _state(spark, kill_dir)
-        out["states_equal"] = out["state_clean"] == out["state_kill"]
-        print(
-            f"probative kills: {probative}; states equal: "
-            f"{out['states_equal']}",
-            flush=True,
-        )
-        assert probative >= 2, out
-        assert out["states_equal"], out
+            probative = sum(
+                1
+                for r in records
+                for k in r["kills"]
+                if k["kill_before_batch_end"]
+            )
+            out["probative_kills"] = probative
+            out["state_clean"] = _state(spark, clean_dir)
+            out["state_kill"] = _state(spark, kill_dir)
+            out["states_equal"] = out["state_clean"] == out["state_kill"]
+            print(
+                f"probative kills: {probative}; states equal: "
+                f"{out['states_equal']}",
+                flush=True,
+            )
+            assert probative >= 2, out
+            assert out["states_equal"], out
     finally:
         spark.stop()
         shutil.rmtree(clean_dir, ignore_errors=True)
