@@ -74,7 +74,21 @@ EXACT_NAMES = [
     "q274_streamed_curation_replay",
     "q141_pagerank",
     "q192_kcore",
+    # r12 widening 2: the remaining heavy bench families with
+    # linear-cost oracles -- sketch/signature (q55), n-gram explode
+    # (q154, q246), window-cascade analytics (q237), and the
+    # retrieval-eval join stack (q215). Exact-only, same rationale.
+    "q55_minhash_lsh",
+    "q154_dup_ngram_fraction",
+    "q237_rfm_segments",
+    "q246_vocab_stats",
+    "q215_retrieval_eval",
 ]
+
+#: space-separated subset override for iterating on new names without
+#: re-running the whole (expensive) list.
+if os.environ.get("SPARK_GRAFT_SCALE_NAMES"):
+    EXACT_NAMES = os.environ["SPARK_GRAFT_SCALE_NAMES"].split()
 
 _GATE_STOPWORDS = ("the", "a")
 
