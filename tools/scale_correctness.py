@@ -83,6 +83,11 @@ EXACT_NAMES = [
     "q237_rfm_segments",
     "q246_vocab_stats",
     "q215_retrieval_eval",
+    # r12 widening 3: the multimodal mapInPandas codec path (real PNG
+    # encode->decode->resize->dHash over 10x the documents) -- the one
+    # Python/Arrow family the at-scale gate had not yet touched.
+    "q98_image_phash_dedup",
+    "q60_image_decode_stats",
 ]
 
 #: space-separated subset override for iterating on new names without
