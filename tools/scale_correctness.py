@@ -88,6 +88,16 @@ EXACT_NAMES = [
     # Python/Arrow family the at-scale gate had not yet touched.
     "q98_image_phash_dedup",
     "q60_image_decode_stats",
+    # r12 widening 4: the streaming/windowing/chunking family -- q289
+    # is a REAL two-batch watermark replay whose append-mode emission
+    # must hash-match the closed form at 10x state; q40's session
+    # windows and q146's recursive-CTE chunk oracle stress DuckDB as
+    # much as Spark.
+    "q289_watermark_late_data",
+    "q36_hourly_events",
+    "q40_sessionize",
+    "q146_cdc_chunks",
+    "q179_duplicate_spans",
 ]
 
 #: space-separated subset override for iterating on new names without
