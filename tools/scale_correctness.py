@@ -98,6 +98,15 @@ EXACT_NAMES = [
     "q40_sessionize",
     "q146_cdc_chunks",
     "q179_duplicate_spans",
+    # r12 widening 5: the warehouse-ETL family -- MERGE upsert, SCD2
+    # interval build, incremental rollup merge (oracle = full
+    # recompute, the merge-algebra proof at 10x), snapshot-diff CDC
+    # classes, and the as-of join.
+    "q108_upsert_merge",
+    "q110_scd2_dimension",
+    "q111_incremental_rollup",
+    "q113_snapshot_diff",
+    "q43_asof_join",
 ]
 
 #: space-separated subset override for iterating on new names without
