@@ -29,6 +29,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas-interchange / Pandas-UDF path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Recursive CTEs: the default 1M ROW cap is a data-size guard that
+    # does not scale -- q97's order chain legitimately exceeds it at
+    # sf1.0 (caught by the round-12 at-scale exactness sweep as
+    # RECURSION_ROW_LIMIT_EXCEEDED). Raise the row cap to a
+    # cluster-scale ceiling and keep the LEVEL limit (default 100) as
+    # the actual runaway-recursion guard: levels bound the iteration
+    # count, rows merely bound the data, and data is what grows 1000x
+    # between the test SF and production.
+    "spark.sql.cteRecursionRowLimit": "1000000000",
 }
 
 

@@ -107,6 +107,21 @@ EXACT_NAMES = [
     "q111_incremental_rollup",
     "q113_snapshot_diff",
     "q43_asof_join",
+    # r12 widening 6: relational + Spark-4 surfaces. q97's recursive
+    # CTE is the sweep's second real catch: it hit Spark's default 1M
+    # recursion ROW cap at sf1.0 (RECURSION_ROW_LIMIT_EXCEEDED); the
+    # cap is a data-size guard that cannot scale, so session.py now
+    # raises it to 1e9 and keeps the LEVEL limit as the runaway guard.
+    # q01 is deliberately EXCLUDED: at sf1.0 its double-typed sums
+    # diverge from DuckDB by one ULP (addition-order associativity at
+    # 10x rows) -- a measured boundary of hash-exact comparison for
+    # float aggregates, not an engine defect; the fixed-point/integer
+    # operators the engine uses for its own exactness claims are
+    # unaffected.
+    "q67_big_customers",
+    "q97_recursive_order_chain",
+    "q287_variant_json_stats",
+    "q288_collated_group",
 ]
 
 #: space-separated subset override for iterating on new names without
