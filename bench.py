@@ -159,6 +159,14 @@ def _timed_reps(fn, reps: int, max_extra: int) -> list[float]:
     return out
 
 
+#: Flips False the first time a pool clear fails (ADVICE r12): the
+#: hygiene pass rides the private _jsc.getPersistentRDDs() surface, and
+#: a silent failure after a Spark upgrade would quietly re-introduce
+#: the measured ~0.7 s storage-pool tax and invalidate cross-round band
+#: comparisons. The flag lands in the detail JSON as `pool_cleared`.
+_POOL_CLEAR_OK = True
+
+
 def _clear_block_pool(spark) -> None:
     """Unpersist every RDD still in the storage pool before timing the
     next entry. Entries that localCheckpoint (the two-phase global
@@ -170,6 +178,7 @@ def _clear_block_pool(spark) -> None:
     7-entry headline prefix, BRACKET_q39_r12.json). A real deployment
     runs one job per app and never inherits another query's blocks;
     clearing between entries times what the entry actually costs."""
+    global _POOL_CLEAR_OK
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rdd_id in list(jmap.keys()):
@@ -178,8 +187,18 @@ def _clear_block_pool(spark) -> None:
             except Exception:
                 pass  # cleaner raced us; the block is gone either way
         spark.catalog.clearCache()
-    except Exception:
-        pass  # hygiene only -- never fail the bench over it
+    except Exception as exc:
+        # Hygiene only -- never fail the bench over it -- but never
+        # fail SILENTLY either: warn once and flag the artifact.
+        if _POOL_CLEAR_OK:
+            print(
+                "WARNING: storage-pool clear failed "
+                f"({type(exc).__name__}: {exc}); timings include any "
+                "inherited localCheckpoint blocks (~0.7 s tax measured "
+                "in BRACKET_q39_r12.json). pool_cleared=false recorded.",
+                file=sys.stderr,
+            )
+        _POOL_CLEAR_OK = False
 
 
 def bench_mart_pipeline(spark) -> float:
@@ -354,6 +373,7 @@ def main() -> None:
         "value": total,
         "queries": timings,
         "spread": spread,
+        "pool_cleared": _POOL_CLEAR_OK,
         "reps": reps,
         "config": {
             "master": f"local[{cpus}]",

@@ -536,5 +536,18 @@ def q97_recursive_order_chain(spark, sf_dir):
     O(log d) rounds vs the CTE's O(d) frontier expansions; here d is
     bounded by orders-per-customer, so the CTE shape is fine and each
     frontier is a parallel equi-join)."""
+    from ..session import scoped_conf
+
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql(_ORDER_CHAIN_SQL)
+    # Row budget: the recursion emits each order exactly once across
+    # all frontier expansions, so ~n_orders rows total. The engine's
+    # default 1M cteRecursionRowLimit is a fixed data-size guard that
+    # broke at sf1.0 (round 12); rather than weakening it engine-wide
+    # (ADVICE r12), size the cap from the actual input -- it scales
+    # with the data by construction -- and scope it to this plan. The
+    # count() is a bounded scalar job; the plan is materialized inside
+    # the scope because the conf is read at execution time.
+    n_orders = spark.table("orders").count()
+    cap = max(1_000_000, 4 * n_orders)
+    with scoped_conf(spark, "spark.sql.cteRecursionRowLimit", str(cap)):
+        return spark.sql(_ORDER_CHAIN_SQL).localCheckpoint(eager=True)

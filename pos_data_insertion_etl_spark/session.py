@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import tempfile
 import zipfile
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -29,16 +30,41 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas-interchange / Pandas-UDF path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Recursive CTEs: the default 1M ROW cap is a data-size guard that
-    # does not scale -- q97's order chain legitimately exceeds it at
-    # sf1.0 (caught by the round-12 at-scale exactness sweep as
-    # RECURSION_ROW_LIMIT_EXCEEDED). Raise the row cap to a
-    # cluster-scale ceiling and keep the LEVEL limit (default 100) as
-    # the actual runaway-recursion guard: levels bound the iteration
-    # count, rows merely bound the data, and data is what grows 1000x
-    # between the test SF and production.
-    "spark.sql.cteRecursionRowLimit": "1000000000",
+    # NOTE (ADVICE r12): spark.sql.cteRecursionRowLimit is deliberately
+    # NOT raised here. The default 1M row cap is a useful engine-wide
+    # runaway-recursion guard; the one plan that legitimately exceeds
+    # it at scale (q97's order chain) raises it locally, sized from its
+    # actual input, via scoped_conf() -- see plans/relational2.py.
 }
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a runtime SQL conf for the duration of a block, restoring
+    the prior value (or unsetting, if it was never set) on exit.
+
+    For plan-local overrides of engine-wide guards (ADVICE r12): a
+    query that legitimately needs a bigger budget -- e.g. q97's
+    recursive CTE exceeding the default 1M ``cteRecursionRowLimit`` at
+    sf1.0 -- raises it HERE, sized from its own input, instead of
+    weakening the default for every session. Any plan executed inside
+    the block must be materialized inside the block (the conf is read
+    at execution time, not at plan-build time)."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        try:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+        except Exception:
+            pass  # never mask the block's own exception over a restore
 
 
 _SHIPPED_CONTEXTS: set[int] = set()

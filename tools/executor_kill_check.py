@@ -71,22 +71,35 @@ def _session():
     return spark
 
 
-def _executor_pids() -> list[int]:
-    """JVM pids of executor backends (never workers, never the driver)."""
-    out = subprocess.run(
-        ["ps", "-eo", "pid,args"], capture_output=True, text=True
-    ).stdout
+def _executor_pids(app_id: str, ps_output: str | None = None) -> list[int]:
+    """JVM pids of THIS app's executor backends (never workers, never
+    the driver, never another application's executors -- ADVICE r12:
+    CoarseGrainedExecutorBackend carries ``--app-id <app_id>`` on its
+    command line, so filtering on it keeps the SIGKILL from corrupting
+    a concurrently running Spark app on the same host)."""
+    if ps_output is None:
+        ps_output = subprocess.run(
+            ["ps", "-eo", "pid,args"], capture_output=True, text=True
+        ).stdout
     pids = []
-    for line in out.splitlines():
-        if "CoarseGrainedExecutorBackend" in line and "java" in line:
+    for line in ps_output.splitlines():
+        if (
+            "CoarseGrainedExecutorBackend" in line
+            and "java" in line
+            and app_id in line
+        ):
             pids.append(int(line.strip().split(None, 1)[0]))
     return sorted(pids)
 
 
-def _kill_one_executor_after(delay: float, record: dict) -> threading.Thread:
+def _kill_one_executor_after(
+    spark, delay: float, record: dict
+) -> threading.Thread:
+    app_id = spark.sparkContext.applicationId
+
     def run() -> None:
         time.sleep(delay)
-        pids = _executor_pids()
+        pids = _executor_pids(app_id)
         if not pids:
             record["killed_pid"] = None
             return
@@ -154,7 +167,7 @@ def scenario_reliable(spark, n: int, kill_after: float, out: dict) -> bool:
     spark.conf.set(CONF_KEY, ckpt)
     rec: dict = {}
     try:
-        th = _kill_one_executor_after(kill_after, rec)
+        th = _kill_one_executor_after(spark, kill_after, rec)
         t0 = time.perf_counter()
         # A kill landing while a checkpoint write is in flight can make
         # even the reliable path raise transiently; record the failure
@@ -198,7 +211,7 @@ def scenario_default_fails(spark, n: int, kill_after: float, out: dict) -> bool:
     Returns True when the run was probative (kill landed mid-run)."""
     spark.conf.set(CONF_KEY, "")
     rec: dict = {}
-    th = _kill_one_executor_after(kill_after, rec)
+    th = _kill_one_executor_after(spark, kill_after, rec)
     t0 = time.perf_counter()
     failed = None
     err = ""

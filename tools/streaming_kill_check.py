@@ -108,21 +108,36 @@ def _batch_df(spark, bid: int):
     )
 
 
-def _executor_pids() -> list[int]:
-    out = subprocess.run(
-        ["ps", "-eo", "pid,args"], capture_output=True, text=True
-    ).stdout
+def _executor_pids(app_id: str, ps_output: str | None = None) -> list[int]:
+    """Executor JVM pids belonging to THIS application only.
+
+    CoarseGrainedExecutorBackend is launched with ``--app-id <app_id>``
+    on its command line; filtering on it keeps the SIGKILL from landing
+    on an executor of a concurrently running Spark application on the
+    same host (ADVICE r12 -- a foreign kill would corrupt that run and
+    make this proof non-probative). ``ps_output`` is injectable so the
+    filter is unit-testable without a cluster."""
+    if ps_output is None:
+        ps_output = subprocess.run(
+            ["ps", "-eo", "pid,args"], capture_output=True, text=True
+        ).stdout
     return sorted(
         int(line.strip().split(None, 1)[0])
-        for line in out.splitlines()
-        if "CoarseGrainedExecutorBackend" in line and "java" in line
+        for line in ps_output.splitlines()
+        if "CoarseGrainedExecutorBackend" in line
+        and "java" in line
+        and app_id in line
     )
 
 
-def _kill_one_executor_after(delay: float, record: dict) -> threading.Thread:
+def _kill_one_executor_after(
+    spark, delay: float, record: dict
+) -> threading.Thread:
+    app_id = spark.sparkContext.applicationId
+
     def run() -> None:
         time.sleep(delay)
-        pids = _executor_pids()
+        pids = _executor_pids(app_id)
         if not pids:
             record["killed_pid"] = None
             return
@@ -135,19 +150,28 @@ def _kill_one_executor_after(delay: float, record: dict) -> threading.Thread:
     return t
 
 
+def _alive_executors(spark) -> int:
+    """Live executor JVMs registered with the driver: block-manager
+    count minus the driver's own. NOT distinct Python worker pids
+    (ADVICE r12): one surviving 8-core executor can host >=4 distinct
+    python workers across a 128-task probe, satisfying want=4 while
+    killed executors are still respawning -- the next kill would then
+    run under-provisioned and skew the kill-window calibration."""
+    return (
+        int(spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()) - 1
+    )
+
+
 def _wait_executors(spark, want: int, timeout: float = 90.0) -> int:
-    """Block until the worker JVMs have respawned `want` executors (a
-    probe job over many tiny tasks counts distinct executor pids)."""
+    """Block until `want` executor JVMs are registered, then run one
+    tiny probe job so the scheduler has actually placed tasks on the
+    respawned executors before the caller proceeds."""
     deadline = time.monotonic() + timeout
     seen = 0
     while time.monotonic() < deadline:
-        seen = (
-            spark.sparkContext.parallelize(range(128), 128)
-            .map(lambda _: __import__("os").getpid())
-            .distinct()
-            .count()
-        )
+        seen = _alive_executors(spark)
         if seen >= want:
+            spark.sparkContext.parallelize(range(want * 2), want * 2).count()
             return seen
         time.sleep(3)
     return seen
@@ -197,7 +221,7 @@ def _drive_with_kill(
     rec: dict = {"bid": bid, "kills": []}
     for attempt in range(attempts):
         kill: dict = {}
-        th = _kill_one_executor_after(kill_after, kill)
+        th = _kill_one_executor_after(spark, kill_after, kill)
         t0 = time.perf_counter()
         err = ""
         try:
@@ -299,7 +323,7 @@ def _run_mart_stream(spark, zip_dir, out_dir, ckpt, kill_after, rec_list):
         kill: dict = {}
         th = None
         if kill_after is not None:
-            th = _kill_one_executor_after(kill_after, kill)
+            th = _kill_one_executor_after(spark, kill_after, kill)
         t0 = time.perf_counter()
         err = ""
         try:
