@@ -25,11 +25,9 @@ micro-batch file lists, which a batch DataSource cannot express).
 
 from __future__ import annotations
 
-import glob as _glob
-import re
 from collections.abc import Iterator, Sequence
-from urllib.parse import unquote, urlparse
 
+from . import fs
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -40,34 +38,16 @@ from pyspark.sql.datasource import (
 RECORD_SCHEMA_DDL = "source_file string, record_idx long, record string"
 
 
-def _expand_local_glob(pattern: str) -> list[str]:
-    """Planning-time file listing. `glob.glob` only understands the
-    LOCAL filesystem; a remote pattern (s3://, hdfs://...) would
-    silently expand to zero partitions and return an empty DataFrame --
-    worse than an error. Raise instead, pointing at the path-based form
-    (`records_from_paths`) whose binaryFile listing speaks every Hadoop
-    filesystem."""
-    # Only treat the input as a URI when it LOOKS like one (RFC 3986
-    # scheme followed by '//'): urlparse would misread odd-but-legal
-    # local patterns like 'dir:with:colons/x.zip' as remote schemes.
-    if re.match(r"^[a-z][a-z0-9+.\-]*://", pattern, re.IGNORECASE):
-        parsed = urlparse(pattern)
-        if parsed.scheme.lower() != "file":
-            raise ValueError(
-                f"zip_fixed_width lists files with a local glob; remote "
-                f"scheme {parsed.scheme!r} in {pattern!r} is not supported "
-                "here -- use records_from_paths over a binaryFile listing "
-                "for remote filesystems"
-            )
-        if parsed.netloc not in ("", "localhost"):
-            # file://host/share/x.zip names a REMOTE host; globbing
-            # parsed.path would silently read the wrong (local) tree.
-            raise ValueError(
-                f"file:// pattern {pattern!r} carries a remote host "
-                f"{parsed.netloc!r}; only local files are supported here"
-            )
-        pattern = unquote(parsed.path)
-    return sorted(_glob.glob(pattern))
+def _expand_glob(pattern: str) -> list[str]:
+    """Planning-time file listing, scheme-routed through the single
+    filesystem seam (sources/fs.py, round 13): plain/``file://``
+    patterns glob locally, ``GRAFT_FS_MAP`` schemes hit their mapped
+    test double, anything else lists via ``pyarrow.fs`` (s3/hdfs/
+    gcs...). Results preserve the pattern's scheme, so each
+    ``_ZipPartition`` carries a URI the executor-side open routes
+    through the same seam. A scheme nothing can resolve raises at plan
+    time (pyarrow's from_uri) -- never a silent empty DataFrame."""
+    return fs.expand_glob(pattern)
 
 
 class _ZipPartition(InputPartition):
@@ -80,7 +60,7 @@ class ZipFixedWidthReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("zip_fixed_width requires a path")
-        self.paths = _expand_local_glob(path)
+        self.paths = _expand_glob(path)
         self.chunk_chars = int(options.get("chunk_chars", 520))
         self.batch_records = int(options.get("batch_records", 20_000))
 
@@ -121,7 +101,7 @@ class ZipFixedWidthStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("zip_fixed_width requires a path")
         self.glob_pattern = path
-        _expand_local_glob(path)  # validate the scheme at plan time
+        _expand_glob(path)  # validate the scheme at plan time
         self.chunk_chars = int(options.get("chunk_chars", 520))
         self.batch_records = int(options.get("batch_records", 20_000))
 
@@ -129,7 +109,7 @@ class ZipFixedWidthStreamReader(DataSourceStreamReader):
         return {"seen": []}
 
     def latestOffset(self) -> dict:
-        return {"seen": _expand_local_glob(self.glob_pattern)}
+        return {"seen": _expand_glob(self.glob_pattern)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         new = sorted(set(end["seen"]) - set(start["seen"]))

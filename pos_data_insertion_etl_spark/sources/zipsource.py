@@ -50,10 +50,11 @@ import os
 import zipfile
 import zlib
 from collections.abc import Iterator
-from urllib.parse import unquote, urlparse
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from . import fs as _fs
 
 logger = logging.getLogger(__name__)
 
@@ -63,8 +64,9 @@ RECORD_SCHEMA = "source_file string, record_idx long, record string"
 # understands. Spark's binaryFile listing returns s3a:// paths on S3
 # deployments; without the translation from_uri raises ArrowInvalid on
 # every archive, which an over-broad skip handler would silently eat as
-# "corrupt" -- total data loss with a green job.
-_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
+# "corrupt" -- total data loss with a green job. (Lives in sources.fs
+# since round 13; kept as an alias for existing importers.)
+_SCHEME_ALIASES = _fs.SCHEME_ALIASES
 
 #: Errors that mean THIS ARCHIVE is bad -- the only ones
 #: ``on_error='skip'`` may eat:
@@ -111,19 +113,12 @@ def _open_seekable(path: str):
     """Open a Spark file URI (or plain path) as a seekable binary stream
     WITHOUT materializing the file: builtin `open` for local paths,
     `pyarrow.fs` (range-reading random-access file) for remote schemes
-    (s3/hdfs/gcs...). `zipfile` then seeks the central directory and
-    inflates members incrementally from the stream."""
-    parsed = urlparse(path)
-    if parsed.scheme in ("", "file"):
-        local = unquote(parsed.path) if parsed.scheme else path
-        return open(local, "rb")
-    import pyarrow.fs as pafs  # only needed for remote filesystems
-
-    scheme = _SCHEME_ALIASES.get(parsed.scheme)
-    if scheme is not None:
-        path = scheme + path[len(parsed.scheme) :]
-    fs, rel = pafs.FileSystem.from_uri(path)
-    return fs.open_input_file(rel)
+    (s3/hdfs/gcs...), or whatever sources.fs resolves for the scheme
+    (GRAFT_FS_MAP doubles, registered adapters). `zipfile` then seeks
+    the central directory and inflates members incrementally from the
+    stream. Thin delegate kept for its import surface; the routing
+    logic is the single seam in sources/fs.py (VERDICT r12 item 7)."""
+    return _fs.open_seekable(path)
 
 
 def _extract_records(

@@ -68,9 +68,11 @@ _FULL_MODULES = {
     "test_round8_queue",        # 37s
     "test_curation_stream",     # 35s
     "test_zipsource",           # 34s
+    "test_fs_seam",             # 35s fresh-JVM object-store-double e2e
     "test_lineage",             # 45s reliable-checkpoint e2e
     "test_executor_kill",       # ~3-5 min local-cluster kill e2e
     "test_streaming_kill",      # ~3-5 min local-cluster ingest-kill e2e
+    "test_cdc_kill",            # ~3-5 min local-cluster CDC-kill e2e
     "test_localcluster_smoke",  # ~2-3 min local-cluster oracle slice
     "test_cc_stars",            # 67s iterative CC property suite
     "test_cc_autoroute",        # 120s jump->stars mid-stream switch

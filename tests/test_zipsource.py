@@ -359,34 +359,40 @@ def test_truncated_member_counts_as_corrupt_content():
     assert OSError not in _CORRUPT_ARCHIVE_ERRORS
 
 
-def test_zip_datasource_rejects_remote_glob(spark):
-    """glob.glob only lists the local filesystem; a remote pattern must
-    raise at plan time instead of silently yielding zero partitions."""
-    from pos_data_insertion_etl_spark.sources.zip_datasource import (
-        _expand_local_glob,
-    )
+def test_zip_datasource_routes_remote_glob(spark):
+    """A remote pattern no longer raises at plan time (round 13, the
+    fs seam): it routes to the pyarrow-backed filesystem. Routing only
+    -- no network listing in the sandbox; scheme aliasing (s3a -> s3)
+    is the seam's job now."""
+    from pos_data_insertion_etl_spark.sources import fs
 
-    with pytest.raises(ValueError, match="remote scheme 's3a'"):
-        _expand_local_glob("s3a://bucket/daily/*.zip")
+    impl = fs.filesystem_for("s3a://bucket/daily/*.zip")
+    assert isinstance(impl, fs.ArrowFileSystem)
+    assert impl.scheme == "s3a"
+    assert fs.SCHEME_ALIASES["s3a"] == "s3"
 
 
 def test_zip_datasource_glob_uri_edge_cases(tmp_path):
     """file:// with a remote host must raise (globbing parsed.path would
     silently read the wrong local tree), file:///abs and file://localhost
-    work, and a local pattern containing ':' is NOT misread as a URI."""
+    work AND PRESERVE their scheme (partitions carry URIs so the
+    executor-side open routes through the seam), and a local pattern
+    containing ':' is NOT misread as a URI."""
     from pos_data_insertion_etl_spark.sources.zip_datasource import (
-        _expand_local_glob,
+        _expand_glob,
     )
 
     d = tmp_path / "dir:with:colons"
     d.mkdir()
     (d / "a.zip").write_bytes(b"x")
 
-    assert _expand_local_glob(str(d / "*.zip")) == [str(d / "a.zip")]
-    assert _expand_local_glob(f"file://{d}/*.zip") == [str(d / "a.zip")]
-    assert _expand_local_glob(f"file://localhost{d}/*.zip") == [str(d / "a.zip")]
+    assert _expand_glob(str(d / "*.zip")) == [str(d / "a.zip")]
+    assert _expand_glob(f"file://{d}/*.zip") == [f"file://{d}/a.zip"]
+    assert _expand_glob(f"file://localhost{d}/*.zip") == [
+        f"file://localhost{d}/a.zip"
+    ]
     with pytest.raises(ValueError, match="remote host 'fileserver'"):
-        _expand_local_glob("file://fileserver/share/*.zip")
+        _expand_glob("file://fileserver/share/*.zip")
 
 
 @pytest.mark.slow
