@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Classify every registry query by INPUT SCALING (VERDICT r12 item 8).
+
+At-scale claims should cite queries whose input grows with the data;
+fixed-shape entries are mechanism certificates (routing, protocol,
+codec proofs) whose row counts are SF-decoupled by design. This audit
+reads each registered query's source and classifies:
+
+* ``data``  -- reads sf_dir tables (load_table / register_views /
+  catalog views): volume grows with SF; valid at-scale witness.
+* ``fixed`` -- synthesizes a constant-size shape (spark.range /
+  literal frames, no sf_dir table read): certifies a mechanism, not
+  scale. q292 is the canonical example (1700-row routing graph at
+  every SF).
+* ``mixed`` -- reads sf_dir tables AND synthesizes fixture frames
+  (e.g. eval digests, probe sets): the data side scales; the fixture
+  side is deliberately bounded (broadcast-sized).
+
+Prints a summary + the full fixed/mixed lists, markdown-ready for
+COVERAGE.md. Heuristic on source text, kept deliberately simple; the
+point is a maintained, re-runnable ledger of which names back at-scale
+claims.
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import re
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from pos_data_insertion_etl_spark.plans import all_queries  # noqa: E402
+
+_DATA_RE = re.compile(r"load_table|register_views")
+_FIXTURE_RE = re.compile(
+    r"spark\.range|values_frame|createDataFrame|smallframe"
+)
+
+
+def classify(fn) -> str:
+    src = inspect.getsource(fn)
+    # follow one level of helper indirection (plans that delegate to a
+    # module-level _build/_fixture helper in the same module)
+    mod = inspect.getmodule(fn)
+    for name in re.findall(r"\b(_[a-z0-9_]+)\(", src):
+        helper = getattr(mod, name, None)
+        if callable(helper) and not isinstance(helper, type):
+            try:
+                src += inspect.getsource(helper)
+            except (OSError, TypeError):
+                pass
+    reads_data = bool(_DATA_RE.search(src))
+    makes_fixture = bool(_FIXTURE_RE.search(src))
+    if reads_data and makes_fixture:
+        return "mixed"
+    if reads_data:
+        return "data"
+    return "fixed"
+
+
+def main() -> None:
+    buckets: dict[str, list[str]] = {"data": [], "mixed": [], "fixed": []}
+    for name, spec in all_queries().items():
+        buckets[classify(spec.spark)].append(name)
+    for kind in ("data", "mixed", "fixed"):
+        buckets[kind].sort()
+        print(f"{kind}: {len(buckets[kind])}")
+    print()
+    print("fixed-shape certificates (SF-decoupled by design):")
+    for n in buckets["fixed"]:
+        print(f"  {n}")
+    print()
+    print("mixed (data-scaled core + bounded synthetic fixture):")
+    for n in buckets["mixed"]:
+        print(f"  {n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,9 @@ the foreachBatch family). Two scenarios: the curation ingest (digest
 swap + funnel accounting) and the POS mart ingest (checkpointed
 binaryFile source, SKU anti-join append, dynamic partition overwrite
 of the derived marts) -- each crash-window family under a REAL kill.
+Round 13 adds the third foreachBatch path: the CDC apply stream
+(MERGE upsert + rename-aside swap of the applied table), closing the
+coverage gap VERDICT r12 item 4 named.
 
 Round 11 proved the ingest's crash windows replay-safe with INJECTED
 faults -- exceptions raised at chosen safe points (`_fault` hooks).
@@ -427,11 +430,193 @@ def scenario_mart(spark, out: dict) -> None:
             shutil.rmtree(base, ignore_errors=True)
 
 
+# --------------------------------------------------------------------
+# CDC apply-stream kill scenario (VERDICT r12 item 4): apply_cdc_stream
+# has the same rename-aside swap window as the curation digest swap but
+# had no executor-kill witness. Crash windows here: mid-MERGE-rewrite
+# (torn __cdc tmp dir), mid-swap (restore_crashed_swap must heal on the
+# re-drive), and a kill during an at-least-once re-delivery of an
+# already-committed batch (upsert idempotence).
+# --------------------------------------------------------------------
+
+CDC_TARGET_ROWS = int(os.environ.get("SPARK_GRAFT_CDC_N", "1500000"))
+CDC_BATCH_ROWS = int(os.environ.get("SPARK_GRAFT_CDC_B", "600000"))
+
+
+def _cdc_batch_df(spark, bid: int):
+    """Deterministic update batch: keys 3*id+bid are unique in-batch
+    (upsert's documented contract) and disjoint ACROSS batches (mod-3
+    residues), spanning both existing target keys (updates) and novel
+    ones (inserts), so the MERGE's matched and not-matched branches
+    both carry real work in every batch."""
+    return (
+        spark.range(CDC_BATCH_ROWS)
+        .repartition(16)
+        .select(
+            (F.col("id") * 3 + bid).alias("k"),
+            (F.lit(10_000_000 * (bid + 1)) + F.col("id") % 9973).alias("val"),
+        )
+    )
+
+
+def _cdc_state(spark, target: str) -> list:
+    df = spark.read.parquet(target)
+    row = (
+        df.select(
+            F.xxhash64(
+                F.col("k").cast("string"), F.col("val").cast("string")
+            ).alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.col("h").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s"),
+        )
+        .collect()[0]
+    )
+    return [int(row.n), str(row.s)]
+
+
+def _run_cdc_stream(spark, landing, target, ckpt, kill_after, rec_list):
+    """One availableNow CDC apply run, optionally with a mid-run
+    SIGKILL; re-driven (the stream restart contract) until clean."""
+    from pos_data_insertion_etl_spark.streaming.jobs import apply_cdc_stream
+
+    for attempt in range(5):
+        kill: dict = {}
+        th = None
+        if kill_after is not None:
+            th = _kill_one_executor_after(spark, kill_after, kill)
+        t0 = time.perf_counter()
+        err = ""
+        try:
+            updates = (
+                spark.readStream.schema("k long, val long")
+                .parquet(landing)
+            )
+            q = apply_cdc_stream(updates, target, ["k"], ckpt)
+            q.awaitTermination()
+            outcome = "completed"
+        except Exception as exc:  # noqa: BLE001 -- the restart contract
+            outcome = "failed"
+            err = repr(exc)[:400]
+        t_end = time.perf_counter()
+        if th is not None:
+            th.join(timeout=kill_after + 10)
+        probative = (
+            kill.get("killed_pid") is not None
+            and kill.get("kill_time", t_end + 1) < t_end
+        )
+        rec_list.append(
+            {
+                "attempt": attempt,
+                "killed_pid": kill.get("killed_pid"),
+                "kill_before_stream_end": probative,
+                "outcome": outcome,
+                "wall_sec": round(t_end - t0, 2),
+                "error": err,
+            }
+        )
+        print(f"  cdc run attempt {attempt}: {rec_list[-1]}", flush=True)
+        _wait_executors(spark, want=4)
+        kill_after = None  # restart attempts run kill-free to completion
+        if outcome == "completed":
+            return
+    raise RuntimeError("cdc stream never completed after kill")
+
+
+def scenario_cdc(spark, out: dict) -> None:
+    """Executor kill mid-batch of the CDC apply stream; final applied
+    table must checksum-equal a fault-free run."""
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="graft_skill_cdc_stage_")
+    dirs = {
+        "clean": tempfile.mkdtemp(prefix="graft_skill_cdc_ref_"),
+        "kill": tempfile.mkdtemp(prefix="graft_skill_cdc_"),
+    }
+    n_batches = 3
+    try:
+        for bid in range(n_batches):
+            _cdc_batch_df(spark, bid).write.parquet(
+                os.path.join(stage, f"b{bid}")
+            )
+        landing, target = {}, {}
+        for mode, base in dirs.items():
+            landing[mode] = os.path.join(base, "landing")
+            target[mode] = os.path.join(base, "target")
+            os.makedirs(landing[mode])
+            # identical deterministic seed table in both modes
+            (
+                spark.range(CDC_TARGET_ROWS)
+                .repartition(16)
+                .select(F.col("id").alias("k"), F.lit(0).alias("val"))
+                .write.parquet(target[mode])
+            )
+
+        def add_batch(mode: str, bid: int) -> None:
+            src = os.path.join(stage, f"b{bid}")
+            for j, fname in enumerate(sorted(os.listdir(src))):
+                if fname.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(src, fname),
+                        os.path.join(landing[mode], f"b{bid}_{j}.parquet"),
+                    )
+
+        # Fault-free reference: one batch per availableNow run.
+        walls = []
+        for bid in range(n_batches):
+            add_batch("clean", bid)
+            recs: list = []
+            t0 = time.perf_counter()
+            _run_cdc_stream(
+                spark, landing["clean"], target["clean"],
+                os.path.join(dirs["clean"], "ckpt"), None, recs,
+            )
+            walls.append(round(time.perf_counter() - t0, 2))
+        out["cdc_reference_walls"] = walls
+        kill_after = max(1.0, 0.4 * sorted(walls)[1])
+        out["cdc_kill_after_sec"] = kill_after
+        # Kill run: runs 0 and 1 take a mid-stream SIGKILL.
+        records: list = []
+        for bid in range(n_batches):
+            add_batch("kill", bid)
+            _run_cdc_stream(
+                spark, landing["kill"], target["kill"],
+                os.path.join(dirs["kill"], "ckpt"),
+                kill_after if bid < 2 else None, records,
+            )
+        out["cdc_kill_records"] = records
+        out["cdc_probative_kills"] = sum(
+            1 for r in records if r["kill_before_stream_end"]
+        )
+        out["cdc_state_clean"] = _cdc_state(spark, target["clean"])
+        out["cdc_state_kill"] = _cdc_state(spark, target["kill"])
+        out["cdc_states_equal"] = (
+            out["cdc_state_clean"] == out["cdc_state_kill"]
+        )
+        print(
+            f"cdc probative kills: {out['cdc_probative_kills']}; "
+            f"states equal: {out['cdc_states_equal']}",
+            flush=True,
+        )
+        assert out["cdc_probative_kills"] >= 1, out
+        assert out["cdc_states_equal"], out
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        for base in dirs.values():
+            shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(_REPO, "STREAMKILL_r12.json"))
+    ap.add_argument("--out", default=os.path.join(_REPO, "STREAMKILL_r13.json"))
     ap.add_argument(
-        "--scenario", default="all", choices=["curation", "mart", "all"]
+        "--scenario",
+        default="all",
+        choices=["curation", "mart", "cdc", "all"],
     )
     args = ap.parse_args()
 
@@ -451,6 +636,9 @@ def main() -> None:
     shutil.rmtree(clean_dir, ignore_errors=True)
     shutil.rmtree(kill_dir, ignore_errors=True)
     try:
+        if args.scenario in ("cdc", "all"):
+            print("== cdc apply-stream kill scenario ==", flush=True)
+            scenario_cdc(spark, out)
         if args.scenario in ("mart", "all"):
             print("== mart ingest kill scenario ==", flush=True)
             scenario_mart(spark, out)
