@@ -100,7 +100,7 @@ def test_scenario_reliable_contains_transient_failure(spark, monkeypatch):
     def boom(_spark, _n):
         raise RuntimeError("checkpoint write raced the kill")
 
-    def fake_kill(after, rec):
+    def fake_kill(_spark, after, rec):
         rec["killed_pid"] = 4242
         rec["kill_time"] = 0.0
         th = threading.Thread(target=lambda: None)
@@ -126,7 +126,7 @@ def test_scenario_reliable_wrong_result_not_ok(spark, monkeypatch):
         os.path.join(_REPO_ROOT, "tools", "executor_kill_check.py"),
     )
 
-    def fake_kill(after, rec):
+    def fake_kill(_spark, after, rec):
         rec["killed_pid"] = 4242
         rec["kill_time"] = 0.0
         th = threading.Thread(target=lambda: None)

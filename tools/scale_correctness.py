@@ -58,7 +58,7 @@ SF1 = os.environ.get(
     "SPARK_GRAFT_SF1_OUT", os.path.join(_REPO, ".benchdata", "sf1.0")
 )
 OUT = os.environ.get(
-    "SPARK_GRAFT_SCALE_OUT", os.path.join(_REPO, "SCALE_CORRECTNESS_r12.json")
+    "SPARK_GRAFT_SCALE_OUT", os.path.join(_REPO, "SCALE_CORRECTNESS_r13.json")
 )
 
 EXACT_NAMES = [
@@ -241,8 +241,18 @@ def main() -> None:
         )
 
     spark.stop()
+    # MERGE into the artifact: the closed-form >=10x witnesses
+    # (tools/closed_form_scale.py) share the same file since round 13.
+    merged = {}
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as fh:
+                merged = json.load(fh)
+        except ValueError:
+            merged = {}
+    merged.update(out)
     with open(OUT, "w") as fh:
-        json.dump(out, fh, indent=1, sort_keys=True)
+        json.dump(merged, fh, indent=1, sort_keys=True)
     print(f"wrote {OUT}", flush=True)
     bad = [n for n, r in out["exact"].items() if not r["ok"]] + [
         n for n, r in out["times10"].items() if not r["ok"]
