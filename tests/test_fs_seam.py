@@ -195,3 +195,109 @@ def test_mapped_scheme_end_to_end_fresh_jvm(tmp_path):
         proc.stdout[-2000:],
         proc.stderr[-2000:],
     )
+
+
+# --------------------------------------------------------------------
+# unit: ArrowFileSystem listing logic (FileSelector + fnmatch over the
+# wildcard-free prefix) against a FAKE pyarrow filesystem -- the
+# sandbox has no object store, so the glob algebra is what we can pin:
+# prefix preservation (including s3a alias length math), recursive
+# match, wildcard-free existence probe.
+# --------------------------------------------------------------------
+
+class _FakeInfo:
+    def __init__(self, path, type_):
+        self.path = path
+        self.type = type_
+
+
+class _FakeArrowFs:
+    """Mimics pyarrow.fs semantics for S3-style paths: from_uri strips
+    'scheme://' and returns 'bucket/key' rels; listings return
+    bucket-prefixed paths; directories appear as Directory infos."""
+
+    def __init__(self, files):
+        self._files = files  # rel paths like 'bucket/daily/a.zip'
+
+    def get_file_info(self, sel):
+        import pyarrow.fs as pafs
+
+        if isinstance(sel, pafs.FileSelector):
+            base = sel.base_dir.rstrip("/")
+            out = []
+            dirs = set()
+            for f in self._files:
+                if f.startswith(base + "/"):
+                    out.append(_FakeInfo(f, pafs.FileType.File))
+                    parent = f.rsplit("/", 1)[0]
+                    if parent != base:
+                        dirs.add(parent)
+            out.extend(_FakeInfo(d, pafs.FileType.Directory) for d in dirs)
+            return out
+        # single-path probe
+        t = (
+            pafs.FileType.File
+            if sel in self._files
+            else pafs.FileType.NotFound
+        )
+        return _FakeInfo(sel, t)
+
+    def open_input_file(self, rel):  # pragma: no cover - not exercised
+        raise AssertionError
+
+
+def _patch_from_uri(monkeypatch, fake, expect_scheme):
+    # pyarrow._fs.FileSystem is an immutable C type; patch the MODULE
+    # binding the seam resolves through (`pafs.FileSystem.from_uri`).
+    import pyarrow.fs as pafs
+
+    class _FakeFSClass:
+        @staticmethod
+        def from_uri(uri):
+            scheme, _, rest = uri.partition("://")
+            assert scheme == expect_scheme, (scheme, expect_scheme)
+            return fake, rest
+
+    monkeypatch.setattr(pafs, "FileSystem", _FakeFSClass)
+
+
+def test_arrow_glob_prefix_and_fnmatch(monkeypatch):
+    fake = _FakeArrowFs(
+        [
+            "bucket/daily/R520.zip",
+            "bucket/daily/R521.zip",
+            "bucket/daily/notes.txt",
+            "bucket/deep/sub/R9.zip",
+            "other/daily/R522.zip",
+        ]
+    )
+    _patch_from_uri(monkeypatch, fake, "s3")
+    got = fs.expand_glob("s3://bucket/daily/*.zip")
+    assert got == [
+        "s3://bucket/daily/R520.zip",
+        "s3://bucket/daily/R521.zip",
+    ]
+    # recursive wildcard walks subdirectories under the static prefix
+    assert fs.expand_glob("s3://bucket/*/sub/*.zip") == [
+        "s3://bucket/deep/sub/R9.zip"
+    ]
+
+
+def test_arrow_glob_alias_scheme_preserved(monkeypatch):
+    """s3a:// is aliased to s3 for pyarrow but the RESULTS must carry
+    the caller's original scheme (Spark's binaryFile emits s3a:// on
+    S3 deployments, and downstream opens re-route through the same
+    alias)."""
+    fake = _FakeArrowFs(["bucket/daily/R520.zip"])
+    _patch_from_uri(monkeypatch, fake, "s3")
+    got = fs.expand_glob("s3a://bucket/daily/*.zip")
+    assert got == ["s3a://bucket/daily/R520.zip"]
+
+
+def test_arrow_glob_wildcard_free_probe(monkeypatch):
+    fake = _FakeArrowFs(["bucket/daily/R520.zip"])
+    _patch_from_uri(monkeypatch, fake, "s3")
+    assert fs.expand_glob("s3://bucket/daily/R520.zip") == [
+        "s3://bucket/daily/R520.zip"
+    ]
+    assert fs.expand_glob("s3://bucket/daily/missing.zip") == []
