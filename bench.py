@@ -201,6 +201,31 @@ def _clear_block_pool(spark) -> None:
         _POOL_CLEAR_OK = False
 
 
+def _calibration_probe(spark) -> dict:
+    """Box-regime probe (VERDICT r13 item 4): 3 timed reps of a
+    CONSTANT-shape query -- a 20M-row range -> hash-agg that touches no
+    input data, no Python workers, and no disk -- run at bench start
+    and end. Its wall-clock depends only on JVM/CPU/scheduler state, so
+    a slow-box regime (the r13 64.7->77.7 s head-fake: ~1.2-1.5x
+    uniform elevation across unrelated entries) shows up INSIDE the
+    artifact as an elevated calibration median instead of costing a
+    full bracket analysis to dismiss. Consumers ANNOTATE with it (see
+    PLANS.md: compare calibration_{pre,post} medians against the
+    recorded quiet-box band before reading per-entry bands); nothing is
+    silently rescaled."""
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 20_000_000, 1, 32).selectExpr(
+            "sum(id * 2 + 1) as s", "count(1) as c"
+        ).collect()
+        return time.perf_counter() - t0
+
+    one()  # warm-up, excluded
+    reps = [round(one(), 4) for _ in range(3)]
+    return {"reps": reps, "median": round(statistics.median(reps), 4)}
+
+
 def bench_mart_pipeline(spark) -> float:
     """End-to-end POS mart pipeline (zip -> parse -> merged marts written
     as day-partitioned parquet), timed separately from fixture setup."""
@@ -323,6 +348,7 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).select(F.lit(1)).limit(1).collect()
 
+    calibration_pre = _calibration_probe(spark)
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
@@ -352,6 +378,7 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = round(_central_spread(runs), 3)
 
+    calibration_post = _calibration_probe(spark)
     total = round(sum(timings.values()), 3)
     # The driver captures only the LAST ~2000 bytes of stdout (VERDICT
     # r6: the r6 line with per-query spreads + config outgrew that and
@@ -373,6 +400,8 @@ def main() -> None:
         "value": total,
         "queries": timings,
         "spread": spread,
+        "calibration_pre": calibration_pre,
+        "calibration_post": calibration_post,
         "pool_cleared": _POOL_CLEAR_OK,
         "reps": reps,
         "config": {

@@ -81,6 +81,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops28,
         llm_ops29,
         llm_ops30,
+        llm_ops31,
         media_ops,
         pos_ops,
         relational,

@@ -535,7 +535,25 @@ def q97_recursive_order_chain(spark, sf_dir):
     scale path for high-diameter graphs: pointer jumping converges in
     O(log d) rounds vs the CTE's O(d) frontier expansions; here d is
     bounded by orders-per-customer, so the CTE shape is fine and each
-    frontier is a parallel equi-join)."""
+    frontier is a parallel equi-join).
+
+    Materialization contract (ADVICE r13): the result is an EAGER
+    ``localCheckpoint`` (the scoped conf is read at execution time, so
+    the plan must run inside the scope). Two consequences the caller
+    owns: (1) the checkpoint blocks stay in the storage pool until the
+    returned DataFrame is dropped and the async ContextCleaner
+    reclaims the JVM RDD -- a long-lived session invoking this
+    repeatedly while holding references should call
+    ``session.release_block_pool`` between invocations (bench.py
+    clears the pool between entries; the oracle/cluster harnesses run
+    each entry once); (2) localCheckpoint is NON-RELIABLE -- blocks
+    live on executors, so losing an executor after the scope closes
+    makes the returned DataFrame unrecomputable. Consume it promptly;
+    a caller that must survive executor loss should persist the result
+    (write, or ``sc.setCheckpointDir`` + reliable ``checkpoint()``)
+    rather than hold this handle -- the closed-form witnesses
+    (tools/closed_form_scale.py) aggregate it in the same job for
+    exactly this reason."""
     from ..session import scoped_conf
 
     register_views(spark, sf_dir, ("orders",))

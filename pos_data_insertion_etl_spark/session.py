@@ -49,7 +49,20 @@ def scoped_conf(spark: SparkSession, key: str, value: str):
     sf1.0 -- raises it HERE, sized from its own input, instead of
     weakening the default for every session. Any plan executed inside
     the block must be materialized inside the block (the conf is read
-    at execution time, not at plan-build time)."""
+    at execution time, not at plan-build time).
+
+    Concurrency contract (ADVICE r13): SQL confs are SESSION-scoped,
+    not plan-scoped -- a query executing concurrently on the SAME
+    SparkSession from another driver thread sees the override for the
+    duration of the block (briefly weakening whatever guard was
+    raised). The engine's entry points are single-threaded per session
+    (one query materializes per ``queries()`` callable; bench/oracle/
+    stream harnesses run entries sequentially), which is what makes
+    this safe. A multi-threaded driver must give each thread its own
+    ``spark.newSession()`` -- sessions share the SparkContext and
+    cached data but each has its OWN SQL conf, so a scoped override in
+    one never leaks into another (certified in
+    tests/test_round14_fixes.py)."""
     try:
         old = spark.conf.get(key)
     except Exception:
@@ -65,6 +78,34 @@ def scoped_conf(spark: SparkSession, key: str, value: str):
                 spark.conf.set(key, old)
         except Exception:
             pass  # never mask the block's own exception over a restore
+
+
+def release_block_pool(spark: SparkSession) -> int:
+    """Unpersist every RDD still in the storage pool; returns how many
+    were released.
+
+    Plans that materialize through an eager ``localCheckpoint`` (q97's
+    scoped-conf recursion, the two-phase global sequences) leave their
+    blocks in the pool until the caller drops the returned DataFrame
+    and the async ContextCleaner reclaims the JVM-side RDD (ADVICE
+    r13). One-shot harnesses never notice; a LONG-LIVED session that
+    invokes such plans repeatedly while holding references should call
+    this between invocations (bench.py's _clear_block_pool does the
+    same thing with artifact-flagging on failure). Releasing also
+    drops blocks a still-referenced checkpointed DataFrame depends on
+    -- localCheckpoint truncates lineage, so such a DataFrame becomes
+    unrecomputable after release: call this only between logical units
+    of work, never while a prior result is still to be consumed."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for rdd_id in list(jmap.keys()):
+        try:
+            jmap[rdd_id].unpersist(False)
+            n += 1
+        except Exception:
+            pass  # the async cleaner raced us; the block is gone anyway
+    spark.catalog.clearCache()
+    return n
 
 
 _SHIPPED_CONTEXTS: set[int] = set()

@@ -21,11 +21,26 @@ both dispatching on the URI scheme:
   ``spark.executorEnv.GRAFT_FS_MAP``. This is the seam's test: an
   "s3-like" filesystem is a config entry, not a rewrite.
 * any other scheme -> ``pyarrow.fs.FileSystem.from_uri`` (s3 / hdfs /
-  gcs...; ``s3a``/``s3n`` aliased to ``s3``), with listing implemented
-  as a recursive ``FileSelector`` under the pattern's wildcard-free
-  prefix + ``fnmatch`` -- pyarrow filesystems have no native glob.
-  The open side range-reads (random-access input file), so zip central
+  gcs...; ``s3a``/``s3n`` aliased to ``s3``; ``arrowfile`` aliased to
+  ``file`` -- the explicit opt-in that drives LOCAL files through the
+  pyarrow adapter, i.e. the exact code path an ``s3://`` URI takes,
+  testable without an object store). Listing walks a recursive
+  ``FileSelector`` under the pattern's wildcard-free prefix and
+  matches PER PATH COMPONENT -- pyarrow filesystems have no native
+  glob, and plain ``fnmatch`` would let ``*`` cross ``/`` (ADVICE
+  r13: ``bucket/daily/*.zip`` silently ingesting
+  ``bucket/daily/sub/deep.zip`` only on real object stores). The open
+  side range-reads (random-access input file), so zip central
   directories seek without materializing the archive.
+
+Glob semantics (all backends agree; the local double IS python glob):
+``*`` and ``?`` never match ``/``; a ``.``-led name is matched only by
+a ``.``-led pattern component. URI splitting is done manually (scheme
+/ netloc / path partitioned on ``://`` and the first ``/``), never via
+``urlparse`` -- ``?`` is a legal single-char glob wildcard that
+urlparse would silently misparse as a query string (ADVICE r13).
+``#`` cannot be represented in the URIs pyarrow's ``from_uri`` parses,
+so ArrowFileSystem raises loudly on it instead of listing nothing.
 
 ``register_filesystem(scheme, factory)`` additionally lets a process
 install a custom implementation in-process (driver-side planning
@@ -40,10 +55,13 @@ import os
 import posixpath
 import re
 from collections.abc import Callable
-from urllib.parse import unquote, urlparse
+from urllib.parse import unquote
 
-#: Hadoop-era aliases pyarrow's from_uri does not know.
-SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
+#: Aliases pyarrow's from_uri does not know: the Hadoop-era s3a/s3n
+#: names, plus ``arrowfile`` -- the explicit scheme that routes LOCAL
+#: paths through the ArrowFileSystem adapter (production-parity
+#: testing of the pyarrow code path without an object store).
+SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3", "arrowfile": "file"}
 
 # Accept both RFC 3986 (scheme://...) and Hadoop's single-slash form
 # (file:/tmp/x -- what Spark's binaryFile listing emits). A colon NOT
@@ -55,6 +73,8 @@ _URI_RE = re.compile(r"^[a-z][a-z0-9+.\-]*:/", re.IGNORECASE)
 #: exposing ``glob(pattern: str) -> list[str]`` and
 #: ``open_input(path: str) -> binary file``.
 _REGISTRY: dict[str, Callable[[], object]] = {}
+
+_WILDCARDS = "*?["
 
 
 def register_filesystem(scheme: str, factory: Callable[[], object]) -> None:
@@ -69,10 +89,45 @@ def unregister_filesystem(scheme: str) -> None:
 
 
 def is_uri(path: str) -> bool:
-    """True when ``path`` carries an RFC 3986 scheme followed by '//'
+    """True when ``path`` carries an RFC 3986 scheme followed by '/'
     (plain urlparse would misread odd-but-legal local patterns like
     'dir:with:colons/x.zip' as remote schemes)."""
     return bool(_URI_RE.match(path))
+
+
+def split_uri(path: str) -> tuple[str, str, str, bool]:
+    """Manual (scheme, netloc, path, had_double_slash) split.
+
+    urlparse is WRONG for glob patterns: ``?`` (a legal single-char
+    wildcard) parses as a query string and ``#`` as a fragment, so
+    ``file:///d/R52?.zip`` would silently list nothing (ADVICE r13).
+    Partitioning on ``:``/``://`` and the first ``/`` keeps every
+    character of the pattern. Caller guarantees ``is_uri(path)``.
+    """
+    scheme, _, rest = path.partition(":")
+    if rest.startswith("//"):
+        netloc, sep, tail = rest[2:].partition("/")
+        return scheme, netloc, ("/" + tail) if sep else "", True
+    return scheme, "", rest, False
+
+
+def _glob_match(path: str, pattern: str) -> bool:
+    """Per-path-component glob match: ``*``/``?`` never cross ``/``,
+    and a dot-led name needs a dot-led pattern component -- python
+    ``glob`` semantics, so the pyarrow backend, the GRAFT_FS_MAP
+    double, and the local filesystem agree (ADVICE r13: plain
+    fnmatch's ``*`` matches ``/``, silently ingesting nested files
+    only on real object stores)."""
+    psegs = pattern.split("/")
+    xsegs = path.split("/")
+    if len(psegs) != len(xsegs):
+        return False
+    for pseg, xseg in zip(psegs, xsegs):
+        if xseg.startswith(".") and not pseg.startswith("."):
+            return False
+        if not fnmatch.fnmatchcase(xseg, pseg):
+            return False
+    return True
 
 
 def _env_map() -> dict[str, str]:
@@ -97,19 +152,18 @@ class LocalFileSystem:
         """-> (local_path, prefix_to_restore)."""
         if not is_uri(path):
             return path, ""
-        parsed = urlparse(path)
-        if parsed.netloc not in ("", "localhost"):
+        scheme, netloc, p, dbl = split_uri(path)
+        if netloc not in ("", "localhost"):
             # file://host/share names a REMOTE host; globbing the path
             # locally would silently read the wrong tree.
             raise ValueError(
                 f"file:// path {path!r} carries a remote host "
-                f"{parsed.netloc!r}; only local files are supported"
+                f"{netloc!r}; only local files are supported"
             )
         # Preserve the caller's URI form (file:///x vs Hadoop's
         # file:/x) so re-prefixed listings round-trip byte-identical.
-        sep = "//" if path[len(parsed.scheme) + 1 :].startswith("//") else ""
-        prefix = f"{parsed.scheme}:{sep}{parsed.netloc}"
-        return unquote(parsed.path), prefix
+        prefix = f"{scheme}:{'//' if dbl else ''}{netloc}"
+        return unquote(p), prefix
 
     def glob(self, pattern: str) -> list[str]:
         local, prefix = self._split(pattern)
@@ -130,8 +184,8 @@ class MappedFileSystem:
         self.root = root
 
     def _to_local(self, path: str) -> str:
-        parsed = urlparse(path)
-        rel = parsed.netloc + unquote(parsed.path)
+        _, netloc, p, _ = split_uri(path)
+        rel = netloc + unquote(p)
         return os.path.join(self.root, rel.lstrip("/"))
 
     def _to_uri(self, local: str) -> str:
@@ -152,43 +206,89 @@ class MappedFileSystem:
 
 
 class ArrowFileSystem:
-    """Any scheme pyarrow.fs understands (s3, hdfs, gcs...). Listing =
-    recursive FileSelector under the wildcard-free prefix + fnmatch;
-    open = random-access input file (range reads, zip-seekable)."""
+    """Any scheme pyarrow.fs understands (s3, hdfs, gcs...; arrowfile
+    -> local). Listing = recursive FileSelector under the
+    wildcard-free prefix + per-component glob match; open =
+    random-access input file (range reads, zip-seekable)."""
 
     def __init__(self, scheme: str):
         self.scheme = scheme
 
+    def _parts(self, path: str) -> tuple[str, str, str]:
+        """-> (original_scheme, netloc, path); rejects ``#`` loudly --
+        pyarrow's from_uri would misparse it as a fragment and this
+        backend would otherwise silently list/open the wrong key."""
+        scheme, netloc, p, _ = split_uri(path)
+        if "#" in netloc or "#" in p:
+            raise ValueError(
+                f"ArrowFileSystem cannot represent '#' in {path!r}: "
+                "pyarrow.fs.FileSystem.from_uri parses it as a URI "
+                "fragment. Rename the key or use a GRAFT_FS_MAP / "
+                "register_filesystem backend for such paths."
+            )
+        return scheme, netloc, p
+
+    def _canon(self, scheme: str) -> str:
+        return SCHEME_ALIASES.get(scheme.lower(), scheme.lower())
+
     def _resolve(self, path: str):
+        """from_uri for a CONCRETE path (no wildcards): '?' would be a
+        wildcard in a pattern but from_uri misparses it as a query
+        string, so reject it loudly here too."""
         import pyarrow.fs as pafs
 
-        canon = SCHEME_ALIASES.get(self.scheme)
-        if canon is not None:
-            path = canon + path[len(self.scheme):]
-        return pafs.FileSystem.from_uri(path)
+        scheme, netloc, p = self._parts(path)
+        if "?" in p or "?" in netloc:
+            raise ValueError(
+                f"ArrowFileSystem cannot open {path!r}: '?' cannot be "
+                "represented in the URIs pyarrow.fs.from_uri parses."
+            )
+        return pafs.FileSystem.from_uri(
+            f"{self._canon(scheme)}://{netloc}{p}"
+        )
 
     def glob(self, pattern: str) -> list[str]:
         import pyarrow.fs as pafs
 
-        fs, rel = self._resolve(pattern)
-        if not any(ch in rel for ch in "*?["):
+        scheme, netloc, path = self._parts(pattern)
+        if not any(ch in path for ch in _WILDCARDS):
+            # Wildcard-free probe: only a FILE is a hit -- a Directory
+            # of the same name must not masquerade as an archive (the
+            # executor-side open would fail, or a streaming offset
+            # would permanently carry a directory entry; ADVICE r13).
+            fs, rel = pafs.FileSystem.from_uri(
+                f"{self._canon(scheme)}://{netloc}{path}"
+            )
             info = fs.get_file_info(rel)
-            hit = info.type != pafs.FileType.NotFound
-            return [pattern] if hit else []
-        # list once under the deepest wildcard-free directory
-        base = rel
-        while any(ch in base for ch in "*?["):
-            base = posixpath.dirname(base)
+            return [pattern] if info.type == pafs.FileType.File else []
+        # Resolve the filesystem from the deepest wildcard-free
+        # DIRECTORY prefix of the pattern, at the string level, so a
+        # '?' wildcard never reaches pyarrow's URI parser.
+        base_path = path
+        while any(ch in base_path for ch in _WILDCARDS):
+            base_path = posixpath.dirname(base_path)
+        fs, base_rel = pafs.FileSystem.from_uri(
+            f"{self._canon(scheme)}://{netloc}{base_path}"
+        )
+        root = base_rel.rstrip("/")  # '' when base is the fs root
+        suffix = path[len(base_path):].lstrip("/")
+        rel_pattern = f"{root}/{suffix}"
         selector = pafs.FileSelector(
-            base, recursive=True, allow_not_found=True
+            root or "/", recursive=True, allow_not_found=True
         )
-        prefix = pattern[: len(pattern) - len(rel)]
-        return sorted(
-            prefix + info.path
-            for info in fs.get_file_info(selector)
-            if info.type == pafs.FileType.File
-            and fnmatch.fnmatch(info.path, rel)
-        )
+        out = []
+        for info in fs.get_file_info(selector):
+            if info.type != pafs.FileType.File:
+                continue
+            if not _glob_match(info.path, rel_pattern):
+                continue
+            # Map the backend-relative path back to the caller's URI
+            # space (original scheme preserved: s3a:// stays s3a://).
+            tail = info.path[len(root):].lstrip("/")
+            out.append(
+                f"{scheme}://{netloc}" + posixpath.join(base_path, tail)
+            )
+        return sorted(out)
 
     def open_input(self, path: str):
         fs, rel = self._resolve(path)
@@ -199,7 +299,7 @@ def filesystem_for(path: str):
     """Resolve the filesystem handling ``path``'s scheme."""
     if not is_uri(path):
         return LocalFileSystem()
-    scheme = urlparse(path).scheme.lower()
+    scheme = path.partition(":")[0].lower()
     if scheme == "file":
         return LocalFileSystem()
     factory = _REGISTRY.get(scheme)

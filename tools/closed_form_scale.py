@@ -37,6 +37,37 @@ Witnesses (all exact, no tolerance):
                      keeper histogram is exactly {10: 6M} and keeper
                      ids are exactly 0..6M-1 (sum closed form).
 
+Round 14 (VERDICT r13 item 5) extends to the three heavy families the
+pattern had not yet witnessed:
+
+* setsim_2m       -- the REAL PPJoin operator (q189's
+                     prefix_filter_jaccard_join) over a designed
+                     2.2M-doc corpus: 600k triples of identical 6-token
+                     sets (3 pairs each at J=1.0), 100k designed
+                     J=1/2 pairs (exactly at threshold), 100k designed
+                     J=1/3 pairs (provably excluded); pair count,
+                     jaccard histogram, and sum(n_common) are closed
+                     forms.
+* curation_stream_2m -- the REAL q274 callable (streamed gate ->
+                     cross-batch exact dedup, batch 1 driven twice)
+                     over a 2.1M-doc synthetic corpus whose gate and
+                     dedup outcomes are closed-form by construction
+                     (word-count fails, stopword fails, 700 duplicate
+                     classes all first-seen in batch 0, per-batch
+                     uniques): every (n_raw, n_gated, n_kept) cell is
+                     exact, and the batch-1 replay must change nothing.
+* lsh_buckets_2m  -- seeded-plane sign-LSH (q124's seeded_planes +
+                     _plane_dot fixed-point dot) over 2M vectors built
+                     as 167 copies x 3 positive scales of 4096 distinct
+                     bases: the 12,288-entry (base, scale) -> bucket
+                     map computed driver-side from ONE row each is the
+                     exact expected-bucket-population form -- at 2M
+                     rows every (base, scale) group must land entirely
+                     in its expected bucket with exactly n/12288
+                     members, and lsh_bucket_topk's top-5 for 5 probe
+                     queries must all be cos_sim == 1.0 (>=166
+                     byte-identical copies co-bucketed by purity).
+
 Fixed-data-size-cap audit (the sibling hunt the item prescribes) is
 recorded in the artifact: the only engine conf cap was q97's recursion
 row limit (now input-sized + scoped, round 13); the remaining numeric
@@ -76,7 +107,7 @@ from pos_data_insertion_etl_spark.plans import all_queries  # noqa: E402
 from pos_data_insertion_etl_spark.session import get_session  # noqa: E402
 
 OUT = os.environ.get(
-    "SPARK_GRAFT_CLOSED_OUT", os.path.join(_REPO, "SCALE_CORRECTNESS_r13.json")
+    "SPARK_GRAFT_CLOSED_OUT", os.path.join(_REPO, "SCALE_CORRECTNESS_r14.json")
 )
 #: Scale knob for quick smoke runs (tests use 0.01); 1.0 = the real
 #: sf10-equivalent witness sizes.
@@ -295,6 +326,212 @@ def w_dedup(spark) -> dict:
     return {"n_rows": n, "expected": exp, "got": got, "ok": got == exp}
 
 
+def w_setsim(spark) -> dict:
+    """PPJoin over a designed corpus: A triples of identical 6-token
+    sets (tokens group-unique -> exactly 3 J=1.0 pairs per triple),
+    P pairs sharing 4 of 6 tokens (J = 4/8 = 1/2, exactly AT the
+    threshold -- the >= boundary is part of the closed form), and P
+    pairs sharing 3 of 6 (J = 3/9 = 1/3, provably excluded)."""
+    from pos_data_insertion_etl_spark.operators.setsim import (
+        prefix_filter_jaccard_join,
+    )
+
+    A = _snap(600_000 * SCALE, 6)
+    P = A // 6
+    j6 = [F.lit(f"x{j}") for j in range(6)]
+
+    ids = spark.range(3 * A + 4 * P).repartition(64)
+    g = F.col("id") / 3  # triple id (integer div below)
+    local_b = F.col("id") - 3 * A
+    pb, sb = (local_b / 2).cast("long"), local_b % 2
+    local_c = F.col("id") - (3 * A + 2 * P)
+    pc, sc = (local_c / 2).cast("long"), local_c % 2
+    tok = F.concat_ws(" ", *[
+        F.concat(F.lit("a"), g.cast("long").cast("string"), t)
+        for t in j6
+    ])
+    tok_b = F.concat_ws(
+        " ",
+        *[F.concat(F.lit("b"), pb.cast("string"), F.lit(f"c{j}"))
+          for j in range(4)],
+        *[F.concat(F.lit("b"), pb.cast("string"), F.lit("s"),
+                   sb.cast("string"), F.lit(f"t{j}")) for j in range(2)],
+    )
+    tok_c = F.concat_ws(
+        " ",
+        *[F.concat(F.lit("c"), pc.cast("string"), F.lit(f"c{j}"))
+          for j in range(3)],
+        *[F.concat(F.lit("c"), pc.cast("string"), F.lit("s"),
+                   sc.cast("string"), F.lit(f"t{j}")) for j in range(3)],
+    )
+    docs = ids.select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 3 * A, tok)
+        .when(F.col("id") < 3 * A + 2 * P, tok_b)
+        .otherwise(tok_c)
+        .alias("text"),
+    )
+    pairs = prefix_filter_jaccard_join(
+        docs, "doc_id", "text", n=1, t_num=1, t_den=2
+    )
+    rows = pairs.groupBy("jaccard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_common").alias("sc"),
+    ).collect()
+    got = sorted((float(r.jaccard), int(r.n), int(r.sc)) for r in rows)
+    exp = sorted([(1.0, 3 * A, 18 * A), (0.5, P, 4 * P)])
+    return {
+        "n_rows": 3 * A + 4 * P,
+        "expected": exp,
+        "got": got,
+        "ok": got == exp,
+    }
+
+
+def w_curation_stream(spark) -> dict:
+    """The REAL q274 callable over a synthetic corpus with closed-form
+    gate/dedup outcomes. id%10==0 fails the word-count flag, ==1 fails
+    the stopword flag, 2..8 are 700 duplicate classes (text a pure
+    function of id%1000, every class first-seen in batch 0), ==9 is
+    per-id unique. Batches are exact thirds; batch 1 is driven twice
+    by q274 itself, so the closed form ALSO certifies replay."""
+    n = _snap(2_100_000 * SCALE, 3000)
+    base = "the quick brown fox jumps over a lazy dog"
+    tmp = tempfile.mkdtemp(prefix="graft_cf_docs_")
+    try:
+        r = F.col("id") % 10
+        k = F.col("id") % 1000
+        docs = (
+            spark.range(n)
+            .repartition(64)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(r == 0, F.lit("tiny doc"))
+                .when(r == 1, F.lit(
+                    "alpha beta gamma delta epsilon zeta eta theta "
+                    "iota kappa"
+                ))
+                .when(r == 9, F.concat(
+                    F.lit(base + " u"), F.col("id").cast("string")
+                ))
+                .otherwise(F.concat(
+                    F.lit(base + " dup"), k.cast("string")
+                ))
+                .alias("text"),
+            )
+        )
+        docs.write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        q274 = all_queries()["q274_streamed_curation_replay"].spark
+        rows = q274(spark, tmp).collect()
+        got = sorted(
+            (int(r.batch), int(r.n_raw), int(r.n_gated), int(r.n_kept))
+            for r in rows
+        )
+        b, gated, uniq = n // 3, 8 * (n // 30), n // 30
+        exp = [
+            (0, b, gated, 700 + uniq),
+            (1, b, gated, uniq),
+            (2, b, gated, uniq),
+        ]
+        return {"n_rows": n, "expected": exp, "got": got, "ok": got == exp}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def w_lsh_buckets(spark) -> dict:
+    """Seeded-plane sign-LSH exact expected-bucket populations: 4096
+    deterministic base directions x 3 positive scales x C copies. The
+    (base, scale) -> bucket map is computed driver-side from ONE row
+    per combination (12,288 rows -- codebook-sized) with the SAME
+    seeded_planes + _plane_dot fixed-point expressions the operator
+    composes; at full scale every group must land entirely in its
+    expected bucket with exactly C members (bucket populations are
+    then C x the map's multiplicity -- the exact expected-population
+    form), and the REAL lsh_bucket_topk must return 5/5 neighbors at
+    cos_sim == 1.0 for each probe query (>=C-1 byte-identical copies
+    share its bucket by purity)."""
+    from pos_data_insertion_etl_spark.operators.similarity import (
+        _plane_dot,
+        lsh_bucket_topk,
+        seeded_planes,
+    )
+
+    D, S, DIM, SEED = 4096, 3, 16, 777
+    C = max(2, int(167 * SCALE))
+    n = D * S * C
+    planes = seeded_planes(8, DIM, SEED)
+
+    def with_vec(df):
+        base = F.col("id") % D
+        scale = (F.col("id") / D).cast("long") % S + 1
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: (
+                ((base * 1009 + j * 9176 + 37) % 2003) / F.lit(2003.0)
+                - 0.5
+            ) * scale,
+        )
+        bits = [
+            F.when(_plane_dot(vec, row) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for row in planes
+        ]
+        return df.select(
+            F.col("id").alias("vec_id"),
+            base.alias("base"),
+            (scale - 1).alias("scale_idx"),
+            vec.alias("embedding"),
+            F.concat(*bits).alias("bucket"),
+        )
+
+    # expected map: one row per (base, scale) -- ids 0..D*S-1 cover
+    # every combination exactly once
+    ref = {
+        (int(r.base), int(r.scale_idx)): r.bucket
+        for r in with_vec(spark.range(D * S)).collect()
+    }
+    full = with_vec(spark.range(n).repartition(64))
+    grouped = full.groupBy("base", "scale_idx", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_groups = grouped.count()
+    if n_groups != D * S:
+        return {
+            "n_rows": n,
+            "expected": [D * S],
+            "got": [n_groups],
+            "ok": False,
+        }
+    bad_map = bad_cnt = 0
+    for r in grouped.collect():  # bounded: exactly D*S rows
+        if ref[(int(r.base), int(r.scale_idx))] != r.bucket:
+            bad_map += 1
+        if int(r.cnt) != C:
+            bad_cnt += 1
+    topk = lsh_bucket_topk(
+        full.select("vec_id", "embedding"),
+        full.filter(F.col("vec_id") < 5).select("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_planes=8,
+        seed=SEED,
+        dim=DIM,
+    )
+    trow = topk.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min("cos_sim").alias("mn"),
+        F.max("cos_sim").alias("mx"),
+    ).collect()[0]
+    got = [n_groups, bad_map, bad_cnt,
+           int(trow.rows), float(trow.mn), float(trow.mx)]
+    exp = [D * S, 0, 0, 25, 1.0, 1.0]
+    return {"n_rows": n, "expected": exp, "got": got, "ok": got == exp}
+
+
 WITNESSES = [
     ("cc_forest_30m", w_cc_forest),
     ("cc_giant_path_10m", w_cc_giant_path),
@@ -303,6 +540,10 @@ WITNESSES = [
     ("packing_2m", w_packing),
     ("hourly_windows_10m", w_hourly_windows),
     ("dedup_60m", w_dedup),
+    # round 14 (VERDICT r13 item 5): the un-witnessed heavy families
+    ("setsim_2m", w_setsim),
+    ("curation_stream_2m", w_curation_stream),
+    ("lsh_buckets_2m", w_lsh_buckets),
 ]
 
 CAPS_AUDIT = (
@@ -316,17 +557,26 @@ CAPS_AUDIT = (
 )
 
 
+#: space-separated subset override for iterating on new witnesses
+#: without re-running the whole (expensive) list; full runs MERGE over
+#: prior results in the artifact, so partial runs never erase entries.
+_NAME_FILTER = os.environ.get("SPARK_GRAFT_CLOSED_NAMES", "").split()
+
+
 def main() -> None:
     spark = get_session("closed-form-scale", shuffle_partitions=64)
     results: dict = {}
-    for name, fn in WITNESSES:
+    witnesses = [
+        (n, f) for n, f in WITNESSES
+        if not _NAME_FILTER or n in _NAME_FILTER
+    ]
+    for name, fn in witnesses:
         t0 = time.perf_counter()
         rec = fn(spark)
         rec["wall_sec"] = round(time.perf_counter() - t0, 1)
         results[name] = rec
         print(f"{name}: ok={rec['ok']} n={rec['n_rows']} "
               f"wall={rec['wall_sec']}s got={rec['got']}", flush=True)
-    n_ok = sum(1 for r in results.values() if r["ok"])
     merged = {}
     if os.path.exists(OUT):
         try:
@@ -334,19 +584,26 @@ def main() -> None:
                 merged = json.load(fh)
         except ValueError:
             merged = {}
+    # merge-mode over prior witnesses so SPARK_GRAFT_CLOSED_NAMES
+    # subset runs extend the artifact instead of erasing it
+    witnesses_all = dict(
+        merged.get("closed_form_10x", {}).get("witnesses", {})
+    )
+    witnesses_all.update(results)
+    n_ok = sum(1 for r in witnesses_all.values() if r["ok"])
     merged["closed_form_10x"] = {
         "scale": SCALE,
-        "witnesses": results,
+        "witnesses": witnesses_all,
         "n_ok": n_ok,
-        "n_total": len(results),
+        "n_total": len(witnesses_all),
         "caps_audit": CAPS_AUDIT,
     }
     with open(OUT, "w", encoding="utf-8") as fh:
         json.dump(merged, fh, indent=1, sort_keys=True)
-    print(f"{n_ok}/{len(results)} closed-form witnesses ok -> {OUT}",
+    print(f"{n_ok}/{len(witnesses_all)} closed-form witnesses ok -> {OUT}",
           flush=True)
     spark.stop()
-    if n_ok != len(results):
+    if n_ok != len(witnesses_all):
         sys.exit(1)
 
 

@@ -42,16 +42,38 @@ _FIXTURE_RE = re.compile(
 
 def classify(fn) -> str:
     src = inspect.getsource(fn)
-    # follow one level of helper indirection (plans that delegate to a
-    # module-level _build/_fixture helper in the same module)
+    # follow helper indirection to a FIXPOINT (r14: q293 delegates to
+    # _arrow_tar_dir which delegates to llm_ops9._tar_fixture_path --
+    # one-level expansion misread it as fixed-shape): expand every
+    # module-visible _helper reachable from already-expanded source,
+    # including helpers imported from sibling plan modules.
     mod = inspect.getmodule(fn)
-    for name in re.findall(r"\b(_[a-z0-9_]+)\(", src):
-        helper = getattr(mod, name, None)
-        if callable(helper) and not isinstance(helper, type):
-            try:
-                src += inspect.getsource(helper)
-            except (OSError, TypeError):
-                pass
+    seen: set[str] = set()
+    frontier = src
+    while True:
+        new = ""
+        for name in re.findall(r"\b(_[a-z0-9_]+)\(", frontier):
+            if name in seen:
+                continue
+            seen.add(name)
+            helper = getattr(mod, name, None)
+            if helper is None:
+                # helper lives in (and is imported into scope from) a
+                # sibling module the fn's own module references
+                for sib in list(sys.modules.values()):
+                    cand = getattr(sib, name, None) if sib else None
+                    if callable(cand) and not isinstance(cand, type):
+                        helper = cand
+                        break
+            if callable(helper) and not isinstance(helper, type):
+                try:
+                    new += inspect.getsource(helper)
+                except (OSError, TypeError):
+                    pass
+        if not new:
+            break
+        src += new
+        frontier = new
     reads_data = bool(_DATA_RE.search(src))
     makes_fixture = bool(_FIXTURE_RE.search(src))
     if reads_data and makes_fixture:

@@ -58,7 +58,7 @@ SF1 = os.environ.get(
     "SPARK_GRAFT_SF1_OUT", os.path.join(_REPO, ".benchdata", "sf1.0")
 )
 OUT = os.environ.get(
-    "SPARK_GRAFT_SCALE_OUT", os.path.join(_REPO, "SCALE_CORRECTNESS_r13.json")
+    "SPARK_GRAFT_SCALE_OUT", os.path.join(_REPO, "SCALE_CORRECTNESS_r14.json")
 )
 
 EXACT_NAMES = [
@@ -122,6 +122,18 @@ EXACT_NAMES = [
     "q97_recursive_order_chain",
     "q287_variant_json_stats",
     "q288_collated_group",
+    # r14 widening (VERDICT r13 item 6): the thinly-sampled families --
+    # stats/drift (rank-correlation, concentration, changepoint),
+    # blocking/heavy-hitter replay, the wav mapInPandas codec, and both
+    # packing shapes.
+    "q233_spearman_daily",
+    "q234_gini_revenue",
+    "q239_cusum_drift",
+    "q210_sorted_neighborhood",
+    "q211_heavyhitter_monitor_replay",
+    "q99_audio_fingerprint_dedup",
+    "q160_pack_nosplit",
+    "q161_pack_efficiency",
 ]
 
 #: space-separated subset override for iterating on new names without
