@@ -226,6 +226,32 @@ def test_scoped_conf_restores_on_exception(spark):
 
 
 # --------------------------------------------------------------------
+# VERDICT r13 item 5: the three new closed-form witnesses hold at tiny
+# scale inside the suite (the tool runs them at 2M+ rows per round;
+# this guards the closed forms themselves against regressions between
+# rounds -- same functions, same exactness, smaller n).
+# --------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "witness", ["w_setsim", "w_curation_stream", "w_lsh_buckets"]
+)
+def test_new_closed_form_witnesses_tiny(spark, monkeypatch, witness):
+    import importlib.util
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "closed_form_scale_under_test",
+        os.path.join(repo, "tools", "closed_form_scale.py"),
+    )
+    cfs = importlib.util.module_from_spec(spec)
+    _sys.modules[spec.name] = spec.loader.exec_module(cfs) or cfs
+    monkeypatch.setattr(cfs, "SCALE", 0.003)
+    rec = getattr(cfs, witness)(spark)
+    assert rec["ok"], rec
+
+
+# --------------------------------------------------------------------
 # VERDICT r13 item 4: the bench box-regime calibration probe
 # --------------------------------------------------------------------
 
