@@ -281,6 +281,15 @@ _NEW_SINCE_R12: frozenset[str] = frozenset(
     }
 )
 
+_NEW_SINCE_R13: frozenset[str] = frozenset(
+    {
+        # batch AB: the pyarrow filesystem adapter as a data path --
+        # arrowfile://-routed tar listing+open (plans/llm_ops31.py,
+        # VERDICT r13 item 3); registered in round 14.
+        "q293_tar_arrow_fs",
+    }
+)
+
 #: Every post-r4 bookkeeping set, for the reconstruction filters and
 #: the registration meta-test. ADD NEW ROUNDS HERE.
 _ALL_NEW_SINCE: dict[str, frozenset[str]] = {
@@ -293,6 +302,7 @@ _ALL_NEW_SINCE: dict[str, frozenset[str]] = {
     "_NEW_SINCE_R10": _NEW_SINCE_R10,
     "_NEW_SINCE_R11": _NEW_SINCE_R11,
     "_NEW_SINCE_R12": _NEW_SINCE_R12,
+    "_NEW_SINCE_R13": _NEW_SINCE_R13,
 }
 
 #: The round-4 registry was exactly q01..q123 -- a closed historical
