@@ -233,7 +233,14 @@ def test_scoped_conf_restores_on_exception(spark):
 # --------------------------------------------------------------------
 
 @pytest.mark.parametrize(
-    "witness", ["w_setsim", "w_curation_stream", "w_lsh_buckets"]
+    "witness",
+    [
+        "w_setsim",
+        "w_curation_stream",
+        "w_lsh_buckets",
+        "w_pagerank_ring",
+        "w_bfs_tree",
+    ],
 )
 def test_new_closed_form_witnesses_tiny(spark, monkeypatch, witness):
     import importlib.util

@@ -532,6 +532,73 @@ def w_lsh_buckets(spark) -> dict:
     return {"n_rows": n, "expected": exp, "got": got, "ok": got == exp}
 
 
+def w_pagerank_ring(spark) -> dict:
+    """PageRank over a 10M-node directed ring: every node has
+    out-degree 1 and in-degree 1, so by symmetry every node's exact
+    integer fixed-point rank is THE SAME value at every iteration --
+    and because the operator is exact integer arithmetic end to end
+    (operators/graph.pagerank), that common value is replicable as a
+    driver-side scalar recurrence: r' = teleport + (r * num) div den.
+    Closed form: n rows, exactly ONE distinct rank_fp, equal to the
+    scalar replication after the same 10 iterations."""
+    from pos_data_insertion_etl_spark.operators.graph import (
+        PR_SCALE,
+        pagerank,
+    )
+
+    n = _snap(10_000_000 * SCALE, 1000)
+    num, den, iters = 85, 100, 10
+    r = PR_SCALE
+    teleport = (den - num) * PR_SCALE // den
+    for _ in range(iters):
+        r = teleport + (r * num) // den
+    ring = (
+        spark.range(n)
+        .repartition(64)
+        .select(
+            F.col("id").alias("src"),
+            ((F.col("id") + 1) % n).alias("dst"),
+        )
+    )
+    ranks = pagerank(ring, num, den, iters)
+    row = ranks.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("rank_fp").alias("nvals"),
+        F.min("rank_fp").alias("mn"),
+        F.max("rank_fp").alias("mx"),
+    ).collect()[0]
+    got = [int(row.rows), int(row.nvals), int(row.mn), int(row.mx)]
+    exp = [n, 1, r, r]
+    return {"n_rows": n, "expected": exp, "got": got, "ok": got == exp}
+
+
+def w_bfs_tree(spark) -> dict:
+    """Multi-source BFS (q212's operator) over a COMPLETE BINARY TREE
+    of 2^23 - 1 nodes (~8.4M; node i's parent is (i-1) div 2): the hop
+    distance of node i from the root is exactly floor(log2(i + 1)),
+    so the per-level histogram is exactly {k: 2^k} -- every level
+    full, nothing unreached, after depth-1 relaxation rounds."""
+    from pos_data_insertion_etl_spark.operators.graph import bfs_distances
+
+    target = max(7, int(8_388_607 * SCALE))
+    depth = max(3, target.bit_length())
+    n = 2 ** depth - 1
+    edges = (
+        spark.range(1, n)
+        .repartition(64)
+        .select(
+            ((F.col("id") - 1) / 2).cast("long").alias("src"),
+            F.col("id").alias("dst"),
+        )
+    )
+    seeds = spark.range(1).select(F.col("id").alias("node"))
+    dist = bfs_distances(edges, seeds, max_hops=depth - 1)
+    rows = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    got = sorted((int(r.dist), int(r.cnt)) for r in rows)
+    exp = [(k, 2 ** k) for k in range(depth)]
+    return {"n_rows": n, "expected": exp, "got": got, "ok": got == exp}
+
+
 WITNESSES = [
     ("cc_forest_30m", w_cc_forest),
     ("cc_giant_path_10m", w_cc_giant_path),
@@ -544,6 +611,9 @@ WITNESSES = [
     ("setsim_2m", w_setsim),
     ("curation_stream_2m", w_curation_stream),
     ("lsh_buckets_2m", w_lsh_buckets),
+    # round 14 frontier push: the two remaining iterative operators
+    ("pagerank_ring_10m", w_pagerank_ring),
+    ("bfs_tree_8m", w_bfs_tree),
 ]
 
 CAPS_AUDIT = (
