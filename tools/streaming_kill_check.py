@@ -316,6 +316,28 @@ def _mart_zips(tmp: str) -> list[str]:
     return paths
 
 
+def _adaptive_kill_after(records, base_kill_after, want=2, floor=0.3):
+    """Kill delay for the NEXT run: None once ``want`` probative kills
+    have landed; otherwise the calibrated delay, shrunk toward 60% of
+    the fastest killed-but-late run wall observed so far. The static
+    first-two-runs-take-a-kill policy flaked on a warm box (r14: the
+    reference walls include cold-start, so the calibrated 1.0 s floor
+    exceeded the ~0.9 s warm batch walls and BOTH kills landed after
+    stream end -> zero probative kills). Adapting from the kill run's
+    OWN measured walls converges onto mid-run within a batch or two."""
+    n_probative = sum(1 for r in records if r["kill_before_stream_end"])
+    if n_probative >= want:
+        return None
+    late_walls = [
+        r["wall_sec"]
+        for r in records
+        if r["killed_pid"] is not None and not r["kill_before_stream_end"]
+    ]
+    if late_walls:
+        return min(base_kill_after, max(floor, 0.6 * min(late_walls)))
+    return base_kill_after
+
+
 def _run_mart_stream(spark, zip_dir, out_dir, ckpt, kill_after, rec_list):
     """One availableNow run over the landing dir, optionally with a
     mid-run SIGKILL; re-driven (the stream restart contract) until it
@@ -395,14 +417,16 @@ def scenario_mart(spark, out: dict) -> None:
         out["mart_reference_walls"] = walls
         kill_after = max(1.5, 0.4 * sorted(walls)[1])
         out["mart_kill_after_sec"] = kill_after
-        # Kill run: runs 0 and 1 take a mid-stream SIGKILL.
+        # Kill run: keep taking mid-stream SIGKILLs (delay adapted from
+        # this run's own walls) until 2 probative kills land or the
+        # batches run out -- see _adaptive_kill_after.
         records: list = []
         for i, z in enumerate(zips):
             shutil.copy(z, landing["kill"])
             _run_mart_stream(
                 spark, landing["kill"], os.path.join(dirs["kill"], "marts"),
                 os.path.join(dirs["kill"], "ckpt"),
-                kill_after if i < 2 else None, records,
+                _adaptive_kill_after(records, kill_after), records,
             )
         out["mart_kill_records"] = records
         out["mart_probative_kills"] = sum(
@@ -579,14 +603,16 @@ def scenario_cdc(spark, out: dict) -> None:
         out["cdc_reference_walls"] = walls
         kill_after = max(1.0, 0.4 * sorted(walls)[1])
         out["cdc_kill_after_sec"] = kill_after
-        # Kill run: runs 0 and 1 take a mid-stream SIGKILL.
+        # Kill run: keep taking mid-stream SIGKILLs (delay adapted from
+        # this run's own walls) until 2 probative kills land or the
+        # batches run out -- see _adaptive_kill_after.
         records: list = []
         for bid in range(n_batches):
             add_batch("kill", bid)
             _run_cdc_stream(
                 spark, landing["kill"], target["kill"],
                 os.path.join(dirs["kill"], "ckpt"),
-                kill_after if bid < 2 else None, records,
+                _adaptive_kill_after(records, kill_after), records,
             )
         out["cdc_kill_records"] = records
         out["cdc_probative_kills"] = sum(
