@@ -348,12 +348,34 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).select(F.lit(1)).limit(1).collect()
 
+    bench_t0 = time.perf_counter()
     calibration_pre = _calibration_probe(spark)
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for name in HEADLINE:
+    # Mid-run box-regime visibility (VERDICT r14 item 3): the r14 run
+    # had calibration_pre 0.233 -> post 0.117, so a regime change
+    # DURING the run (exactly when q169's 8x excursion happened) was
+    # only inferable, never measured. Two additions: (a) every entry
+    # records its start offset from bench start (`t_start`, seconds),
+    # so an excursion can be located against (b) an interleaved
+    # calibration probe every CAL_EVERY headline entries
+    # (`calibration_mid`: list of {after, offset_sec, reps, median}).
+    # Consumption rule in PLANS.md: bracket an excursion only when the
+    # nearest calibration median is inside the quiet band.
+    CAL_EVERY = 12
+    calibration_mid: list[dict] = []
+    t_start: dict[str, float] = {}
+    for i, name in enumerate(HEADLINE):
+        if i and i % CAL_EVERY == 0:
+            probe = _calibration_probe(spark)
+            probe.update(
+                after=HEADLINE[i - 1],
+                offset_sec=round(time.perf_counter() - bench_t0, 1),
+            )
+            calibration_mid.append(probe)
         spec = registry[name]
         _clear_block_pool(spark)
+        t_start[name] = round(time.perf_counter() - bench_t0, 1)
         runs = _timed_reps(
             lambda: spec.spark(spark, sf_dir).collect(), reps, max_extra
         )
@@ -369,6 +391,7 @@ def main() -> None:
         # outside their internal timer), so run them reps+1 times, first
         # run as warm-up, widening like the query reps while noisy.
         _clear_block_pool(spark)
+        t_start[name] = round(time.perf_counter() - bench_t0, 1)
         runs = [fn() for _ in range(reps + 1)][1:]
         while (
             len(runs) < reps + max_extra
@@ -401,7 +424,9 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "calibration_pre": calibration_pre,
+        "calibration_mid": calibration_mid,
         "calibration_post": calibration_post,
+        "t_start": t_start,
         "pool_cleared": _POOL_CLEAR_OK,
         "reps": reps,
         "config": {

@@ -82,6 +82,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops29,
         llm_ops30,
         llm_ops31,
+        llm_ops32,
         media_ops,
         pos_ops,
         relational,

@@ -80,9 +80,18 @@ def scoped_conf(spark: SparkSession, key: str, value: str):
             pass  # never mask the block's own exception over a restore
 
 
-def release_block_pool(spark: SparkSession) -> int:
+def release_block_pool(
+    spark: SparkSession, clear_sql_cache: bool = False
+) -> int:
     """Unpersist every RDD still in the storage pool; returns how many
-    were released.
+    were released. With ``clear_sql_cache=True`` ALSO drops every
+    cached SQL table/DataFrame in the session
+    (``spark.catalog.clearCache()``) -- strictly broader than the
+    checkpoint-block pool, and it evicts caches an embedding
+    application created intentionally, so it is opt-in (ADVICE r14:
+    the unconditional clearCache here silently invalidated unrelated
+    application caches). bench.py's isolation path opts in; library
+    callers between logical units of work usually should not.
 
     Plans that materialize through an eager ``localCheckpoint`` (q97's
     scoped-conf recursion, the two-phase global sequences) leave their
@@ -104,7 +113,8 @@ def release_block_pool(spark: SparkSession) -> int:
             n += 1
         except Exception:
             pass  # the async cleaner raced us; the block is gone anyway
-    spark.catalog.clearCache()
+    if clear_sql_cache:
+        spark.catalog.clearCache()
     return n
 
 

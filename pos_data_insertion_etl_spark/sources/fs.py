@@ -33,14 +33,25 @@ both dispatching on the URI scheme:
   side range-reads (random-access input file), so zip central
   directories seek without materializing the archive.
 
-Glob semantics (all backends agree; the local double IS python glob):
-``*`` and ``?`` never match ``/``; a ``.``-led name is matched only by
-a ``.``-led pattern component. URI splitting is done manually (scheme
-/ netloc / path partitioned on ``://`` and the first ``/``), never via
-``urlparse`` -- ``?`` is a legal single-char glob wildcard that
-urlparse would silently misparse as a query string (ADVICE r13).
+Glob semantics (all backends agree; the wildcarded local double IS
+python glob): ``*`` and ``?`` never match ``/``; a ``.``-led name is
+matched only by a ``.``-led pattern component; and a WILDCARD-FREE
+pattern is a probe that hits only a FILE -- a directory of the same
+name must not masquerade as an archive (the r13 ``x.tar``-directory
+bug), a rule ADVICE r14 found applied on only the pyarrow backend:
+LocalFileSystem and MappedFileSystem now enforce it too
+(``os.path.isfile``), and their WILDCARDED listings are equally
+file-only, matching the pyarrow FileSelector walk. Callers probing parquet TABLE directories must
+use the Hadoop FileSystem their reads use, not this seam
+(``streaming/jobs._table_exists``). URI splitting is done manually
+(scheme / netloc / path partitioned on ``://`` and the first ``/``),
+never via ``urlparse`` -- ``?`` is a legal single-char glob wildcard
+that urlparse would silently misparse as a query string (ADVICE r13).
 ``#`` cannot be represented in the URIs pyarrow's ``from_uri`` parses,
 so ArrowFileSystem raises loudly on it instead of listing nothing.
+A concrete path that CONTAINS glob metacharacters ('[', '?', '*' are
+legal POSIX name characters) is indistinguishable from a pattern at
+this interface -- ``glob.escape`` it first when it names one file.
 
 ``register_filesystem(scheme, factory)`` additionally lets a process
 install a custom implementation in-process (driver-side planning
@@ -167,7 +178,20 @@ class LocalFileSystem:
 
     def glob(self, pattern: str) -> list[str]:
         local, prefix = self._split(pattern)
-        return [prefix + p for p in sorted(_glob.glob(local))]
+        if not any(ch in local for ch in _WILDCARDS):
+            # Wildcard-free probe: file-only, matching the pyarrow
+            # backend (module docstring; ADVICE r14 low -- a local
+            # directory named x.tar must not masquerade as an archive
+            # any more than an object-store one does).
+            return [pattern] if os.path.isfile(local) else []
+        # Wildcarded listings are file-only too: ArrowFileSystem's
+        # FileSelector walk skips directories, so a directory named
+        # daily_x.zip must not enter a listing here either.
+        return [
+            prefix + p
+            for p in sorted(_glob.glob(local))
+            if os.path.isfile(p)
+        ]
 
     def open_input(self, path: str):
         local, _ = self._split(path)
@@ -196,9 +220,17 @@ class MappedFileSystem:
         )
 
     def glob(self, pattern: str) -> list[str]:
+        local = self._to_local(pattern)
+        if not any(ch in local for ch in _WILDCARDS):
+            # Wildcard-free probe: file-only (module docstring; the
+            # double must agree with the real object-store backend it
+            # stands in for -- ADVICE r14 low).
+            return [pattern] if os.path.isfile(local) else []
+        # File-only listing, like the FileSelector walk it doubles for.
         return [
             self._to_uri(p)
-            for p in sorted(_glob.glob(self._to_local(pattern)))
+            for p in sorted(_glob.glob(local))
+            if os.path.isfile(p)
         ]
 
     def open_input(self, path: str):

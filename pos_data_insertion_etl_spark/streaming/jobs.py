@@ -368,14 +368,17 @@ def pos_stream_ingest(
                 return
             from pyspark.errors import AnalysisException
 
-            from ..sources import fs as _seam
-
-            # fs-seam existence probe first (r14, same hygiene as
-            # dedup_ingest_batch): a first batch has no mart yet, and
+            # Hadoop-FS existence probe first (r14 hygiene, rerouted by
+            # ADVICE r14 high): a first batch has no mart yet, and
             # reading-then-catching would emit a spurious ERROR stack
-            # via ExecutionListenerBus on a green run.
+            # via ExecutionListenerBus on a green run. The probe MUST
+            # run through the same Hadoop FileSystem stack the
+            # read/write/swap use -- the archive-oriented pyarrow seam
+            # is file-only (a parquet DIRECTORY probes false on
+            # object-store schemes, silently disabling the left-anti
+            # dedup) and carries a separate credential/config stack.
             prior_keys = None
-            if _seam.expand_glob(sku_path):
+            if _table_exists(session, sku_path):
                 try:
                     # batch_sku's schema IS the mart's schema: passing
                     # it skips the per-batch footer-inference job (r12
@@ -645,6 +648,30 @@ def _fault(point: str) -> None:
         FAULT_HOOK(point)
 
 
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe for a parquet TABLE directory, through the SAME
+    Hadoop FileSystem stack ``spark.read/write.parquet`` and
+    ``swap_table`` use (ADVICE r14 high).
+
+    The fs seam (``sources/fs.py``) is the wrong tool here twice over:
+    its wildcard-free probe is FILE-only by design (an archive path
+    must not match a directory), so a parquet directory on an
+    object-store scheme probes permanently false -- every batch would
+    silently skip cross-batch dedup / the left-anti mart join on
+    exactly the deployments the seam targets; and it resolves through
+    pyarrow / GRAFT_FS_MAP, a different credential/config stack than
+    the Hadoop s3a one the subsequent read uses, so probe and read
+    could disagree (or the probe could raise uncaught, crashing every
+    micro-batch). ``fs.exists`` on a Hadoop Path is also immune to
+    glob metacharacters in the directory name ('[', '?' are legal in
+    POSIX paths; the old glob-based probe silently returned false for
+    them -- ADVICE r14 low)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def dedup_ingest_batch(
     batch: DataFrame,
     batch_id: int,
@@ -667,7 +694,6 @@ def dedup_ingest_batch(
 
     from ..operators.compaction import restore_crashed_swap, swap_table
     from ..operators.dedup import incremental_exact_dedup
-    from ..sources import fs as _seam
 
     from pyspark.sql import Observation
 
@@ -683,11 +709,13 @@ def dedup_ingest_batch(
     # AnalysisException WORKS, but the failed analysis also surfaces
     # through the session's ExecutionListenerBus as a ~100-line ERROR
     # stack on a perfectly green run -- log noise that trains operators
-    # to ignore ERROR lines. Probe through the fs seam instead; the
-    # except stays as a belt for the probe-then-read race (a concurrent
-    # retention delete between the glob and the analysis).
+    # to ignore ERROR lines. Probe through the Hadoop FileSystem (the
+    # stack the read/write/swap themselves use -- ADVICE r14 high; see
+    # _table_exists for why the fs seam is wrong here); the except
+    # stays as a belt for the probe-then-read race (a concurrent
+    # retention delete between the probe and the analysis).
     seen = None
-    if _seam.expand_glob(digests_path):
+    if _table_exists(spark, digests_path):
         try:
             # Explicit schema: the digest table's shape is fixed, and
             # schema inference costs a footer-read JOB per batch

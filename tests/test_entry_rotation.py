@@ -290,6 +290,16 @@ _NEW_SINCE_R13: frozenset[str] = frozenset(
     }
 )
 
+_NEW_SINCE_R14: frozenset[str] = frozenset(
+    {
+        # batch AC: the GRAFT_FS_MAP object-store double as a data
+        # path -- s3graft://-routed tar listing+open through
+        # MappedFileSystem (plans/llm_ops32.py, VERDICT r14 item 7);
+        # registered in round 15.
+        "q294_tar_mapped_fs",
+    }
+)
+
 #: Every post-r4 bookkeeping set, for the reconstruction filters and
 #: the registration meta-test. ADD NEW ROUNDS HERE.
 _ALL_NEW_SINCE: dict[str, frozenset[str]] = {
@@ -303,6 +313,7 @@ _ALL_NEW_SINCE: dict[str, frozenset[str]] = {
     "_NEW_SINCE_R11": _NEW_SINCE_R11,
     "_NEW_SINCE_R12": _NEW_SINCE_R12,
     "_NEW_SINCE_R13": _NEW_SINCE_R13,
+    "_NEW_SINCE_R14": _NEW_SINCE_R14,
 }
 
 #: The round-4 registry was exactly q01..q123 -- a closed historical
