@@ -107,7 +107,7 @@ from pos_data_insertion_etl_spark.plans import all_queries  # noqa: E402
 from pos_data_insertion_etl_spark.session import get_session  # noqa: E402
 
 OUT = os.environ.get(
-    "SPARK_GRAFT_CLOSED_OUT", os.path.join(_REPO, "SCALE_CORRECTNESS_r14.json")
+    "SPARK_GRAFT_CLOSED_OUT", os.path.join(_REPO, "SCALE_CORRECTNESS_r15.json")
 )
 #: Scale knob for quick smoke runs (tests use 0.01); 1.0 = the real
 #: sf10-equivalent witness sizes.
@@ -599,6 +599,184 @@ def w_bfs_tree(spark) -> dict:
     return {"n_rows": n, "expected": exp, "got": got, "ok": got == exp}
 
 
+def w_kcore(spark) -> dict:
+    """kcore (q192's operator, k=2, 3 peel rounds) over a DESIGNED
+    graph whose survivors and degrees are closed-form: C disjoint
+    8-cliques (no node ever peels; every degree stays 7) plus one
+    P-node path (each round peels exactly the two current endpoints,
+    so after 3 rounds the surviving path has P-6 nodes -- two of
+    degree 1, the rest degree 2). Expected: row count, full degree
+    histogram, and sum(degree)."""
+    from pos_data_insertion_etl_spark.operators.graph import kcore
+
+    C = _snap(300_000 * SCALE, 100)
+    P = _snap(2_000_000 * SCALE, 1000)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(a + 1, 8)],
+        "a int, b int",
+    )
+    cliques = (
+        spark.range(C)
+        .repartition(64)
+        .crossJoin(F.broadcast(pairs))
+        .select(
+            (F.col("id") * 8 + F.col("a")).alias("src"),
+            (F.col("id") * 8 + F.col("b")).alias("dst"),
+        )
+    )
+    off = 8 * C
+    path = (
+        spark.range(P - 1)
+        .repartition(64)
+        .select(
+            (F.col("id") + off).alias("src"),
+            (F.col("id") + off + 1).alias("dst"),
+        )
+    )
+    surv = kcore(
+        cliques.unionByName(path), k=2, iters=3, src="src", dst="dst"
+    )
+    hist = {
+        int(r.degree): int(r.cnt)
+        for r in surv.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    got = [
+        sum(hist.values()),
+        sorted(hist.items()),
+        sum(d * c for d, c in hist.items()),
+    ]
+    exp = [
+        8 * C + P - 6,
+        [(1, 2), (2, P - 8), (7, 8 * C)],
+        56 * C + 2 * (P - 8) + 2,
+    ]
+    return {
+        "n_rows": 28 * C + P - 1,
+        "expected": exp,
+        "got": got,
+        "ok": got == exp,
+    }
+
+
+def w_sessionize(spark) -> dict:
+    """The REAL q40 callable (30-min-gap gaps-and-islands
+    sessionization) over a DESIGNED event stream: U users x S sessions
+    x L events, 60 s inside a session, 3600 s between session starts
+    (inter-session gap 3360 s > 30 min), so every outcome is
+    closed-form -- U*S sessions, every n_events == L, every duration
+    == (L-1)*60 s, and per-user session_ids are exactly 1..S (their
+    global sum is U * S(S+1)/2)."""
+    U = _snap(100_000 * SCALE, 100)
+    S, L, SMALL, BIG = 20, 5, 60, 3600
+    n = U * S * L
+    tmp = tempfile.mkdtemp(prefix="graft_cf_sessions_")
+    try:
+        i = F.col("id")
+        ev = (
+            spark.range(n)
+            .repartition(64)
+            .select(
+                i.alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(1704067200)
+                    + ((i / L).cast("long") % S) * BIG
+                    + (i % L) * SMALL
+                ).alias("ts"),
+                (i / (S * L)).cast("long").alias("user_id"),
+                F.lit("t0").alias("event_type"),
+                F.lit(1.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        )
+        ev.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        q40 = all_queries()["q40_sessionize"].spark
+        df = q40(spark, tmp)
+        dur = F.unix_timestamp("session_end") - F.unix_timestamp(
+            "session_start"
+        )
+        row = df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("user_id").alias("nusers"),
+            F.min("n_events").alias("emn"),
+            F.max("n_events").alias("emx"),
+            F.min(dur).alias("dmn"),
+            F.max(dur).alias("dmx"),
+            F.sum("session_id").alias("ssum"),
+        ).collect()[0]
+        got = [
+            int(row.rows), int(row.nusers), int(row.emn), int(row.emx),
+            int(row.dmn), int(row.dmx), int(row.ssum),
+        ]
+        exp = [
+            U * S, U, L, L,
+            (L - 1) * SMALL, (L - 1) * SMALL, U * S * (S + 1) // 2,
+        ]
+        return {"n_rows": n, "expected": exp, "got": got, "ok": got == exp}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def w_watermark_late(spark) -> dict:
+    """The REAL q289 callable (watermarked streaming window agg with a
+    two-trigger late-data replay) over the 1 Hz synthetic event shape:
+    H full hours, 4 event types, one event per (second, type-rotation).
+    Closed forms, derived from q289's own design (stream starts at
+    hour 1; watermark = max ts - 90 min; append mode emits a window
+    only once the watermark passes its end): exactly hours 1..H-3
+    emit -- (H-3)*4 cells, every cell 900 events / 450.0 value -- and
+    NO hour-0 cell exists even though every hour-0 row is fed in the
+    second trigger: all 3600 late rows provably dropped, while hours
+    H-2/H-1 stay in state unemitted."""
+    hours = _snap(2800 * SCALE, 4)
+    n = 3600 * hours
+    tmp = tempfile.mkdtemp(prefix="graft_cf_wm_")
+    try:
+        ev = (
+            spark.range(n)
+            .repartition(64)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias(
+                    "ts"
+                ),
+                F.col("id").alias("user_id"),
+                F.concat(F.lit("t"), (F.col("id") % 4).cast("string")).alias(
+                    "event_type"
+                ),
+                F.lit(0.5).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        )
+        ev.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        q289 = all_queries()["q289_watermark_late_data"].spark
+        df = q289(spark, tmp)
+        first_hour = F.min(F.unix_timestamp("window_start"))
+        row = df.agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.min("n_events").alias("mn"),
+            F.max("n_events").alias("mx"),
+            F.sum("n_events").alias("tot"),
+            F.min("total_value").alias("vmn"),
+            F.max("total_value").alias("vmx"),
+            first_hour.alias("t0"),
+            F.max(F.unix_timestamp("window_start")).alias("t1"),
+        ).collect()[0]
+        got = [
+            int(row.cells), int(row.mn), int(row.mx), int(row.tot),
+            float(row.vmn), float(row.vmx), int(row.t0), int(row.t1),
+        ]
+        exp = [
+            (hours - 3) * 4, 900, 900, (hours - 3) * 3600, 450.0, 450.0,
+            # hour 0 dropped (late), hours H-2/H-1 unemitted (in state)
+            1704067200 + 3600, 1704067200 + (hours - 3) * 3600,
+        ]
+        return {"n_rows": n, "expected": exp, "got": got, "ok": got == exp}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 WITNESSES = [
     ("cc_forest_30m", w_cc_forest),
     ("cc_giant_path_10m", w_cc_giant_path),
@@ -614,6 +792,11 @@ WITNESSES = [
     # round 14 frontier push: the two remaining iterative operators
     ("pagerank_ring_10m", w_pagerank_ring),
     ("bfs_tree_8m", w_bfs_tree),
+    # round 15 (VERDICT r14 item 4): the last un-witnessed iterative /
+    # streaming families -- k-core peeling, sessionization, watermark
+    ("kcore_10m", w_kcore),
+    ("sessionize_10m", w_sessionize),
+    ("watermark_late_10m", w_watermark_late),
 ]
 
 CAPS_AUDIT = (
