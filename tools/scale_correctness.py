@@ -58,7 +58,7 @@ SF1 = os.environ.get(
     "SPARK_GRAFT_SF1_OUT", os.path.join(_REPO, ".benchdata", "sf1.0")
 )
 OUT = os.environ.get(
-    "SPARK_GRAFT_SCALE_OUT", os.path.join(_REPO, "SCALE_CORRECTNESS_r14.json")
+    "SPARK_GRAFT_SCALE_OUT", os.path.join(_REPO, "SCALE_CORRECTNESS_r15.json")
 )
 
 EXACT_NAMES = [
@@ -134,6 +134,19 @@ EXACT_NAMES = [
     "q99_audio_fingerprint_dedup",
     "q160_pack_nosplit",
     "q161_pack_efficiency",
+    # r15 widening (VERDICT r14 item 5): the families the sweep still
+    # sampled thinly -- survival and timeseries (first sf1.0 names for
+    # operators/survival.py and timeseries.py), itemsets and exact
+    # heavy-hitters beyond the q211 replay, the PNG resize codec path,
+    # fuzzy blocking join, and PII scrubbing.
+    "q268_kaplan_meier",
+    "q264_permutation_entropy",
+    "q185_ewma_dyadic",
+    "q188_copurchase_pairs",
+    "q138_heavy_hitters",
+    "q61_image_resize_stats",
+    "q204_fuzzy_name_join",
+    "q117_pii_scrub",
 ]
 
 #: space-separated subset override for iterating on new names without
