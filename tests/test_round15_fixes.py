@@ -203,6 +203,43 @@ def test_q294_routes_through_mapped_filesystem(spark, sf_smoke):
     assert "s3graft=" in env
 
 
+def test_q294_registered_with_oracle_and_tags():
+    from pos_data_insertion_etl_spark.plans import all_queries
+
+    spec = all_queries()["q294_tar_mapped_fs"]
+    assert spec.oracle is not None
+    assert "mapped" in spec.tags and "fs" in spec.tags
+
+
+# --------------------------------------------------------------------
+# VERDICT r14 item 4: the three new closed-form witnesses hold at tiny
+# scale inside the suite (same guard pattern as round 14's five).
+# --------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "witness",
+    [
+        "w_kcore",
+        "w_sessionize",
+        "w_watermark_late",
+    ],
+)
+def test_new_closed_form_witnesses_tiny(spark, monkeypatch, witness):
+    import importlib.util
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "closed_form_scale_under_test_r15",
+        os.path.join(repo, "tools", "closed_form_scale.py"),
+    )
+    cfs = importlib.util.module_from_spec(spec)
+    _sys.modules[spec.name] = spec.loader.exec_module(cfs) or cfs
+    monkeypatch.setattr(cfs, "SCALE", 0.003)
+    rec = getattr(cfs, witness)(spark)
+    assert rec["ok"], rec
+
+
 def test_q294_fs_map_install_merges_not_clobbers(spark, monkeypatch):
     from pos_data_insertion_etl_spark.plans.llm_ops32 import (
         _install_fs_map,

@@ -52,23 +52,53 @@ for t in TABLES:
     load_table(spark, sf_dir, t).select(F.lit(1)).limit(1).collect()
 registry = all_queries()
 
+import bench
+
+# The three e2e entries are bench-level callables, not registry
+# queries (round 15: VERDICT r14 item 2 asks for bands on every >4 s
+# entry, and curation_e2e / mart_pipeline_e2e are two of them). Their
+# internal timer already excludes fixture setup, so the probe uses
+# the returned float instead of wrapping collect().
+_E2E = {
+    "mart_pipeline_e2e": lambda: bench.bench_mart_pipeline(spark),
+    "staged_ingest_e2e": lambda: bench.bench_staged_ingest(spark),
+    "curation_e2e": lambda: bench.bench_curation(spark, sf_dir),
+}
+
 if mode == "context":
-    import bench
-    prefix = bench.HEADLINE[: bench.HEADLINE.index(name)]
+    if name in _E2E:
+        # e2e entries run after the whole HEADLINE list (bench.py
+        # order), then after any e2e entries ahead of them.
+        prefix = list(bench.HEADLINE)
+        e2e_order = ["mart_pipeline_e2e", "staged_ingest_e2e",
+                     "curation_e2e"]
+        prefix_e2e = e2e_order[: e2e_order.index(name)]
+    else:
+        prefix = bench.HEADLINE[: bench.HEADLINE.index(name)]
+        prefix_e2e = []
     for p in prefix:
         registry[p].spark(spark, sf_dir).collect()
+        bench._clear_block_pool(spark)
+    for p in prefix_e2e:
+        _E2E[p]()
+        bench._clear_block_pool(spark)
     # bench.py clears the storage pool between entries (round 12); the
     # replay must too, or it measures a context the driver bench no
     # longer has.
     bench._clear_block_pool(spark)
 
-spec = registry[name]
-spec.spark(spark, sf_dir).collect()  # per-entry warm-up, as bench does
-reps = []
-for _ in range(5):
-    t0 = time.perf_counter()
-    spec.spark(spark, sf_dir).collect()
-    reps.append(round(time.perf_counter() - t0, 3))
+if name in _E2E:
+    fn = _E2E[name]
+    fn()  # warm-up, as bench's e2e loop does
+    reps = [round(fn(), 3) for _ in range(5)]
+else:
+    spec = registry[name]
+    spec.spark(spark, sf_dir).collect()  # per-entry warm-up, as bench does
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).collect()
+        reps.append(round(time.perf_counter() - t0, 3))
 print("BRACKETJSON:" + json.dumps(
     {"median": round(statistics.median(reps), 3), "reps": reps}))
 """
@@ -114,8 +144,16 @@ def main() -> None:
     all_reps = [r for rec in out["isolated"] for r in rec["reps"]]
     all_reps += out["context"]["reps"]
     out["single_rep_range"] = [min(all_reps), max(all_reps)]
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(_REPO)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    nxt = (max(rounds) + 1) if rounds else 1
     path = args.out or os.path.join(
-        _REPO, f"BRACKET_{args.name.split('_')[0]}_r12.json")
+        _REPO, f"BRACKET_{args.name.split('_')[0]}_r{nxt:02d}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({k: out[k] for k in ("single_rep_range",)}))
