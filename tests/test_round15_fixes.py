@@ -222,6 +222,9 @@ def test_q294_registered_with_oracle_and_tags():
         "w_kcore",
         "w_sessionize",
         "w_watermark_late",
+        "w_sssp_tree",
+        "w_triangles",
+        "w_asof",
     ],
 )
 def test_new_closed_form_witnesses_tiny(spark, monkeypatch, witness):

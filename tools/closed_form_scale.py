@@ -777,6 +777,159 @@ def w_watermark_late(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def w_sssp_tree(spark) -> dict:
+    """Bounded weighted SSSP (q282's operator) over a complete binary
+    tree with every edge weight 3, PLUS a never-improving
+    grandparent->grandchild shortcut (weight 7 > two tree edges' 6)
+    for every depth>=2 node: min-plus must take the tree path
+    everywhere, so the dist histogram is exactly {3k: 2^k} -- the
+    weighted sibling of bfs_tree_8m, distinguishing cost accumulation
+    (0,3,6,...) from hop counting and exercising the per-(src,dst)
+    cheapest-parallel-edge min and the alternative-path min."""
+    from pos_data_insertion_etl_spark.operators.graph import sssp_bounded
+
+    target = max(7, int(8_388_607 * SCALE))
+    depth = max(3, target.bit_length())
+    n = 2 ** depth - 1
+    tree = (
+        spark.range(1, n)
+        .repartition(64)
+        .select(
+            ((F.col("id") - 1) / 2).cast("long").alias("src"),
+            F.col("id").alias("dst"),
+            F.lit(3).alias("w"),
+        )
+    )
+    shortcuts = (
+        spark.range(3, n)
+        .repartition(64)
+        .select(
+            ((F.col("id") - 3) / 4).cast("long").alias("src"),
+            F.col("id").alias("dst"),
+            F.lit(7).alias("w"),
+        )
+    )
+    seeds = spark.range(1).select(F.col("id").alias("node"))
+    dist = sssp_bounded(
+        tree.unionByName(shortcuts), seeds, rounds=depth - 1
+    )
+    rows = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    got = sorted((int(r.dist), int(r.cnt)) for r in rows)
+    exp = [(3 * k, 2 ** k) for k in range(depth)]
+    return {"n_rows": n, "expected": exp, "got": got, "ok": got == exp}
+
+
+def w_triangles(spark) -> dict:
+    """Exact triangle census (q184's operator) over C disjoint K4
+    cliques (exactly 4 triangles each) plus a triangle-free P-node
+    path, with every K4 edge fed in BOTH orientations so the
+    canonicalize+dedup step is under the closed form too. Expected:
+    [n_nodes, n_edges, n_triangles] = [4C + P, 6C + P - 1, 4C]."""
+    from pos_data_insertion_etl_spark.operators.graph import (
+        triangle_count,
+    )
+
+    C = _snap(1_000_000 * SCALE, 100)
+    P = _snap(4_000_000 * SCALE, 1000)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],
+        "a int, b int",
+    )  # both orientations of all 6 K4 edges
+    k4 = (
+        spark.range(C)
+        .repartition(64)
+        .crossJoin(F.broadcast(pairs))
+        .select(
+            (F.col("id") * 4 + F.col("a")).alias("src_id"),
+            (F.col("id") * 4 + F.col("b")).alias("dst_id"),
+        )
+    )
+    off = 4 * C
+    path = (
+        spark.range(P - 1)
+        .repartition(64)
+        .select(
+            (F.col("id") + off).alias("src_id"),
+            (F.col("id") + off + 1).alias("dst_id"),
+        )
+    )
+    row = triangle_count(k4.unionByName(path)).collect()[0]
+    got = [int(row.n_nodes), int(row.n_edges), int(row.n_triangles)]
+    exp = [4 * C + P, 6 * C + P - 1, 4 * C]
+    return {
+        "n_rows": 12 * C + P - 1,
+        "expected": exp,
+        "got": got,
+        "ok": got == exp,
+    }
+
+
+def w_asof(spark) -> dict:
+    """The as-of join (q43's operator) over a designed tick grid: per
+    key, quotes at t = 1000j carrying value key*Q + j; trades at BOTH
+    t = 1000j (an exact tie -- at-or-before must include it) and
+    t = 1000j + 500, plus one trade before every quote (must carry
+    null). Every match is closed-form: row count preserved, exactly
+    K unmatched, and the matched-value sum equals
+    Q^2*K*(K-1) + K*Q*(Q-1)."""
+    from pos_data_insertion_etl_spark.operators.asof import asof_join
+
+    K = _snap(100_000 * SCALE, 100)
+    Q = 50
+    quotes = (
+        spark.range(K * Q)
+        .repartition(64)
+        .select(
+            (F.col("id") / Q).cast("long").alias("key"),
+            ((F.col("id") % Q) * 1000).alias("q_ts"),
+            ((F.col("id") / Q).cast("long") * Q + F.col("id") % Q).alias(
+                "val"
+            ),
+        )
+    )
+    i = F.col("id")
+    trades = (
+        spark.range(K * (2 * Q + 1))
+        .repartition(64)
+        .select(
+            (i / (2 * Q + 1)).cast("long").alias("key"),
+            (i % (2 * Q + 1)).alias("slot"),
+        )
+        .select(
+            "key",
+            F.when(F.col("slot") == 2 * Q, F.lit(-7))
+            .otherwise(
+                (F.col("slot") % Q) * 1000
+                + (F.col("slot") / Q).cast("long") * 500
+            )
+            .alias("t_ts"),
+        )
+    )
+    joined = asof_join(
+        trades, quotes, on=["key"], left_ts="t_ts", right_ts="q_ts",
+        carry={"val": "q_val"},
+    )
+    row = joined.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("q_val").isNull(), 1).otherwise(0)).alias(
+            "unmatched"
+        ),
+        F.sum("q_val").alias("vsum"),
+    ).collect()[0]
+    got = [int(row.rows), int(row.unmatched), int(row.vsum)]
+    exp = [
+        K * (2 * Q + 1),
+        K,
+        Q * Q * K * (K - 1) + K * Q * (Q - 1),
+    ]
+    return {
+        "n_rows": K * (3 * Q + 1),
+        "expected": exp,
+        "got": got,
+        "ok": got == exp,
+    }
+
+
 WITNESSES = [
     ("cc_forest_30m", w_cc_forest),
     ("cc_giant_path_10m", w_cc_giant_path),
@@ -797,6 +950,11 @@ WITNESSES = [
     ("kcore_10m", w_kcore),
     ("sessionize_10m", w_sessionize),
     ("watermark_late_10m", w_watermark_late),
+    # round 15 frontier push beyond the verdict's three: weighted
+    # min-plus SSSP, triangle census, and the as-of join
+    ("sssp_tree_8m", w_sssp_tree),
+    ("triangles_8m", w_triangles),
+    ("asof_grid_15m", w_asof),
 ]
 
 CAPS_AUDIT = (
