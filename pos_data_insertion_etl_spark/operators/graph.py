@@ -788,6 +788,7 @@ def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,
     max_hops: int = 3,
+    prepared: bool = False,
 ) -> DataFrame:
     """Multi-source BFS hop distances, the graph primitive behind
     "how far is every page/document from a trusted seed set" (crawl
@@ -808,15 +809,25 @@ def bfs_distances(
 
     ``edges``: [src, dst] (direct the edges both ways upstream for an
     undirected graph). ``seeds``: one column of node ids.
+
+    ``prepared=True`` is the caller contract that ``edges`` is ALREADY
+    long-typed [src, dst], duplicate-free, and materialized (lineage
+    cut): the internal cast + distinct + cut is skipped, so a caller
+    that needs the edge table for its own work (seed derivation,
+    reporting) materializes it exactly once instead of twice (r15
+    optimization round; results identical either way).
     """
     # The edge list is scanned once per relaxation round: cut its
     # construction lineage (often a self-join) so rounds rescan a
     # materialized table instead of replaying the build N times.
-    sym = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .distinct()
-        .transform(cut_lineage, eager=True)
-    )
+    if prepared:
+        sym = edges
+    else:
+        sym = (
+            edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+            .distinct()
+            .transform(cut_lineage, eager=True)
+        )
     nodes = (
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
@@ -835,10 +846,22 @@ def bfs_distances(
         .cast("long")
         .alias("dist"),
     )
-    for _ in range(max_hops):
+    # FRONTIER relaxation (r15 optimization round, guide §2.3 "shuffle
+    # fewer bytes"): at hop h only nodes at dist == h can improve a
+    # neighbor -- any node settled at d < h already contributed at hop
+    # d (giving its neighbors dist <= d + 1, which min() keeps), and an
+    # unreached node's contribution (sentinel + 1) can never win a
+    # least() against the sentinel itself. Joining the edge table
+    # against the FRONTIER instead of the whole dist table is therefore
+    # result-identical while shrinking the per-hop join probe side from
+    # |V| rows to one BFS layer -- the standard frontier BFS bound, and
+    # exactly the rows AQE needs small to keep the edge side unshuffled
+    # (broadcast) at scale.
+    for hop in range(max_hops):
+        frontier = dist.filter(F.col("dist") == hop)
         relaxed = (
             sym.join(
-                dist.select(F.col("node").alias("src"), "dist"), "src"
+                frontier.select(F.col("node").alias("src"), "dist"), "src"
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min(F.col("dist") + 1).alias("md"))

@@ -69,12 +69,13 @@ def unigram_model(
     totals = vocab.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     )
-    w = W.orderBy(F.desc("c"), "tok")
-    top = (
-        vocab.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= top_v)
-        .drop("rn")
-    )
+    # Top-k via orderBy + limit, NOT a global row_number window (r15
+    # optimization round): the unpartitioned window forced the whole
+    # vocabulary through ONE task's sort; TakeOrdered keeps the per-
+    # partition top-k parallel and merges only k rows per partition on
+    # the driver. Same total order (count desc, token asc -- a total
+    # order, so ties are deterministic), identical k survivors.
+    top = vocab.orderBy(F.desc("c"), "tok").limit(top_v)
     denom = F.col("n") + F.col("v") + F.lit(1)
     model = top.crossJoin(F.broadcast(totals)).select(
         "tok",
@@ -185,10 +186,10 @@ def bigram_lm_scores(
         .cast("long")
         .alias("ctx_oov_fp"),
     )
-    w = W.orderBy(F.desc("c"), "prev", "tok")
+    # TakeOrdered top-k, not a single-task global window (see
+    # unigram_model): (count desc, prev, tok) is a total order.
     model = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= top_b)
+        counts.orderBy(F.desc("c"), "prev", "tok").limit(top_b)
         .join(ctx_fp.select("prev", "c_prev"), "prev")
         .crossJoin(F.broadcast(vocab_n))
         .select(

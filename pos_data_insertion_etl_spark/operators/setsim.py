@@ -155,8 +155,15 @@ def prefix_filter_jaccard_join(
             F.col("_ub") * (t_num + t_den)
             >= F.lit(t_num) * (F.col("_sza") + F.col("_szb"))
         )
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "_sza", "_szb")
     )
+    # Set sizes ride along from the candidate stage (r15 optimization
+    # round): `_sz` is the per-document element count computed by the
+    # rank window, i.e. exactly |x| -- re-deriving it as a separate
+    # sd.groupBy aggregation and re-attaching it with TWO pair-table
+    # joins was a full extra pass over the element table plus two
+    # shuffles. first() is well-defined: every row of a (id_a, id_b)
+    # group carries the same _sza/_szb.
     inter = (
         cands.join(
             sd.select(F.col("_id").alias("id_a"), "_d"), "id_a"
@@ -167,19 +174,14 @@ def prefix_filter_jaccard_join(
             # probe never fans out beyond true element matches
         )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("_sza").alias("n_a"),
+            F.first("_szb").alias("n_b"),
+        )
     )
-    sizes = sd.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     return (
-        inter.join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")),
-            "id_b",
-        )
-        .filter(
+        inter.filter(
             F.col("n_common") * t_den
             >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
         )

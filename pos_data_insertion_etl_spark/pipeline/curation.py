@@ -72,6 +72,13 @@ def curate_corpus(
         )
         .filter(F.col("gopher_pass"))
         .drop(*GOPHER_METRIC_COLS)
+        # Lineage cut (r15 optimization round): four consumers read this
+        # frame -- the LM model build, the LM scoring pass, the
+        # scores-back-to-rows join, and the funnel's 01_gopher count --
+        # and without the cut each replayed the tokenizing gate over the
+        # raw corpus. One materialization, four block reads; the gate
+        # expressions run exactly once per document at any corpus size.
+        .localCheckpoint(eager=False)
     )
     scores = unigram_lm_scores(heuristic_ok, text_col, id_col, top_v=lm_top_v)
     scored = heuristic_ok.join(scores, id_col)

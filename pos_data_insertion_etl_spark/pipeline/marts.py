@@ -183,8 +183,36 @@ def run_pos_pipeline(
     }
     try:
         if out_dir:
-            for name, df in marts.items():
-                write_day_partitioned(df, f"{out_dir}/{name}")
+            # Write the SKU grain FIRST (fills the persist cache and
+            # fires the ingest observation exactly once), then overlap
+            # the three aggregate-mart writes from a small thread pool
+            # (guide §2.6 "overlap independent jobs"): they are
+            # independent rollups over the now-cached SKU rows writing
+            # to disjoint directories, and each is a many-small-files
+            # day-partitioned write whose tail (output commit, FS
+            # renames) otherwise leaves the executors idle. Results and
+            # file layout are identical to the sequential loop; only
+            # the driver's submission order changes.
+            from concurrent.futures import ThreadPoolExecutor
+
+            write_day_partitioned(
+                marts["t_day_pos_daily_sku_data"],
+                f"{out_dir}/t_day_pos_daily_sku_data",
+            )
+            rest = [
+                (name, df)
+                for name, df in marts.items()
+                if name != "t_day_pos_daily_sku_data"
+            ]
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                list(
+                    pool.map(
+                        lambda kv: write_day_partitioned(
+                            kv[1], f"{out_dir}/{kv[0]}"
+                        ),
+                        rest,
+                    )
+                )
         else:
             sku.count()  # trigger the observation
         got = obs.get

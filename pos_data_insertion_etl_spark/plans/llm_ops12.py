@@ -360,7 +360,14 @@ def q212_bfs_distances(spark, sf_dir):
     an order are adjacent; q188's edge shape): hop distance from the
     seed parts (p_partkey < 8), exact integer min-relaxation unrolled
     identically in the oracle. One equi-join + one dst groupBy per
-    hop; unreached parts report -1."""
+    hop; unreached parts report -1.
+
+    The edge self-join is materialized ONCE (r15 optimization round):
+    the lineage cut used to live inside bfs_distances only, so the
+    seed derivation replayed the whole lineitem self-join a second
+    time. Cutting here and passing ``prepared=True`` gives seeds and
+    every relaxation round the same materialized blocks."""
+    from ..lineage import cut_lineage
     from ..operators.graph import bfs_distances
 
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -373,8 +380,12 @@ def q212_bfs_distances(spark, sf_dir):
     edges = (
         a.join(b, "ok")
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+        .select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
         .distinct()
+        .transform(cut_lineage, eager=True)
     )
     seeds = (
         edges.select(F.col("src").alias("node"))
@@ -382,7 +393,7 @@ def q212_bfs_distances(spark, sf_dir):
         .filter(F.col("node") < _BFS_SEED_LT)
         .distinct()
     )
-    return bfs_distances(edges, seeds, max_hops=_BFS_HOPS)
+    return bfs_distances(edges, seeds, max_hops=_BFS_HOPS, prepared=True)
 
 
 # ---------------------------------------------------------------------------

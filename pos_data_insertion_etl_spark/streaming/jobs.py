@@ -749,10 +749,18 @@ def dedup_ingest_batch(
     new_digests = novel.select(
         F.sha2(F.col(text_col), 256).alias("digest")
     )
+    # No distinct on the union (r15 optimization round): `novel` holds
+    # exactly one keeper per within-batch digest (incremental_exact_dedup
+    # keeps min-id per _fp) and is anti-joined against `seen`, so
+    # new_digests is duplicate-free AND disjoint from the (distinct by
+    # this same construction) carried table. The old `.distinct()`
+    # re-shuffled the ENTIRE digest table every micro-batch -- an
+    # O(corpus) exchange per batch at scale -- to remove duplicates that
+    # cannot exist. Rows written are identical.
     updated = (
-        seen.unionByName(new_digests).distinct()
+        seen.unionByName(new_digests)
         if seen is not None
-        else new_digests.distinct()
+        else new_digests
     )
     tmp = digests_path + f"__new{batch_id}"
     updated.write.mode("overwrite").parquet(tmp)
