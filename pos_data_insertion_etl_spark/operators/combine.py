@@ -28,6 +28,19 @@ def with_global_sequence(
     df: DataFrame, order_by: list[str | Column], seq_col: str = "_seq"
 ) -> DataFrame:
     """0-based dense global sequence by ``order_by``, fully parallel."""
+    seq, _total = global_sequence_with_total(df, order_by, seq_col)
+    return seq
+
+
+def global_sequence_with_total(
+    df: DataFrame, order_by: list[str | Column], seq_col: str = "_seq"
+) -> tuple[DataFrame, int]:
+    """`with_global_sequence` plus the TOTAL row count, for free: the
+    driver already collects one count per range partition to build the
+    offsets, so their sum is the exact global count -- consumers that
+    need it (ntile_bins' tile arithmetic) fold it in as a literal
+    instead of paying a separate count job + a crossJoin per call (r15
+    optimization round)."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parallelism, *order_by).withColumn(
         "_pid", F.spark_partition_id()
@@ -62,11 +75,12 @@ def with_global_sequence(
         [(int(pid), int(off)) for pid, off in offsets.items()],
         "_pid int, _offset long",
     )  # JVM literal: keeps the broadcast join Python-free (smallframe)
-    return (
+    seq = (
         local.join(F.broadcast(offset_df), "_pid")
         .withColumn(seq_col, (F.col("_offset") + F.col("_lrn") - 1).cast("long"))
         .drop("_pid", "_lrn", "_offset")
     )
+    return seq, acc
 
 
 def combine_records(

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
+from ..lineage import cut_lineage
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -92,7 +93,12 @@ def doc_shingles(
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, n: int = 3
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: h_i = min over distinct shingles of
     md5('<salt_i>|' || shingle). MIN is associative, so the aggregate is
@@ -105,8 +111,17 @@ def minhash_signatures(
 
     Docs with < n tokens have no shingles and drop out (they cannot be
     near-dup candidates).
+
+    ``shingles_df``: a precomputed ``doc_shingles(docs, ...)`` frame --
+    callers that also need the shingle table for verification
+    (lsh_verified_pairs) pass their materialized copy so the explode
+    runs once, not twice (r15 optimization round; identical results).
     """
-    sh = doc_shingles(docs, text_col, id_col, n=n)
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else doc_shingles(docs, text_col, id_col, n=n)
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"mh{i:02d}|"), F.col("shingle")))).alias(
             f"h{i:02d}"
@@ -173,11 +188,20 @@ def lsh_verified_pairs(
     integer counts (the jaccard double is one division of identical
     integer operands -> engine-portable bit-for-bit).
     """
-    sig = minhash_signatures(df, text_col, id_col, n_hashes=n_hashes, n=n)
+    # One shingle materialization for the WHOLE pipeline (r15
+    # optimization round): signature build, size table, and both
+    # intersection sides used to each replay the explode over raw text
+    # (five Generate nodes in the physical plan); now they read one set
+    # of checkpointed blocks.
+    sh = doc_shingles(df, text_col, id_col, n=n).transform(
+        cut_lineage, eager=False
+    )
+    sig = minhash_signatures(
+        df, text_col, id_col, n_hashes=n_hashes, n=n, shingles_df=sh
+    )
     cand = lsh_candidate_pairs(sig, id_col, n_hashes, band_size).select(
         "id_a", "id_b"
     )
-    sh = doc_shingles(df, text_col, id_col, n=n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -288,7 +312,13 @@ def ngram_jaccard_pairs(
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from exact
     integer counts -> engine-portable bit-for-bit.
     """
-    sh = doc_shingles(df, text_col, id_col, n=n)
+    # One materialization of the shingle explode (r15 optimization
+    # round): four consumers read it (both self-join sides and the two
+    # size attachments), and Catalyst does not share common subtrees --
+    # the plan ran the shingle Generate four times over the raw text.
+    sh = doc_shingles(df, text_col, id_col, n=n).transform(
+        cut_lineage, eager=False
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (

@@ -39,7 +39,7 @@ exactly the adversarial shape; q292 certifies the mid-stream switch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..lineage import cut_lineage
@@ -174,23 +174,31 @@ def connected_components(
         jmap = merged.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
-        updated = (
-            merged.join(jmap, merged.label == jmap.jnode, "left")
-            .select(
-                "node",
-                "old_label",
-                F.least(
-                    F.col("label"), F.coalesce("jlabel", F.col("label"))
-                ).alias("label"),
-            )
-            .transform(cut_lineage, eager=True)
+        updated = merged.join(jmap, merged.label == jmap.jnode, "left").select(
+            "node",
+            "old_label",
+            F.least(
+                F.col("label"), F.coalesce("jlabel", F.col("label"))
+            ).alias("label"),
         )
         if method == "jump" or not probe_needed:
-            changed = (
-                updated.filter(F.col("label") != F.col("old_label")).count()
-            )
+            # Convergence check folded into the checkpoint job (r15
+            # optimization round): the observe() metric fires on the
+            # lineage-cut materialization itself, so the old separate
+            # changed-rows count job per round disappears -- 1/3 of the
+            # per-round driver actions on the no-probe path (the same
+            # Observation-on-checkpoint pattern streaming/jobs.py uses).
+            obs = Observation()
+            updated = updated.observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("old_label")).cast("long")
+                ).alias("chg"),
+            ).transform(cut_lineage, eager=True)
+            changed = int(obs.get["chg"] or 0)
             max_cnt = 0
         else:
+            updated = updated.transform(cut_lineage, eager=True)
             # Convergence + skew probe in ONE job: per-label partials
             # are map-side combinable, so even a fully-converged giant
             # component contributes one row per map partition here --

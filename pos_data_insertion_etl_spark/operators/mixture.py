@@ -293,22 +293,29 @@ def ntile_bins(
     form of quantile binning (curriculum buckets, difficulty tiers)
     when the order must be exact rather than approximate.
     """
-    from .combine import with_global_sequence
+    from .combine import global_sequence_with_total
 
-    seq = with_global_sequence(df, order_by, seq_col="_seq")
-    n = seq.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # The global count falls out of the sequence build's per-partition
+    # counts (r15 optimization round): fold it in as integer literals
+    # instead of a separate count job + broadcast crossJoin per call --
+    # q237 chains three of these, so that was three extra jobs over the
+    # same rows. Tile arithmetic and null semantics (base == 0 when
+    # n < k) are unchanged.
+    seq, n = global_sequence_with_total(df, order_by, seq_col="_seq")
     rank = F.col("_seq") + 1
-    base = F.floor(F.col("_n") / k).cast("long")          # rows per small tile
-    extra = (F.col("_n") - base * k).cast("long")          # tiles with +1 row
+    base = n // k                                          # rows per small tile
+    extra = n - base * k                                   # tiles with +1 row
     cut = extra * (base + 1)                               # rows in big tiles
-    in_big = rank <= cut
+    in_big = rank <= F.lit(cut)
     tile = F.when(
-        in_big, F.ceil(rank / (base + 1))
-    ).otherwise(extra + F.ceil((rank - cut) / F.when(base > 0, base)))
+        in_big, F.ceil(rank / F.lit(base + 1))
+    ).otherwise(
+        F.lit(extra)
+        + F.ceil((rank - F.lit(cut)) / F.when(F.lit(base) > 0, F.lit(base)))
+    )
     return (
-        seq.crossJoin(F.broadcast(n))
-        .withColumn(bin_col, tile.cast("long"))
-        .drop("_seq", "_n")
+        seq.withColumn(bin_col, tile.cast("long"))
+        .drop("_seq")
     )
 
 

@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
+
 REPORT_COLS = ("rule", "n_violations", "n_rows")
 
 #: ASCII punctuation as explicit ranges -- identical semantics in Java
@@ -371,17 +373,27 @@ def dup_ngram_stats(
             ).alias("gram"),
         )
     )
-    gram_docs = (
-        grams.distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_nd"))
+    # Aggregate BEFORE the shuffle-heavy stages (r15 optimization round,
+    # guide §2.3): collapse occurrence rows to one (id, gram, _occ) row
+    # first -- the per-gram document count is then a plain count (the
+    # rows ARE distinct (id, gram) pairs, replacing distinct+count with
+    # one aggregate), and the verdict join + per-doc rollup ship one row
+    # per distinct gram instead of one per occurrence. The lineage cut
+    # materializes the md5 n-gram explode once for its two consumers.
+    # n_grams = sum(_occ) and n_dup_grams = sum(_occ where _nd >= 2)
+    # reproduce the occurrence-level counts exactly.
+    g1 = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .transform(cut_lineage, eager=False)
     )
+    gram_docs = g1.groupBy("gram").agg(F.count(F.lit(1)).alias("_nd"))
     return (
-        grams.join(gram_docs, "gram")
+        g1.join(gram_docs, "gram")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("_nd") >= 2).cast("int"))
+            F.sum("_occ").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_nd") >= 2, F.col("_occ")).otherwise(F.lit(0)))
             .cast("long")
             .alias("n_dup_grams"),
         )
