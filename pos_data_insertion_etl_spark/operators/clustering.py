@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
+
 VEC_SCALE = 10_000_000  # 1e-7 fixed-point (functions.vectors.SCALE)
 VEC_SHIFT = 10_000_000  # +1.0 shift -> positive for |x| < 1.0 inputs
 
@@ -101,7 +103,11 @@ def lloyd_kmeans(
         raise ValueError("k >= 1, iters >= 0")
     quantized = df.select(
         F.col(id_col), _quantize_shifted(F.col(vec_col)).alias("_v")
-    )
+    ).transform(cut_lineage, eager=False)
+    # ^ one materialization (r15 optimization round): the init sample,
+    #   every round's partial-sums job, and the final assignment each
+    #   consumed this frame -- without the cut each re-scanned the
+    #   source and re-quantized every vector (iters + 2 full passes).
 
     init_rows = (
         quantized.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))

@@ -24,13 +24,14 @@ surface (SURVEY.md §2 LLM-pipeline operators).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..operators.dedup import exact_dedup, neardup_keepers
 from ..operators.lm_score import unigram_lm_scores
 from ..operators.quality import GOPHER_METRIC_COLS, gopher_quality_flags
+from ..smallframe import values_frame
 
 
 def curate_corpus(
@@ -52,8 +53,10 @@ def curate_corpus(
 
     Returns ``(packed, funnel)``: ``packed`` assigns every surviving
     document to (shard, pack_id, offset_in_pack, n_tokens); ``funnel``
-    is the per-stage [stage, stage_order, n_docs] report (computed from
-    the same lineage, so one action materializes both consistently).
+    is the per-stage [stage, stage_order, n_docs] report, populated
+    from observe() metrics that fire on each stage's materialization
+    (so the counts are exactly the rows the next stage consumed, and
+    the report costs no extra pass over any stage).
 
     ``max_cross_entropy=None`` skips the LM gate's threshold but still
     scores (the scores ride along for downstream mixing decisions).
@@ -62,23 +65,36 @@ def curate_corpus(
                          min_stopword_hits=min_stopword_hits)
     if stopwords is not None:
         gopher_kwargs["stopwords"] = stopwords
+    spark = docs.sparkSession
     # Gate in place (keep_input=True): the metrics are row-local
     # expressions, so filtering on them needs no flags-back-to-rows
     # self-join -- the gate stage is scan-bound with ZERO shuffles at
     # any corpus size (r10; it used to shuffle once on id_col).
+    #
+    # r15 optimization round, two moves per stage boundary:
+    # * Lineage cut (eager): each stage table has several consumers (the
+    #   LM model build, the LM scoring pass, the scores join, dedup, the
+    #   next stage) -- without the cut each replayed the whole upstream
+    #   funnel. One materialization per stage, block reads after.
+    # * observe() on the cut: the funnel's per-stage document counts
+    #   fire on the materialization job itself (the streaming/jobs.py
+    #   pattern), so the old 5-legged count union -- whose 00_raw leg
+    #   RE-SCANNED the raw corpus and whose 01 leg re-ran the gate --
+    #   costs zero extra jobs. n_raw rides above the gate filter, so
+    #   one job yields both the raw and the gated count.
+    obs_gate = Observation()
     heuristic_ok = (
         gopher_quality_flags(
             docs, text_col, id_col, keep_input=True, **gopher_kwargs
         )
+        .observe(
+            obs_gate,
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_if(F.col("gopher_pass")).alias("n_gated"),
+        )
         .filter(F.col("gopher_pass"))
         .drop(*GOPHER_METRIC_COLS)
-        # Lineage cut (r15 optimization round): four consumers read this
-        # frame -- the LM model build, the LM scoring pass, the
-        # scores-back-to-rows join, and the funnel's 01_gopher count --
-        # and without the cut each replayed the tokenizing gate over the
-        # raw corpus. One materialization, four block reads; the gate
-        # expressions run exactly once per document at any corpus size.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     scores = unigram_lm_scores(heuristic_ok, text_col, id_col, top_v=lm_top_v)
     scored = heuristic_ok.join(scores, id_col)
@@ -87,19 +103,22 @@ def curate_corpus(
         if max_cross_entropy is not None
         else scored
     )
-    # Lineage cut: everything downstream (exact dedup, the multi-pass
-    # LSH near-dup stage, packing, the funnel report) re-reads this
-    # frame several times; without the cut each consumer re-runs the
-    # gopher + LM-training subtree. localCheckpoint materializes the
-    # narrow (doc columns + scores) rows once to executor storage --
-    # the same pattern as operators/combine.py. On a real cluster with
-    # a 100 TB corpus you would persist this boundary to durable
-    # storage instead; the plan shape is identical.
-    lm_ok = lm_ok.localCheckpoint(eager=False)
+    # On a real cluster with a 100 TB corpus you would persist this
+    # boundary to durable storage instead of localCheckpoint; the plan
+    # shape is identical (see lineage.cut_lineage for the switch).
+    obs_lm = Observation()
+    lm_ok = lm_ok.observe(
+        obs_lm, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
     keepers_exact = exact_dedup(lm_ok, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    exact_ok = lm_ok.join(keepers_exact, id_col).localCheckpoint(eager=False)
+    obs_exact = Observation()
+    exact_ok = (
+        lm_ok.join(keepers_exact, id_col)
+        .observe(obs_exact, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     near = neardup_keepers(
         exact_ok,
         text_col,
@@ -107,12 +126,17 @@ def curate_corpus(
         threshold_num=neardup_num,
         threshold_den=neardup_den,
     )
-    near_ok = exact_ok.join(
-        near.filter(F.col("keeper_id") == F.col("doc_id")).select(
-            F.col("doc_id").alias(id_col)
-        ),
-        id_col,
-    ).localCheckpoint(eager=False)
+    obs_near = Observation()
+    near_ok = (
+        exact_ok.join(
+            near.filter(F.col("keeper_id") == F.col("doc_id")).select(
+                F.col("doc_id").alias(id_col)
+            ),
+            id_col,
+        )
+        .observe(obs_near, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
 
     w = (
         W.partitionBy("shard")
@@ -137,19 +161,19 @@ def curate_corpus(
         )
     )
 
-    stages = [
-        ("00_raw", docs),
-        ("01_gopher", heuristic_ok),
-        ("02_lm", lm_ok),
-        ("03_exact_dedup", exact_ok),
-        ("04_neardup", near_ok),
+    # The stage tables are already materialized (eager cuts above), so
+    # every count is in hand from the observations -- the funnel is a
+    # JVM VALUES literal (smallframe.values_frame: no Python-runner
+    # spin-up on collect), row-identical to the old 5-way count union.
+    gate_m = obs_gate.get
+    rows = [
+        ("00_raw", 0, int(gate_m["n_raw"])),
+        ("01_gopher", 1, int(gate_m["n_gated"])),
+        ("02_lm", 2, int(obs_lm.get["n"])),
+        ("03_exact_dedup", 3, int(obs_exact.get["n"])),
+        ("04_neardup", 4, int(obs_near.get["n"])),
     ]
-    funnel = None
-    for i, (name, df) in enumerate(stages):
-        row = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(name).alias("stage"),
-            F.lit(i).cast("long").alias("stage_order"),
-            "n_docs",
-        )
-        funnel = row if funnel is None else funnel.unionByName(row)
+    funnel = values_frame(
+        spark, rows, "stage string, stage_order long, n_docs long"
+    )
     return packed, funnel

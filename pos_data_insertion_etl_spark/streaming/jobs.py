@@ -421,19 +421,39 @@ def pos_stream_ingest(
             )
             try:
                 sales = daily_sales_mart(sku)
-                for name, df in {
-                    "t_day_ten_kyakusu_data": customer_count_mart(sku),
-                    "t_day_sales": sales,
-                    "t_day_ten_sales_front_data_daily": sales_front_mart(
-                        sales, sku
-                    ),
-                }.items():
+
+                def _write_mart(kv) -> None:
+                    name, df = kv
                     (
                         df.repartition(*cluster)
                         .write.mode("overwrite")
                         .option("partitionOverwriteMode", "dynamic")
                         .partitionBy(BUSINESS_DATE)
                         .parquet(f"{out_dir}/{name}")
+                    )
+
+                # Overlap the three independent derived-mart writes
+                # (guide §2.6, same as pipeline/marts.run_pos_pipeline):
+                # all read the persisted SKU slice (BlockManager computes
+                # each cached partition once; racers block, not
+                # recompute) and write disjoint directories. pool.map
+                # re-raises the first failure, so a failed write still
+                # fails the micro-batch for the checkpoint to retry.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    list(
+                        pool.map(
+                            _write_mart,
+                            {
+                                "t_day_ten_kyakusu_data": customer_count_mart(
+                                    sku
+                                ),
+                                "t_day_sales": sales,
+                                "t_day_ten_sales_front_data_daily":
+                                    sales_front_mart(sales, sku),
+                            }.items(),
+                        )
                     )
             finally:
                 sku.unpersist()

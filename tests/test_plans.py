@@ -63,8 +63,9 @@ ALLOWED_BNLJ = {
     # 1-row corpus-token-total and shaped-weight-total scalar broadcasts
     # against the tiny per-source aggregate
     "q149_temperature_mixture": "1-row mixture-total scalar broadcasts",
-    # 1-row global-count scalar broadcast feeding the NTILE arithmetic
-    "q151_ce_decile_bins": "1-row count scalar broadcast (+LM totals)",
+    # (q151's NTILE count crossJoin became integer literals in the r15
+    # optimization round -- ntile_bins folds the global count from the
+    # sequence build's partition counts, so no BNLJ remains)
     # 1-row global min/max bounds scalar broadcast for bucket scaling
     "q158_zorder_key": "1-row min/max bounds scalar broadcast",
     # 1-row (n, v) totals scalar broadcast into all three LM orders
@@ -104,8 +105,8 @@ ALLOWED_BNLJ = {
     "q225_kmv_overlap": "1-row sketch-scalar broadcasts",
     # 1-row corpus-count scalar broadcast into the rank weights
     "q234_gini_revenue": "1-row count scalar broadcast",
-    # three ntile_bins passes, each a 1-row count scalar broadcast
-    "q237_rfm_segments": "1-row tile-count scalar broadcasts (x3)",
+    # (q237's three ntile_bins count broadcasts became literals in the
+    # r15 optimization round, same as q151)
     # 1-row (total, days) mean scalar broadcast into the deviations
     "q239_cusum_drift": "1-row mean scalar broadcast",
     # 1-row corpus-count scalar broadcast into every KL log-ratio
@@ -284,10 +285,14 @@ def test_knn_graph_candidate_cap_is_in_the_plan(spark, sf_dir):
 
 def test_kmeans_final_assignment_is_pure_projection(spark, sf_dir):
     """q182's scale contract: with centroids shipped as literals, the
-    FINAL assignment plan is one parquet scan with zero joins and zero
+    FINAL assignment plan is one scan with zero joins and zero
     exchanges (the iterative work happens in bounded collect jobs
-    during construction, not in this plan)."""
+    during construction, not in this plan). Since the r15 optimization
+    round the scanned source is the lineage-cut quantized frame
+    (Scan ExistingRDD) -- quantization runs once for init + all rounds
+    + this assignment, instead of once per consumer."""
     plan = _executed_plan(QUERIES["q182_kmeans_lloyd"].spark(spark, sf_dir))
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
-    assert plan.count("Scan parquet") == 1, plan
+    n_scans = plan.count("Scan parquet") + plan.count("Scan ExistingRDD")
+    assert n_scans == 1, plan
