@@ -311,12 +311,9 @@ def trigram_lm_scores(
         F.sum("c1").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("v"),
     )
-    w1 = W.orderBy(F.desc("c1"), "tok")
-    uni_top = (
-        uni.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= top_v)
-        .drop("rn")
-    )
+    # TakeOrdered top-k, not single-task global windows (see
+    # unigram_model): each ordering is total, rows identical.
+    uni_top = uni.orderBy(F.desc("c1"), "tok").limit(top_v)
 
     # P2's counts come from REAL adjacent pairs (the trigram stream
     # would double-count interior positions)
@@ -331,23 +328,13 @@ def trigram_lm_scores(
     ).select(F.col("_p.p1"), F.col("_p.tok"))
     bi = pairs.groupBy("p1", "tok").agg(F.count(F.lit(1)).alias("c2"))
     bctx = bi.groupBy("p1").agg(F.sum("c2").cast("long").alias("c2ctx"))
-    w2 = W.orderBy(F.desc("c2"), "p1", "tok")
-    bi_top = (
-        bi.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= top_b)
-        .drop("rn")
-    )
+    bi_top = bi.orderBy(F.desc("c2"), "p1", "tok").limit(top_b)
 
     tcnt = tri.groupBy("p2", "p1", "tok").agg(F.count(F.lit(1)).alias("c3"))
     tctx = tcnt.groupBy("p2", "p1").agg(
         F.sum("c3").cast("long").alias("c3ctx")
     )
-    w3 = W.orderBy(F.desc("c3"), "p2", "p1", "tok")
-    tri_top = (
-        tcnt.withColumn("rn", F.row_number().over(w3))
-        .filter(F.col("rn") <= top_t)
-        .drop("rn")
-    )
+    tri_top = tcnt.orderBy(F.desc("c3"), "p2", "p1", "tok").limit(top_t)
 
     # The context denominators ship ONLY for contexts the capped heads
     # retain (<= top_t / top_b rows by construction): the raw tctx is
