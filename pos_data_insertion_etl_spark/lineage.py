@@ -1,12 +1,12 @@
 """Lineage cuts with a cluster-durability escape hatch.
 
 Iterative operators (connected components, PageRank, k-core, BFS,
-weighted SSSP, the set-similarity prefix join, the funnel stage
-tables) truncate lineage every round so ``iters`` rounds cost
-``iters`` plans instead of one exponentially nested one. Locally the
-right cut is ``localCheckpoint``: it stores blocks on the executors,
-costs no distributed-filesystem round trip, and a single-JVM
-local[N] run cannot lose an executor.
+weighted SSSP, the set-similarity prefix join) truncate lineage every
+round so ``iters`` rounds cost ``iters`` plans instead of one
+exponentially nested one. Locally the right cut is
+``localCheckpoint``: it stores blocks on the executors, costs no
+distributed-filesystem round trip, and a single-JVM local[N] run
+cannot lose an executor.
 
 On a real cluster that trade-off flips for long iterative jobs: a
 localCheckpoint block lives only on its executor, so an executor loss
@@ -27,7 +27,15 @@ Every iterative lineage-cut site routes through :func:`cut_lineage`
 multi-consumer reuse cuts in single-pass queries (e.g. bm25/itemsets
 explode reuse) deliberately stay on plain ``localCheckpoint``: losing
 one means re-running one query, not losing accumulated rounds, and
-the shared-storage write would be pure overhead there.
+the shared-storage write would be pure overhead there. The CURATION
+FUNNEL's stage boundaries (pipeline/curation.py) also stay on plain
+``localCheckpoint`` on purpose (ADVICE r15): their ``observe()``
+metrics feed the funnel report QUANTITATIVELY, and under reliable
+``checkpoint()`` the checkpoint-write job can recompute the plan and
+double-count the observation -- routing them through this switch
+would silently corrupt the funnel counts on exactly the deployments
+the switch targets. On a real cluster, persist those boundaries to
+durable storage explicitly instead.
 
 Results are identical either way -- the cut is a materialization
 point, not a semantic operator (pytest drives connected_components

@@ -188,6 +188,14 @@ def connected_components(
             # changed-rows count job per round disappears -- 1/3 of the
             # per-round driver actions on the no-probe path (the same
             # Observation-on-checkpoint pattern streaming/jobs.py uses).
+            #
+            # CAVEAT (ADVICE r15): under a reliable checkpoint dir
+            # (spark.pos_etl.reliableCheckpointDir) Dataset.checkpoint
+            # can recompute the plan in the checkpoint-write job, so
+            # the metric may double-count. That is safe here ONLY
+            # because `changed` is compared to zero (2x0 == 0); do not
+            # use it quantitatively (logging, thresholds) without
+            # normalizing first.
             obs = Observation()
             updated = updated.observe(
                 obs,
@@ -829,6 +837,16 @@ def bfs_distances(
     # construction lineage (often a self-join) so rounds rescan a
     # materialized table instead of replaying the build N times.
     if prepared:
+        # Trust-but-verify (ADVICE r15): the contract is long-typed
+        # [src, dst]. An un-cast caller would silently change the join
+        # and least() semantics against the long-cast seeds; a schema
+        # check costs nothing and fails loudly instead.
+        dtypes = dict(edges.dtypes)
+        if dtypes.get("src") != "bigint" or dtypes.get("dst") != "bigint":
+            raise TypeError(
+                "bfs_distances(prepared=True) requires long-typed "
+                f"[src, dst]; got {edges.dtypes}"
+            )
         sym = edges
     else:
         sym = (

@@ -195,24 +195,40 @@ def run_pos_pipeline(
             # the driver's submission order changes.
             from concurrent.futures import ThreadPoolExecutor
 
+            from pyspark import inheritable_thread_target
+
             write_day_partitioned(
                 marts["t_day_pos_daily_sku_data"],
                 f"{out_dir}/t_day_pos_daily_sku_data",
             )
+            # Persist the shared daily_sales rollup for the overlap
+            # window (ADVICE r15): two of the three writes consume it
+            # (its own write + sales_front_mart), and without the
+            # persist each pool thread recomputes the aggregation from
+            # the cached SKU rows.
+            daily_sales.persist()
             rest = [
                 (name, df)
                 for name, df in marts.items()
                 if name != "t_day_pos_daily_sku_data"
             ]
-            with ThreadPoolExecutor(max_workers=3) as pool:
-                list(
-                    pool.map(
-                        lambda kv: write_day_partitioned(
-                            kv[1], f"{out_dir}/{kv[0]}"
-                        ),
-                        rest,
+            try:
+                # inheritable_thread_target copies this thread's
+                # JVM-local properties (job group/description) into the
+                # pool threads so cancellation reaches in-flight writes.
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    list(
+                        pool.map(
+                            inheritable_thread_target(
+                                lambda kv: write_day_partitioned(
+                                    kv[1], f"{out_dir}/{kv[0]}"
+                                )
+                            ),
+                            rest,
+                        )
                     )
-                )
+            finally:
+                daily_sales.unpersist()
         else:
             sku.count()  # trigger the observation
         got = obs.get

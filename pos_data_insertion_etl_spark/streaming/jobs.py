@@ -312,8 +312,10 @@ def pos_stream_ingest(
       First-committed wins, the reference's INSERT-where-not-exists
       semantics (SP_Process_Daily_SKU_Data re-run per batch,
       main.py:509-514);
-    * derived marts are recomputed from the merged SKU mart for the
-      affected dates only and written with dynamic partition overwrite --
+    * derived marts are recomputed for the affected dates only -- from
+      the CACHED delta merge (prior partition-pruned rows UNION the
+      batch's novel rows, exactly the post-append mart content without
+      re-reading it) -- and written with dynamic partition overwrite, so
       re-running a batch overwrites the same partitions with the same
       content. This also keeps non-additive aggregates (distinct txn
       counts) correct across batches, which per-batch appends cannot.
@@ -377,27 +379,33 @@ def pos_stream_ingest(
             # is file-only (a parquet DIRECTORY probes false on
             # object-store schemes, silently disabling the left-anti
             # dedup) and carries a separate credential/config stack.
-            prior_keys = None
+            prior = None
             if _table_exists(session, sku_path):
                 try:
                     # batch_sku's schema IS the mart's schema: passing
                     # it skips the per-batch footer-inference job (r12
-                    # action audit).
-                    prior_keys = (
+                    # action audit). The FULL prior rows load, not just
+                    # the keys: they feed both the anti-join and the
+                    # merged slice below, so the partition-pruned scan
+                    # runs ONCE per batch (persist filled by the
+                    # append's anti-join job).
+                    prior = (
                         session.read.schema(batch_sku.schema)
                         .parquet(sku_path)
                         .filter(F.col(BUSINESS_DATE).isin(dates))
-                        .select(*SKU_KEY)
+                        .persist()
                     )
                 except AnalysisException:
                     # probe-then-read race (concurrent retention delete);
                     # anything else (corrupt mart, perms) raises
-                    prior_keys = None
+                    prior = None
             novel = (
                 batch_sku
-                if prior_keys is None
-                else batch_sku.join(prior_keys, SKU_KEY, "left_anti")
-            )
+                if prior is None
+                else batch_sku.join(
+                    prior.select(*SKU_KEY), SKU_KEY, "left_anti"
+                )
+            ).persist()
             # cluster by (day, salt) so each batch appends a bounded
             # number of files per day partition (see write_day_partitioned)
             cluster = [
@@ -410,17 +418,24 @@ def pos_stream_ingest(
                 .partitionBy(BUSINESS_DATE)
                 .parquet(sku_path)
             )
-            # derived marts: recompute the affected dates from the merged
-            # mart (partition-pruned scan), dynamic-overwrite only those
-            # date partitions.
-            sku = (
-                session.read.schema(batch_sku.schema)
-                .parquet(sku_path)
-                .filter(F.col(BUSINESS_DATE).isin(dates))
-                .persist()
-            )
+            # Derived marts recompute the affected dates from the CACHED
+            # delta merge (r16 optimization round, VERDICT r15 item 7):
+            # the merged slice for the batch's dates is exactly
+            # prior UNION novel -- prior's file snapshot was listed
+            # BEFORE the append (it cannot contain the rows the append
+            # writes) and novel is disjoint from it by the anti-join --
+            # so the old read-back of the mart directory after the
+            # append was a redundant partition scan per batch. On a
+            # replay whose append already committed, novel is empty and
+            # the union degenerates to the on-disk slice, identical to
+            # the old read-back.
+            sku = novel if prior is None else prior.unionByName(novel)
+            # Persist `sales` too (ADVICE r15): two of the three mart
+            # writes consume it (its own write + sales_front_mart), and
+            # without the persist each thread recomputes the daily_sales
+            # aggregation from the cached SKU slice.
+            sales = daily_sales_mart(sku).persist()
             try:
-                sales = daily_sales_mart(sku)
 
                 def _write_mart(kv) -> None:
                     name, df = kv
@@ -439,12 +454,18 @@ def pos_stream_ingest(
                 # recompute) and write disjoint directories. pool.map
                 # re-raises the first failure, so a failed write still
                 # fails the micro-batch for the checkpoint to retry.
+                # inheritable_thread_target (ADVICE r15) copies this
+                # thread's JVM-local properties (job group/description)
+                # into the pool threads, so query.stop()/cancelJobGroup
+                # reaches the in-flight mart writes.
                 from concurrent.futures import ThreadPoolExecutor
+
+                from pyspark import inheritable_thread_target
 
                 with ThreadPoolExecutor(max_workers=3) as pool:
                     list(
                         pool.map(
-                            _write_mart,
+                            inheritable_thread_target(_write_mart),
                             {
                                 "t_day_ten_kyakusu_data": customer_count_mart(
                                     sku
@@ -456,7 +477,10 @@ def pos_stream_ingest(
                         )
                     )
             finally:
-                sku.unpersist()
+                sales.unpersist()
+                novel.unpersist()
+                if prior is not None:
+                    prior.unpersist()
         finally:
             batch_sku.unpersist()
 
@@ -616,29 +640,46 @@ def dedup_ingest_stream(
     """Continuous corpus ingestion with cross-batch EXACT dedup: each
     micro-batch drops documents whose content digest is already in the
     corpus (operators/dedup.incremental_exact_dedup), appends the novel
-    ones to ``out_dir``/corpus, and maintains the carried
-    ``out_dir``/digests table via the compaction rename-aside swap
-    (crash leaves old or new digest table intact; a crashed swap heals
-    at the next batch).
+    ones to ``out_dir``/corpus, and extends the carried
+    ``out_dir``/digests state APPEND-ONLY: each batch's novel digests
+    land in their own ``digests/batch=<id>`` directory (published by an
+    atomic rename from a temp dir outside ``digests/``), so per-batch
+    digest I/O is O(batch), never O(corpus).
+
+    r16 optimization round: the previous layout REWROTE the whole
+    digest table every micro-batch (union + full overwrite + swap) --
+    O(corpus) writes per batch, O(batches x corpus) total at 100 TB,
+    and after the r15 distinct-removal the rewrite also inherited union
+    partitioning, so its file count grew every batch (the adjudicated
+    q274 regression, VERDICT r15 item 1). The append-only layout writes
+    only the batch's own digests, coalesced to a row-budgeted file
+    count (``spark.pos_etl.digestRowsPerFile``).
 
     Exactly-once TABLE STATE from at-least-once foreachBatch: the
     corpus write is IDEMPOTENT PER BATCH -- novel docs land in a
     batch-id-keyed partition directory (``corpus/batch=<id>``) with
     mode('overwrite'), so a replay rewrites the same directory with the
-    same content instead of appending a second copy. This closes the
-    ADVICE-r5 crash window: a crash between the corpus write and the
-    digest swap used to replay the batch against the OLD digests and
-    append the same novel set twice. Now every crash point is safe:
-    before the corpus write nothing happened; between write and swap
-    the replay recomputes the same novel set (old digests) and
-    overwrites the same directory bit-for-bit; after the swap the
-    replay finds novel empty and the directory already holds the
-    batch's docs. Digest state itself swaps via the compaction
-    rename-aside (crash leaves old or new table intact; a crashed swap
-    heals at the next batch). State is 32 bytes per distinct document
-    ever kept; readers load the corpus with one
-    ``spark.read.parquet(corpus)`` (``batch`` becomes a partition
-    column -- ingest provenance for free).
+    same content instead of appending a second copy. Publish ORDER is
+    the crash-safety argument: the corpus directory commits BEFORE the
+    batch's digest directory appears, and the digest directory appears
+    atomically (temp write + directory rename), so
+
+    * crash before the corpus write: nothing visible moved; the replay
+      recomputes the same novel set from the unchanged digest state;
+    * crash between corpus write and digest publish: the replay
+      recomputes the SAME novel set (digest state unchanged) and
+      overwrites ``corpus/batch=<id>`` with identical content;
+    * crash after the digest publish: the replay sees every batch
+      digest already carried, takes the zero-novel fast path, and the
+      corpus directory it would have written is already durable.
+
+    The rename is what closes the partial-visibility window the old
+    swap closed: if the batch digest files committed non-atomically, a
+    replay could see HALF the batch's digests, compute a smaller novel
+    set, and truncate ``corpus/batch=<id>`` on overwrite. State is 32
+    bytes per distinct document ever kept; readers load the corpus
+    with one ``spark.read.parquet(corpus)`` (``batch`` becomes a
+    partition column -- ingest provenance for free).
     """
 
     def apply(batch: DataFrame, batch_id: int) -> None:
@@ -666,6 +707,33 @@ FAULT_HOOK = None
 def _fault(point: str) -> None:
     if FAULT_HOOK is not None:
         FAULT_HOOK(point)
+
+
+#: Parquet rows per digest output file (64-hex-char sha2 strings, so
+#: ~2M rows is roughly a 128 MB uncompressed file -- guide section 6's
+#: output-sizing band). Overridable per session via
+#: ``spark.pos_etl.digestRowsPerFile`` for clusters whose batches are
+#: large enough to want bigger files.
+DIGEST_ROWS_PER_FILE = 2_000_000
+
+
+def _publish_digest_dir(spark: SparkSession, tmp: str, dest: str) -> None:
+    """Atomically publish a batch's digest directory: ``tmp`` (written
+    OUTSIDE ``digests/`` so a half-written temp is never visible to the
+    partitioned state read) moves to ``dest`` with one directory
+    rename. Module-level seam so crash tests can inject a failure at
+    exactly the publish point."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(dest).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(P(dest).getParent())
+    # A committed dest is unreachable here (the zero-novel fast path
+    # returns first), so anything at dest is a partial leftover --
+    # replace it.
+    if fs.exists(P(dest)):
+        fs.delete(P(dest), True)
+    if not fs.rename(P(tmp), P(dest)):
+        raise RuntimeError(f"digest publish rename failed: {tmp} -> {dest}")
 
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
@@ -712,7 +780,6 @@ def dedup_ingest_batch(
 
     from pyspark.errors.exceptions.captured import AnalysisException
 
-    from ..operators.compaction import restore_crashed_swap, swap_table
     from ..operators.dedup import incremental_exact_dedup
 
     from pyspark.sql import Observation
@@ -722,25 +789,31 @@ def dedup_ingest_batch(
     if n_input == 0 or (n_input is None and not batch.head(1)):
         return
     spark = batch.sparkSession
-    restore_crashed_swap(spark, digests_path)
     # Existence-probe BEFORE reading (VERDICT r13 "what's wrong"): on a
-    # first batch (or a monitor-cleaned state dir) the digest table
+    # first batch (or a monitor-cleaned state dir) the digest state
     # does not exist yet. Issuing the read and catching
     # AnalysisException WORKS, but the failed analysis also surfaces
     # through the session's ExecutionListenerBus as a ~100-line ERROR
     # stack on a perfectly green run -- log noise that trains operators
     # to ignore ERROR lines. Probe through the Hadoop FileSystem (the
-    # stack the read/write/swap themselves use -- ADVICE r14 high; see
-    # _table_exists for why the fs seam is wrong here); the except
+    # stack the read/write/rename themselves use -- ADVICE r14 high;
+    # see _table_exists for why the fs seam is wrong here); the except
     # stays as a belt for the probe-then-read race (a concurrent
     # retention delete between the probe and the analysis).
     seen = None
     if _table_exists(spark, digests_path):
         try:
-            # Explicit schema: the digest table's shape is fixed, and
+            # Explicit schema: the digest state's shape is fixed, and
             # schema inference costs a footer-read JOB per batch
             # (measured in the r12 action audit, tools/action_count.py).
-            seen = spark.read.schema("digest string").parquet(digests_path)
+            # The per-batch directories read as one partitioned table
+            # (``batch`` arrives as a discovered partition column);
+            # select just the digest -- the consumer keys on it alone.
+            seen = (
+                spark.read.schema("digest string")
+                .parquet(digests_path)
+                .select("digest")
+            )
         except AnalysisException:
             seen = None
     novel, _ = incremental_exact_dedup(batch, seen, text_col, id_col)
@@ -757,56 +830,56 @@ def dedup_ingest_batch(
     ).localCheckpoint(eager=True)
     n_novel = int(obs.get["n_novel"])
     if n_novel == 0 and seen is not None:
-        # Replayed (or fully-duplicate) batch: the digest table already
-        # contains every digest this batch could add, and it is distinct
-        # by construction -- rewriting it through the swap would move
-        # state for a no-op. This is the replay fast path: one
-        # checkpoint job, zero writes, zero swaps.
+        # Replayed (or fully-duplicate) batch: the digest state already
+        # contains every digest this batch could add. Zero writes, zero
+        # renames -- and because digests/batch=<id> only ever appears
+        # AFTER corpus/batch=<id> committed, taking this path on a
+        # replay can never skip an unwritten corpus directory.
         return
+    # Corpus FIRST, digests second (see dedup_ingest_stream docstring
+    # for the crash-window argument). Idempotent: batch-keyed directory
+    # + overwrite.
+    novel.write.mode("overwrite").parquet(
+        os.path.join(corpus_path, f"batch={batch_id}")
+    )
+    _fault("after_corpus_write")
     # Digest extension derived from the CHECKPOINTED novels: sha2 is
     # row-local, so this costs a rescan of the (small) novel blocks,
-    # never a second dedup pass over the batch.
+    # never a second dedup pass over the batch. APPEND-ONLY (r16): only
+    # the batch's own digests are written -- O(batch) I/O, never the
+    # O(corpus) full-table rewrite the swap layout paid every batch.
+    # `novel` holds exactly one keeper per within-batch digest
+    # (incremental_exact_dedup keeps min-id per _fp) and is anti-joined
+    # against `seen`, so the batch directory is duplicate-free AND
+    # disjoint from every earlier batch directory by construction.
+    #
+    # NULL digests are dropped (ADVICE r15): sha2 of a NULL text is
+    # NULL, which can never match the left-anti join, so carrying it
+    # would grow one dead state row per null-text batch while changing
+    # no dedup decision.
     new_digests = novel.select(
         F.sha2(F.col(text_col), 256).alias("digest")
-    )
-    # No distinct on the union (r15 optimization round): `novel` holds
-    # exactly one keeper per within-batch digest (incremental_exact_dedup
-    # keeps min-id per _fp) and is anti-joined against `seen`, so
-    # new_digests is duplicate-free AND disjoint from the (distinct by
-    # this same construction) carried table. The old `.distinct()`
-    # re-shuffled the ENTIRE digest table every micro-batch -- an
-    # O(corpus) exchange per batch at scale -- to remove duplicates that
-    # cannot exist. Rows written are identical.
-    updated = (
-        seen.unionByName(new_digests)
-        if seen is not None
-        else new_digests
-    )
-    tmp = digests_path + f"__new{batch_id}"
-    updated.write.mode("overwrite").parquet(tmp)
+    ).filter(F.col("digest").isNotNull())
+    # Write-side coalesce to a row budget (guide section 6 output
+    # sizing): the checkpointed novel blocks arrive in task-count
+    # partitions; a batch's digests are tiny next to its text, so
+    # without the coalesce every batch would add a task-count of
+    # near-empty files to the state listing.
+    try:
+        rows_per_file = int(
+            spark.conf.get(
+                "spark.pos_etl.digestRowsPerFile", str(DIGEST_ROWS_PER_FILE)
+            )
+        )
+    except Exception:
+        rows_per_file = DIGEST_ROWS_PER_FILE
+    n_files = max(1, -(-n_novel // max(1, rows_per_file)))
+    tmp = os.path.join(out_dir, f"digests__new{batch_id}")
+    new_digests.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     _fault("after_digest_tmp_write")
-    if n_novel:
-        # Idempotent: batch-keyed directory + overwrite (see docstring).
-        novel.write.mode("overwrite").parquet(
-            os.path.join(corpus_path, f"batch={batch_id}")
-        )
-    _fault("after_corpus_write")
-    if seen is None:
-        # first batch: nothing live to move aside
-        spark.read.schema("digest string").parquet(tmp).write.mode("overwrite").parquet(
-            digests_path
-        )
-        _fs_delete(spark, tmp)
-    else:
-        swap_table(spark, digests_path, tmp)
-
-
-def _fs_delete(spark: SparkSession, path: str) -> None:
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    P = jvm.org.apache.hadoop.fs.Path
-    fs = P(path).getFileSystem(jsc.hadoopConfiguration())
-    fs.delete(P(path), True)
+    _publish_digest_dir(
+        spark, tmp, os.path.join(digests_path, f"batch={batch_id}")
+    )
 
 
 def curation_ingest_batch(

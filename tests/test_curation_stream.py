@@ -75,11 +75,11 @@ def _crash_at(point: str):
     return hook
 
 
-def test_curation_ingest_crash_between_corpus_and_swap(spark):
+def test_curation_ingest_crash_between_corpus_and_digests(spark):
     """VERDICT r10 item 6: kill the batch BETWEEN the corpus write and
-    the digest swap (the window ADVICE r5 originally flagged), restart
-    it, and assert exactly-once state -- the replay recomputes the same
-    novel set against the OLD digests and overwrites the same
+    the digest publish (the window ADVICE r5 originally flagged),
+    restart it, and assert exactly-once state -- the replay recomputes
+    the same novel set against the OLD digests and overwrites the same
     directories bit-for-bit."""
     from pos_data_insertion_etl_spark.streaming import jobs
 
@@ -96,15 +96,17 @@ def test_curation_ingest_crash_between_corpus_and_swap(spark):
                 curation_ingest_batch(b1, 1, out, **kw)
         finally:
             jobs.FAULT_HOOK = None
-        # Crashed state: corpus/batch=1 exists, digests still OLD (the
-        # stale digests__new1 temp dir is lying around, unswapped).
+        # Crashed state: corpus/batch=1 exists; the digest state is
+        # still OLD (batch 0 only -- neither the batch-1 temp dir nor
+        # digests/batch=1 was written yet).
         assert os.path.isdir(os.path.join(out, "corpus", "batch=1"))
-        assert os.path.isdir(os.path.join(out, "digests__new1"))
+        assert not os.path.isdir(os.path.join(out, "digests__new1"))
+        assert not os.path.isdir(os.path.join(out, "digests", "batch=1"))
         digests_before = {
             r.digest
             for r in spark.read.parquet(os.path.join(out, "digests")).collect()
         }
-        assert len(digests_before) == 2  # batch 0 only: swap never ran
+        assert len(digests_before) == 2  # batch 0 only
 
         # Restart: re-drive the batch with no hook.
         curation_ingest_batch(b1, 1, out, **kw)
@@ -124,8 +126,11 @@ def test_curation_ingest_crash_between_corpus_and_swap(spark):
 
 def test_curation_ingest_crash_after_digest_tmp_write(spark):
     """Crash after the digests__new<id> temp write but BEFORE the
-    corpus write: nothing visible moved (corpus dir absent, live
-    digests old); the restart overwrites the stale temp and completes."""
+    atomic publish rename: the corpus directory is already durable
+    (corpus commits first), but the digest STATE is unchanged -- the
+    temp dir lives outside digests/ so the partitioned state read
+    cannot see it. The restart recomputes the same novel set,
+    overwrites both the corpus dir and the stale temp, and publishes."""
     from pos_data_insertion_etl_spark.streaming import jobs
 
     out = tempfile.mkdtemp(prefix="graft_cur_crash_")
@@ -142,8 +147,17 @@ def test_curation_ingest_crash_after_digest_tmp_write(spark):
                 curation_ingest_batch(b1, 1, out, **kw)
         finally:
             jobs.FAULT_HOOK = None
-        assert not os.path.isdir(os.path.join(out, "corpus", "batch=1"))
+        # corpus committed, digest state old, stale temp invisible to it
+        assert os.path.isdir(os.path.join(out, "corpus", "batch=1"))
+        assert os.path.isdir(os.path.join(out, "digests__new1"))
+        assert not os.path.isdir(os.path.join(out, "digests", "batch=1"))
+        assert (
+            spark.read.parquet(os.path.join(out, "digests")).count() == 1
+        )  # batch 0 only
         curation_ingest_batch(b1, 1, out, **kw)
+        # publish moved the temp aside
+        assert not os.path.isdir(os.path.join(out, "digests__new1"))
+        assert os.path.isdir(os.path.join(out, "digests", "batch=1"))
         report, ids = _read_report(spark, out)
         assert report[1] == (1, 1, 1)
         assert ids == [(0,), (4,)]

@@ -368,10 +368,10 @@ def test_dedup_ingest_stream(spark, tmp_path):
 
 def test_dedup_ingest_mid_batch_crash_replay(spark, tmp_path, monkeypatch):
     """ADVICE r5 crash window: kill the batch BETWEEN the corpus write
-    and the digest swap, then replay it. The batch-id-keyed overwrite
-    must leave the corpus duplicate-free (the old append-mode write
-    doubled the batch's docs on exactly this replay)."""
-    import pos_data_insertion_etl_spark.operators.compaction as compaction
+    and the digest publish, then replay it. The batch-id-keyed
+    overwrite must leave the corpus duplicate-free (the old append-mode
+    write doubled the batch's docs on exactly this replay)."""
+    from pos_data_insertion_etl_spark.streaming import jobs
     from pos_data_insertion_etl_spark.streaming.jobs import (
         dedup_ingest_batch,
     )
@@ -388,12 +388,14 @@ def test_dedup_ingest_mid_batch_crash_replay(spark, tmp_path, monkeypatch):
     )
     dedup_ingest_batch(b1, 0, str(out))
 
-    real_swap = compaction.swap_table
+    real_publish = jobs._publish_digest_dir
 
-    def crashing_swap(spark_, live, tmp):
-        raise RuntimeError("injected crash between corpus write and swap")
+    def crashing_publish(spark_, tmp, dest):
+        raise RuntimeError(
+            "injected crash between corpus write and digest publish"
+        )
 
-    monkeypatch.setattr(compaction, "swap_table", crashing_swap)
+    monkeypatch.setattr(jobs, "_publish_digest_dir", crashing_publish)
     try:
         dedup_ingest_batch(b2, 1, str(out))
         raise AssertionError("crash injection did not fire")
@@ -404,7 +406,7 @@ def test_dedup_ingest_mid_batch_crash_replay(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(str(out / "digests")).count() == 10
 
     # replay the batch with the crash healed
-    monkeypatch.setattr(compaction, "swap_table", real_swap)
+    monkeypatch.setattr(jobs, "_publish_digest_dir", real_publish)
     dedup_ingest_batch(b2, 1, str(out))
     corpus = spark.read.parquet(str(out / "corpus"))
     texts = [r.text for r in corpus.collect()]
