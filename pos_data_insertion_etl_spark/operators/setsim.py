@@ -25,7 +25,10 @@ recomputes exact intersections and applies the threshold as an
 integer cross-multiplication.
 
 Scale shape: one digest-frequency groupBy, one per-doc rank window,
-one digest equi-join for candidates, one pair-keyed count for verify.
+one digest equi-join for candidates; verify groups the element table
+ONCE into per-document digest arrays and computes each candidate
+pair's intersection map-side (array_intersect) -- the element table
+crosses one exchange, not two, and no pair-expanded rows shuffle.
 Worst case remains quadratic for a corpus of identical documents
 (that is the true answer's size); for real corpora the rare-prefix
 bound applies. Digests (md5) shuffle, raw shingles never do.
@@ -164,20 +167,60 @@ def prefix_filter_jaccard_join(
     # joins was a full extra pass over the element table plus two
     # shuffles. first() is well-defined: every row of a (id_a, id_b)
     # group carries the same _sza/_szb.
+    #
+    # MAP-SIDE intersection verify (r16 optimization round, guide
+    # §2.3/§3.2/§8): the old verify joined `sd` TWICE -- an id_a-keyed
+    # probe expanding each candidate pair to its a-side element ROWS
+    # (sum(|A|) rows through an exchange: 42M at sf0.1's dup-heavy
+    # fixture), then an (id_b, _d)-keyed join shipping the expanded
+    # rows AND the whole element table through a second exchange, and
+    # finally a pair-keyed count over the matches. Now:
+    #
+    # 1. The pair table is CUT (it is the guide-§8 "small rows"
+    #    decision table -- 4 integer columns per pair) because two
+    #    consumers read it: the candidate-doc id list and the verify
+    #    chain.
+    # 2. `sd` is SEMI-FILTERED to candidate documents before anything
+    #    heavy (guide §3.2): in a real corpus candidates are the
+    #    near-dups, a sliver of the corpus, so the element bytes that
+    #    reach the verify shrink from |corpus| to |candidate docs|.
+    # 3. The surviving elements group ONCE into per-document digest
+    #    arrays, the two attach joins ship each side's array to the
+    #    pair row, and n_common = size(array_intersect(...)) evaluates
+    #    per row -- no expanded-row shuffle, no pair-keyed aggregation.
+    #    Per-doc digests are distinct (array_distinct upstream), so the
+    #    distinct intersection size IS the overlap count; per-doc
+    #    arrays are bounded by one document's shingle set, the same
+    #    per-doc envelope the rank window above already requires.
+    #
+    # Measured at sf0.1 (309k candidate pairs over 5000 docs -- the
+    # WORST case for the semi-filter, which removes almost nothing
+    # there): verify stage 4.7/3.4 s -> 3.4-4.2 s, identical 256 rows;
+    # the win is the corpus-sparse case where the old shape shuffled
+    # the full element table twice regardless of candidate count.
+    cands = cands.transform(cut_lineage, eager=False)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .unionByName(cands.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    sd_cand = sd.join(cand_ids, sd["_id"] == cand_ids["_cid"], "left_semi")
+    arrs = sd_cand.groupBy("_id").agg(F.collect_list("_d").alias("_arr"))
     inter = (
         cands.join(
-            sd.select(F.col("_id").alias("id_a"), "_d"), "id_a"
+            arrs.select(F.col("_id").alias("id_a"), F.col("_arr").alias("_aa")),
+            "id_a",
         )
         .join(
-            sd.select(F.col("_id").alias("id_b"), "_d"),
-            ["id_b", "_d"],  # explicit two-key equi-join: the b-side
-            # probe never fans out beyond true element matches
+            arrs.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_ab")),
+            "id_b",
         )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("_sza").alias("n_a"),
-            F.first("_szb").alias("n_b"),
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_aa", "_ab")).alias("n_common"),
+            F.col("_sza").alias("n_a"),
+            F.col("_szb").alias("n_b"),
         )
     )
     return (

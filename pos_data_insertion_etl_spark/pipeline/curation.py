@@ -96,6 +96,14 @@ def curate_corpus(
         .drop(*GOPHER_METRIC_COLS)
         .localCheckpoint(eager=True)
     )
+    # share_tokens stays OFF here (r16, VERDICT r15 item 5): the
+    # option materializes the exploded token table so the LM model
+    # build and scoring pass stop tokenizing the gated corpus twice,
+    # but a same-session A/B at sf0.1 (4 pairs, bench_curation) showed
+    # the checkpoint costs 0.1-0.5 s MORE than the saved tokenize pass
+    # -- the gate blocks are cached and tokenize is cheap to replay.
+    # On a real cluster where the gated corpus is expensive to rescan,
+    # flip it on (the operator exposes it; results identical).
     scores = unigram_lm_scores(heuristic_ok, text_col, id_col, top_v=lm_top_v)
     scored = heuristic_ok.join(scores, id_col)
     lm_ok = (

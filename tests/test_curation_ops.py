@@ -179,6 +179,25 @@ def test_unigram_lm_scores_match_oracle(spark, sf_dir, duck):
     assert ok, msg
 
 
+def test_unigram_lm_scores_share_tokens_identical(spark, sf_dir):
+    """r16: ``share_tokens=True`` materializes the exploded token table
+    once for the model build and the scoring pass; the scores must be
+    bit-identical to the default two-tokenize path."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = sorted(
+        map(tuple, unigram_lm_scores(docs, "text", "doc_id", top_v=_TOPV).collect())
+    )
+    shared = sorted(
+        map(
+            tuple,
+            unigram_lm_scores(
+                docs, "text", "doc_id", top_v=_TOPV, share_tokens=True
+            ).collect(),
+        )
+    )
+    assert base == shared
+
+
 def test_unigram_lm_oov_scores_worse(spark):
     """A doc made of unseen-rare tokens must score strictly worse (higher
     cross-entropy) than one made of the corpus head."""

@@ -256,6 +256,35 @@ def test_setsim_exact_integer_threshold_edge(spark):
     assert len(out) == 1 and out[0].n_common == 2 and out[0].jaccard == 0.5
 
 
+def test_setsim_array_verify_with_noncandidate_majority(spark):
+    """r16 verify internals: the element table is semi-filtered to
+    candidate documents before the per-doc digest arrays are built.
+    A corpus where most docs have NO candidate partner must still
+    yield exact counts for the pairs that do, and the non-candidates
+    must neither appear nor disturb n_a/n_b (which ride from the rank
+    window, not the filtered element table)."""
+    from pos_data_insertion_etl_spark.operators.setsim import (
+        prefix_filter_jaccard_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g z"),   # near-dup of 1: 5 shared trigrams
+            (3, "p q r s t u v w"),   # no partner
+            (4, "m n o mm nn oo pp"), # no partner
+            (5, "x y z xx yy zz"),    # no partner
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r for r in prefix_filter_jaccard_join(
+        docs, t_num=1, t_den=2).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert (r.n_common, r.n_a, r.n_b) == (5, 6, 6)
+    assert abs(r.jaccard - 5 / 7) < 1e-6
+
+
 # --------------------------------------------------------------- BM25
 
 
